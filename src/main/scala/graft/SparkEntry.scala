@@ -1,13 +1,438 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{HexGrid, YearRange}
+import graft.functions.GeoFunctions._
+import graft.operators.{MapBuild, OccurrenceView, TileServe}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` producing an
+  * identically-named, identically-valued result on the same parquet tables.
+  *
+  * Floating-point discipline: every double expression in the Spark plan is
+  * mirrored token-for-token in the oracle SQL (same literals, same
+  * association order) so both engines execute the same IEEE-754 op
+  * sequence. Sums that are order-dependent (doubles across rows) are
+  * rounded; integer sums are exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import OccurrenceView._
+
+  /** Flagship: full point-map build (explode → A2 → A3) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MapBuild.featureRollup(
+      MapBuild.pointAgg(MapBuild.explodeMapKeys(occ(spark, "/root/testdata/sf0.001"))))
+
+  // ---------------------------------------------------------------- helpers
+
+  private def exploded(s: SparkSession, dir: String): DataFrame =
+    MapBuild.explodeMapKeys(occ(s, dir))
+
+  private def points(s: SparkSession, dir: String): DataFrame =
+    MapBuild.pointAgg(exploded(s, dir))
+
+  private def pointsLL(s: SparkSession, dir: String): DataFrame =
+    points(s, dir)
+      .withColumn("lat", col("lat10") / 10.0)
+      .withColumn("lng", col("lng10") / 10.0)
+
+  private def tilesZ6(s: SparkSession, dir: String): DataFrame = {
+    val px16 = MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326")
+    MapBuild.tileAssembly(MapBuild.rollupToZoom(px16, MaxZoom, 6), 6)
+  }
+
+  private val Hex = HexGrid(TileSize, 8)
+
+  // ------------------------------------------------------------ the queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: per-view counts (MapBuilder.java:205-229)
+    "q01_view_counts" -> ((s, dir) =>
+      MapBuild.viewCounts(occ(s, dir))),
+
+    // A1 HAVING: the large/small bifurcation stat
+    "q02_large_views" -> ((s, dir) =>
+      MapBuild.largeViews(occ(s, dir), Threshold)),
+
+    // A2: point-map aggregate (PointMapBuilder.java:53-70)
+    "q03_point_agg" -> ((s, dir) => points(s, dir)),
+
+    // A3: per-view feature blob rollup (PointMapBuilder.java:73-92)
+    "q04_feature_rollup" -> ((s, dir) =>
+      MapBuild.featureRollup(points(s, dir))),
+
+    // A4: max-zoom pixel aggregate, Web Mercator (TileMapBuilder.java:140-160)
+    "q05_pixel_agg_3857" -> ((s, dir) =>
+      MapBuild.pixelAgg(exploded(s, dir), "EPSG:3857")),
+
+    // A4: max-zoom pixel aggregate, Plate Carrée
+    "q06_pixel_agg_4326" -> ((s, dir) =>
+      MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326")),
+
+    // A5/O3: zoom rollup via bit-shift re-aggregation (TileMapBuilder.java:129-138)
+    "q07_zoom_rollup" -> ((s, dir) =>
+      MapBuild.rollupToZoom(MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326"), MaxZoom, 10)),
+
+    // A5: tile assembly at one zoom (TileMapBuilder.java:173-204)
+    "q08_tiles_z6" -> ((s, dir) => tilesZ6(s, dir)),
+
+    // A9: square binning (SquareBin.java:60-141)
+    "q09_square_bin" -> ((s, dir) =>
+      TileServe.squareBin(TileServe.renderPixels(pointsLL(s, dir), "EPSG:4326", 10), 64)),
+
+    // A8: hex binning on the global flat-top grid (HexBin.java:85-199)
+    "q10_hex_bin" -> ((s, dir) =>
+      TileServe.hexBin(TileServe.renderPixels(pointsLL(s, dir), "EPSG:4326", 10), Hex.radius)),
+
+    // A11: capabilities extent/year/total (Capabilities.java:194-248)
+    "q11_capabilities" -> ((s, dir) =>
+      TileServe.capabilities(points(s, dir))),
+
+    // A12/A13: per-cell OLS regression via regr_* (RegressionResource.java:258-314)
+    "q12_regression" -> ((s, dir) => {
+      val base = occ(s, dir).filter(col("year").isNotNull)
+        .withColumn("cell", expr("(lng10 + 1800) div 100"))
+      val g = base.groupBy("cell", "year").agg(count(lit(1)).as("gn"))
+      val sp = base.filter(col("bor_id") === 0)
+        .groupBy("cell", "year").agg(count(lit(1)).as("sn"))
+      val j = sp.join(g, Seq("cell", "year"))
+        .select(col("cell"), col("year"), (col("sn").cast("double") / col("gn")).as("ratio"))
+      j.groupBy("cell").agg(
+        round(regr_slope(col("ratio"), col("year")), 6).as("slope"),
+        round(regr_intercept(col("ratio"), col("year")), 6).as("intercept"),
+        regr_count(col("ratio"), col("year")).as("n_years"))
+    }),
+
+    // S9/A10: ad-hoc geotile aggregation, GEO_BOUNDS (AdHocMapsResource.java:186-232)
+    "q13_geotile_bounds" -> ((s, dir) =>
+      TileServe.geotile(eventsGeo(s, dir), 6, bounds = true)),
+
+    // S9/A10: GEO_CENTROID mode
+    "q14_geotile_centroid" -> ((s, dir) =>
+      TileServe.geotile(eventsGeo(s, dir), 6, bounds = false)),
+
+    // F6: serving year-range filter (Range.java:21-62)
+    "q15_year_filter" -> ((s, dir) =>
+      TileServe.yearRangeFilter(points(s, dir), YearRange(Some(1995), Some(2005)))
+        .groupBy("map_key").agg(sum("occ_count").as("total"))),
+
+    // F7: serving basisOfRecord filter
+    "q16_bor_filter" -> ((s, dir) =>
+      TileServe.borFilter(points(s, dir), Seq(0, 2))
+        .groupBy("map_key").agg(sum("occ_count").as("total"))),
+
+    // C4/O9: salted sorted keys, Java-hashCode parity (HBaseKeyUDF.java:42-63)
+    "q17_salted_keys" -> ((s, dir) =>
+      tilesZ6(s, dir)
+        .select(
+          saltedTileKey(col("map_key"), col("z"), col("tx"), col("ty"), 100).as("salted"),
+          col("total"))),
+
+    // ANN: brute-force cosine top-k over the embedding column
+    "q18_ann_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      val sqNorm = qv.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
+      val qc = typedlit(qv)
+      val dot = aggregate(
+        zip_with(col("embedding"), qc, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val se = aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val sim = round(dot / (sqrt(se) * lit(math.sqrt(sqNorm))), 6)
+      emb.select(col("vec_id"), col("label"), sim.as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(20)
+    }),
+
+    // Dedup: exact content hash groups
+    "q19_dedup_exact" -> ((s, dir) =>
+      documents(s, dir)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("canonical_id"))),
+
+    // Text: token counting (whitespace + BPE-ish regex)
+    "q20_token_stats" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0)
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("n_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"),
+        length(col("text")).as("len_chars"))),
+
+    // Text: language-ID by stopword-hit scoring (confusion counts vs labels)
+    "q21_lang_id" -> ((s, dir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      def cnt(w: String): Column =
+        (length(padded) - length(replace(padded, lit(w), lit("")))) / lit(w.length)
+      val sEn = cnt(" the ") + cnt(" and ") + cnt(" of ")
+      val sFr = cnt(" le ") + cnt(" et ") + cnt(" la ")
+      val sDe = cnt(" der ") + cnt(" und ") + cnt(" die ")
+      documents(s, dir)
+        .withColumn("lang_pred",
+          when(sEn >= sFr && sEn >= sDe, "en").when(sFr >= sDe, "fr").otherwise("de"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    }),
+
+    // Text: quality scoring (length / alpha ratio / punct ratio / word count)
+    "q22_quality_score" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        regexp_count(lower(col("text")), lit("[a-z]+")).as("n_words"),
+        round(length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+          / length(col("text")), 6).as("alpha_ratio"),
+        round(regexp_count(col("text"), lit("[.,;:!?]")).cast("double")
+          / length(col("text")), 6).as("punct_ratio"))),
+
+    // Text: document fingerprint (31-polynomial rolling hash mod 2^32)
+    "q23_doc_fingerprint" -> ((s, dir) => {
+      val fp = udf { (t: String) =>
+        t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 4294967296L)
+      }
+      documents(s, dir).select(col("doc_id"), fp(col("text")).as("fp"))
+    }),
+
+    // Events: hourly tumbling-window aggregate (batch analog of the stream path)
+    "q24_event_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("tstamp")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))),
+
+    // Events: gap-based sessionization via window functions (30-min gap)
+    "q25_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val lagT = lag(col("tsec"), 1).over(w)
+      val sess = ev
+        .withColumn("new_s", when(lagT.isNull || (col("tsec") - lagT) > 1800, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id")
+        .agg(max("sid").as("n_sessions"), count(lit(1)).as("n_events"))
+    })
+  )
+
+  // ---------------------------------------------------------- the oracles
+
+  /** occ2 CTE + exploded view + point aggregate, shared by most oracles. */
+  private val Ex = OccSql +
+    ",\nex AS (SELECT o.*, unnest(o.map_keys) AS map_key FROM occ2 o)"
+  private val Pts = Ex +
+    ",\npts AS (SELECT map_key, lat10, lng10, bor_year, count(*) AS occ_count" +
+    " FROM ex GROUP BY map_key, lat10, lng10, bor_year)"
+
+  /** 4326 z16 global pixel exprs — token-mirrors GeoFunctions.wgs84XY. */
+  private def px4326(lng: String) = s"CAST(floor(($lng + 180.0)*(33554432.0/180.0)) AS BIGINT)"
+  private def py4326(lat: String) = s"CAST(floor((90.0 - $lat)*(33554432.0/180.0)) AS BIGINT)"
+
+  /** 3857 z16 global pixel exprs — token-mirrors GeoFunctions.mercatorXY. */
+  private def px3857(lng: String) = s"CAST(floor((($lng + 180.0)/360.0)*33554432.0) AS BIGINT)"
+  private def py3857(lat: String) =
+    s"CAST(floor((0.5 - ln((1.0 + sin($lat*(pi()/180.0)))/(1.0 - sin($lat*(pi()/180.0))))" +
+      s"/(4.0*pi()))*33554432.0) AS BIGINT)"
+
+  private val MercMaxLat = "(180.0/pi())*(2.0*atan(exp(pi())) - pi()/2.0)"
+
+  /** z16→z6 pixel rollup + tile assembly CTE chain (tilesZ6 mirror). */
+  private val TilesZ6Sql = Ex + s""",
+px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
+  FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+  GROUP BY ALL),
+z6 AS (SELECT map_key, px >> 10 AS px, py >> 10 AS py, bor_year, CAST(sum(occ_count) AS BIGINT) AS occ_count
+  FROM px16 GROUP BY ALL),
+pp AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, px % 512 AS lpx, py % 512 AS lpy,
+  CAST(sum(occ_count) AS BIGINT) AS pixel_total, count(*) AS n_features
+  FROM z6 GROUP BY ALL),
+tl AS (SELECT map_key, tx, ty, count(*) AS n_pixels, CAST(sum(pixel_total) AS BIGINT) AS total, 6 AS z
+  FROM pp GROUP BY map_key, tx, ty)"""
+
+  /** renderPixels(4326, z10) over pts — mirror of TileServe.renderPixels. */
+  private val RpZ10Sql = Pts + s""",
+ptsll AS (SELECT *, lat10/10.0 AS lat, lng10/10.0 AS lng FROM pts),
+rp AS (SELECT map_key, ${px4326("lng")} >> 6 AS px, ${py4326("lat")} >> 6 AS py,
+  CAST(sum(occ_count) AS BIGINT) AS total
+  FROM ptsll WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+  GROUP BY ALL)"""
+
+  /** Java String.hashCode, 32-bit wrap-around, as a DuckDB fold. */
+  private def javaHashSql(k: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(unicode(c) AS BIGINT) for c in string_split($k, '')]), " +
+      s"(a, b) -> (a*31 + b) % 4294967296)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_view_counts" -> (Ex +
+      "\nSELECT map_key, count(*) AS occ_count FROM ex GROUP BY map_key"),
+
+    "q02_large_views" -> (Ex +
+      s"\nSELECT map_key, count(*) AS occ_count FROM ex GROUP BY map_key HAVING count(*) >= $Threshold"),
+
+    "q03_point_agg" -> (Pts + "\nSELECT * FROM pts"),
+
+    "q04_feature_rollup" -> (Pts + """
+SELECT map_key, count(*) AS n_features, CAST(sum(occ_count) AS BIGINT) AS total,
+       md5(array_to_string(list_sort(list(concat_ws(',', lat10, lng10, bor_year, occ_count))), ';')) AS blob_md5
+FROM pts GROUP BY map_key"""),
+
+    "q05_pixel_agg_3857" -> (Ex + s"""
+SELECT map_key, ${px3857("lng")} AS px, ${py3857("lat")} AS py, bor_year, count(*) AS occ_count
+FROM ex
+WHERE lat >= -$MercMaxLat AND lat <= $MercMaxLat AND lng >= -180 AND lng <= 180
+GROUP BY ALL"""),
+
+    "q06_pixel_agg_4326" -> (Ex + s"""
+SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
+FROM ex
+WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+GROUP BY ALL"""),
+
+    "q07_zoom_rollup" -> (Ex + s"""
+, px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
+  FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+  GROUP BY ALL)
+SELECT map_key, px >> 6 AS px, py >> 6 AS py, bor_year, CAST(sum(occ_count) AS BIGINT) AS occ_count
+FROM px16 GROUP BY ALL"""),
+
+    "q08_tiles_z6" -> (TilesZ6Sql + "\nSELECT * FROM tl"),
+
+    "q09_square_bin" -> (RpZ10Sql + """
+SELECT map_key, px // 64 AS cell_x, py // 64 AS cell_y, CAST(sum(total) AS BIGINT) AS total
+FROM rp GROUP BY ALL"""),
+
+    "q10_hex_bin" -> (RpZ10Sql + s""",
+ax AS (SELECT map_key, total,
+  (px * (2.0/3.0)) / ${Hex.radius} AS q,
+  (px * (-1.0/3.0) + py * (sqrt(3.0)/3.0)) / ${Hex.radius} AS r FROM rp),
+rnd AS (SELECT map_key, total, q, r, -q - r AS s,
+  round(q) AS rq, round(r) AS rr, round(-q - r) AS rs FROM ax),
+dd AS (SELECT *, abs(rq - q) AS dq, abs(rr - r) AS dr, abs(rs - s) AS ds FROM rnd),
+cells AS (SELECT map_key, total,
+  CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS BIGINT) AS hex_q,
+  CAST(CASE WHEN dq > dr AND dq > ds THEN rr
+            WHEN dr > ds THEN -rq - rs ELSE rr END AS BIGINT) AS hex_r FROM dd)
+SELECT map_key, hex_q, hex_r, CAST(sum(total) AS BIGINT) AS total
+FROM cells GROUP BY map_key, hex_q, hex_r"""),
+
+    "q11_capabilities" -> (Pts + """
+SELECT map_key,
+  min(lat10) AS min_lat10, max(lat10) AS max_lat10,
+  min(lng10) AS min_lng10, max(lng10) AS max_lng10,
+  min(CASE WHEN bor_year >= 100 THEN CAST(bor_year // 100 AS INT) END) AS min_year,
+  max(CASE WHEN bor_year >= 100 THEN CAST(bor_year // 100 AS INT) END) AS max_year,
+  CAST(sum(occ_count) AS BIGINT) AS total
+FROM pts GROUP BY map_key"""),
+
+    "q12_regression" -> (OccSql + """,
+base AS (SELECT *, (lng10 + 1800) // 100 AS cell FROM occ2 WHERE year IS NOT NULL),
+g AS (SELECT cell, year, count(*) AS gn FROM base GROUP BY cell, year),
+sp AS (SELECT cell, year, count(*) AS sn FROM base WHERE bor_id = 0 GROUP BY cell, year),
+j AS (SELECT sp.cell, sp.year, CAST(sp.sn AS DOUBLE) / g.gn AS ratio
+      FROM sp JOIN g ON sp.cell = g.cell AND sp.year = g.year)
+SELECT cell, round(regr_slope(ratio, year), 6) AS slope,
+       round(regr_intercept(ratio, year), 6) AS intercept,
+       regr_count(ratio, year) AS n_years
+FROM j GROUP BY cell"""),
+
+    "q13_geotile_bounds" -> (EventsGeoSql + """
+SELECT CAST(floor((lng + 180.0)*(64.0/180.0)) AS BIGINT) AS cell_x,
+       CAST(floor((90.0 - lat)*(64.0/180.0)) AS BIGINT) AS cell_y,
+       count(*) AS doc_count,
+       min(lat10) AS min_lat10, max(lat10) AS max_lat10,
+       min(lng10) AS min_lng10, max(lng10) AS max_lng10
+FROM ev2 GROUP BY ALL"""),
+
+    "q14_geotile_centroid" -> (EventsGeoSql + """
+SELECT CAST(floor((lng + 180.0)*(64.0/180.0)) AS BIGINT) AS cell_x,
+       CAST(floor((90.0 - lat)*(64.0/180.0)) AS BIGINT) AS cell_y,
+       count(*) AS doc_count,
+       avg(lat10) AS centroid_lat10, avg(lng10) AS centroid_lng10
+FROM ev2 GROUP BY ALL"""),
+
+    "q15_year_filter" -> (Pts + """
+SELECT map_key, CAST(sum(occ_count) AS BIGINT) AS total FROM pts
+WHERE bor_year >= 100 AND bor_year // 100 BETWEEN 1995 AND 2005
+GROUP BY map_key"""),
+
+    "q16_bor_filter" -> (Pts + """
+SELECT map_key, CAST(sum(occ_count) AS BIGINT) AS total FROM pts
+WHERE bor_year % 100 IN (0, 2)
+GROUP BY map_key"""),
+
+    "q17_salted_keys" -> (TilesZ6Sql + s""",
+k AS (SELECT concat_ws(':', map_key, z, tx, ty) AS key, total FROM tl)
+SELECT concat_ws(':', lpad(CAST((${javaHashSql("key")} % 268435456) % 100 AS VARCHAR), 2, '0'), key) AS salted,
+       total
+FROM k"""),
+
+    "q18_ann_topk" -> """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id, e.label,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(e.embedding[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS dot,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS se,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS sq
+  FROM embeddings e, q)
+SELECT vec_id, label, round(dot/(sqrt(se)*sqrt(sq)), 6) AS sim FROM sims
+ORDER BY sim DESC, vec_id LIMIT 20""",
+
+    "q19_dedup_exact" -> """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text)""",
+
+    "q20_token_stats" -> """SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+  length(text) AS len_chars
+FROM documents""",
+
+    "q21_lang_id" -> """WITH sc AS (
+  SELECT lang,
+    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4 AS s_en,
+    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' le ', ''))) / 4
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' et ', ''))) / 4
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' la ', ''))) / 4 AS s_fr,
+    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' der ', ''))) / 5
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' und ', ''))) / 5
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' die ', ''))) / 5 AS s_de
+  FROM documents)
+SELECT lang,
+  CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS lang_pred,
+  count(*) AS n
+FROM sc GROUP BY ALL""",
+
+    "q22_quality_score" -> """SELECT doc_id,
+  length(text) AS len_chars,
+  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+  round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text), 6) AS punct_ratio
+FROM documents""",
+
+    "q23_doc_fingerprint" -> (s"""SELECT doc_id, ${javaHashSql("text")} AS fp FROM documents"""),
+
+    "q24_event_hourly" -> """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+  count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY ALL""",
+
+    "q25_sessionize" -> """WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+l AS (SELECT user_id, tsec,
+  lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS pt FROM ev),
+n AS (SELECT user_id, CASE WHEN pt IS NULL OR tsec - pt > 1800 THEN 1 ELSE 0 END AS new_s FROM l)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM n GROUP BY user_id"""
+  )
 }

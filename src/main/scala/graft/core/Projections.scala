@@ -1,0 +1,159 @@
+package graft.core
+
+import java.lang.Math._
+
+/** A lat/lng → global-pixel projection at a given tile size.
+  *
+  * Re-expressed from the reference projections
+  * (gbif/maps common/.../projection/SphericalMercator.java:43-53,
+  * WGS84.java:37-52, WGS84Azimuthal.java:44-96) with the two polar
+  * projections hand-rolled as closed-form spherical formulas instead of
+  * GeoTools transforms.
+  */
+sealed trait TileProjection extends Serializable {
+  def tileSize: Int
+  def srs: String
+  def schema: TileSchema
+
+  /** Global pixel coordinates at the given zoom; (0,0) is top-left. */
+  def toGlobalPixelXY(lat: Double, lng: Double, zoom: Int): (Double, Double)
+
+  /** Whether the coordinate is plottable under this projection's clip rules. */
+  def isPlottable(lat: Double, lng: Double): Boolean
+
+  /** Total pixels across the globe horizontally at this zoom. */
+  def globalPixelsX(zoom: Int): Long = schema.tilesHorizontal(zoom) * tileSize
+  def globalPixelsY(zoom: Int): Long = schema.tilesVertical(zoom) * tileSize
+}
+
+object Projections {
+  val EarthRadius: Double = 6378137.0
+
+  /** Web-Mercator square clip latitude, ~85.05113° (SphericalMercator.java:36). */
+  val MercatorMaxLatitude: Double = 180 / PI * (2 * atan(exp(PI)) - PI / 2)
+
+  /** LAEA EPSG:3575 world extent in metres from the pole: sqrt(2)·R
+    * (WGS84LambertAzimuthalEqualArea.java:35-36).
+    */
+  val LaeaExtent: Double = sqrt(2.0) * EarthRadius
+
+  /** EPSG:3031 chosen extent in metres (WGS84AntarcticPolarStereographic.java:49). */
+  val StereographicExtent: Double = 12367396.21845986
+
+  def fromEpsg(epsg: String, tileSize: Int): TileProjection = epsg.toUpperCase match {
+    case "EPSG:3857" => SphericalMercator(tileSize)
+    case "EPSG:4326" => Wgs84(tileSize)
+    case "EPSG:3575" => NorthPoleLaea(tileSize)
+    case "EPSG:3031" => AntarcticStereographic(tileSize)
+    case other       => throw new IllegalArgumentException(s"Unsupported EPSG: $other")
+  }
+
+  /** Normalize a 0..360 longitude into -180..180 (WGS84.java:80-87). */
+  def to180Degrees(lng: Double): Double =
+    if (lng > 180) lng - 360 else if (lng < -180) lng + 360 else lng
+}
+
+/** EPSG:3857. y formula matches SphericalMercator.java:43-48. */
+final case class SphericalMercator(tileSize: Int) extends TileProjection {
+  val srs = "EPSG:3857"
+  val schema: TileSchema = TileSchema.WebMercator
+
+  def toGlobalPixelXY(lat: Double, lng: Double, zoom: Int): (Double, Double) = {
+    val sinLat = sin(lat * (PI / 180))
+    val pixels = (tileSize.toLong << zoom).toDouble
+    val y = (0.5 - log((1 + sinLat) / (1 - sinLat)) / (4 * PI)) * pixels
+    val x = (lng + 180) / 360 * pixels
+    (x, y)
+  }
+
+  def isPlottable(lat: Double, lng: Double): Boolean =
+    lat >= -Projections.MercatorMaxLatitude && lat <= Projections.MercatorMaxLatitude &&
+      lng >= -180 && lng <= 180
+}
+
+/** EPSG:4326 Plate Carrée, two tiles wide at zoom 0 (WGS84.java:37-52). */
+final case class Wgs84(tileSize: Int) extends TileProjection {
+  val srs = "EPSG:4326"
+  val schema: TileSchema = TileSchema.Wgs84PlateCarree
+
+  def toGlobalPixelXY(lat: Double, lng: Double, zoom: Int): (Double, Double) = {
+    val pixels = (tileSize.toLong << zoom).toDouble // pixels of ONE zoom-0 tile (hemisphere)
+    val pixelsPerDegree = pixels / 180
+    val x = (lng + 180) * pixelsPerDegree
+    val y = (-lat + 90) * pixelsPerDegree
+    (x, y)
+  }
+
+  def isPlottable(lat: Double, lng: Double): Boolean =
+    lat >= -90 && lat <= 90 && lng >= -180 && lng <= 180
+}
+
+/** Shared world→pixel affine for azimuthal projections (WGS84Azimuthal.java:63-96):
+  * offset world metres into positive space, scale to pixels, mirror y.
+  */
+sealed trait Azimuthal extends TileProjection {
+  def extent: Double
+
+  /** Forward projection to metres (x east, y north), centered on the pole. */
+  def toMetres(lat: Double, lng: Double): (Double, Double)
+
+  def toGlobalPixelXY(lat: Double, lng: Double, zoom: Int): (Double, Double) = {
+    val (mx, my) = toMetres(lat, lng)
+    val globalPixelExtent = (tileSize.toLong << zoom).toDouble
+    val pixelsPerMetre = globalPixelExtent / extent / 2.0
+    val x = (mx + extent) * pixelsPerMetre
+    val y = globalPixelExtent - (my + extent) * pixelsPerMetre // mirror y
+    (x, y)
+  }
+}
+
+/** EPSG:3575 North-pole LAEA with lon0 = 10°E, spherical formula.
+  *
+  * The reference delegates to GeoTools (NorthPoleLAEAEurope.java:35-42); this is
+  * the closed-form spherical LAEA (Snyder, "Map Projections — A Working
+  * Manual", eq. 24-2..24-4 with φ1 = 90°): ρ = 2R·sin(π/4 − φ/2),
+  * x = ρ·sin(λ−λ0), y = −ρ·cos(λ−λ0). Clipped to the northern hemisphere by
+  * choice (NorthPoleLAEAEurope.java:54-57).
+  */
+final case class NorthPoleLaea(tileSize: Int) extends Azimuthal {
+  val srs = "EPSG:3575"
+  val schema: TileSchema = TileSchema.Polar
+  val extent: Double = Projections.LaeaExtent
+  private val lon0 = toRadians(10.0)
+
+  def toMetres(lat: Double, lng: Double): (Double, Double) = {
+    val phi = toRadians(lat)
+    val dl = toRadians(lng) - lon0
+    val rho = 2.0 * Projections.EarthRadius * sin(PI / 4 - phi / 2)
+    (rho * sin(dl), -rho * cos(dl))
+  }
+
+  def isPlottable(lat: Double, lng: Double): Boolean =
+    lat >= 0 && lng >= -180 && lng <= 180
+}
+
+/** EPSG:3031 Antarctic polar stereographic (lon0 = 0, true scale at 71°S),
+  * spherical-datum approximation of the reference's GeoTools transform
+  * (WGS84AntarcticPolarStereographic.java:36-52). Snyder eq. 21-33/21-34 for
+  * the south polar aspect: ρ = 2R·k0·tan(π/4 + φ/2), x = ρ·sin λ, y = ρ·cos λ,
+  * with k0 chosen so that the projected extent of the equator matches the
+  * reference's STEREOGRAPHIC_EXTENT.
+  */
+final case class AntarcticStereographic(tileSize: Int) extends Azimuthal {
+  val srs = "EPSG:3031"
+  val schema: TileSchema = TileSchema.Polar
+  val extent: Double = Projections.StereographicExtent
+  // At the equator (φ=0) ρ = 2R·k0; the reference extent is the x of (0°,?) →
+  // 2R·k0 == extent ⇒ k0 = extent / (2R).
+  private val k0 = extent / (2.0 * Projections.EarthRadius)
+
+  def toMetres(lat: Double, lng: Double): (Double, Double) = {
+    val phi = toRadians(lat)
+    val lam = toRadians(lng)
+    val rho = 2.0 * Projections.EarthRadius * k0 * tan(PI / 4 + phi / 2)
+    (rho * sin(lam), rho * cos(lam))
+  }
+
+  def isPlottable(lat: Double, lng: Double): Boolean =
+    lat <= 0 && lng >= -180 && lng <= 180
+}

@@ -1,0 +1,144 @@
+package graft.functions
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level geo/tiling functions.
+  *
+  * Everything that is pure arithmetic is expressed as native Column math so it
+  * stays inside WholeStageCodegen (the reference used Java UDFs for all of
+  * these: GlobalPixelUDF.java:31-58, EncodeBorYearUDF.java:49-62,
+  * HBaseKeyUDF.java:42-63). Only the polar projections and the tile-replica
+  * generator need Scala UDFs.
+  */
+object GeoFunctions {
+
+  /** `(year, bor) → year*100 + borId` packed agg key (EncodeBorYearUDF.java:58-62).
+    * `borId` must already be a dictionary-encoded int column.
+    */
+  def encodeBorYear(year: Column, borId: Column): Column =
+    coalesce(year, lit(0)) * 100 + borId
+
+  def borYearYear(encoded: Column): Column = greatest(encoded / 100, lit(0)).cast("int")
+  def borYearBor(encoded: Column): Column = pmod(encoded, lit(100)).cast("int")
+
+  /** Dictionary-encode basisOfRecord to its reference id (BOR_MAPPING). */
+  def borId(bor: Column): Column = {
+    val m = map(BorYear.BorIds.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    element_at(m, bor)
+  }
+
+  /** EPSG:3857 global pixel (x, y) as doubles at `zoom` — pure Column math,
+    * formula of SphericalMercator.java:43-48.
+    */
+  def mercatorXY(lat: Column, lng: Column, zoom: Int, tileSize: Int): (Column, Column) = {
+    val pixels = lit((tileSize.toLong << zoom).toDouble)
+    val sinLat = sin(lat * lit(math.Pi / 180))
+    val y = (lit(0.5) - log((lit(1) + sinLat) / (lit(1) - sinLat)) / lit(4 * math.Pi)) * pixels
+    val x = (lng + lit(180)) / lit(360) * pixels
+    (x, y)
+  }
+
+  /** EPSG:4326 Plate-Carrée global pixel — linear, exactly reproducible in any
+    * engine (WGS84.java:37-44).
+    */
+  def wgs84XY(lat: Column, lng: Column, zoom: Int, tileSize: Int): (Column, Column) = {
+    val ppd = lit((tileSize.toLong << zoom).toDouble / 180)
+    ((lng + lit(180)) * ppd, (lit(90) - lat) * ppd)
+  }
+
+  /** Plottability predicate per projection (F3; SphericalMercator.java:51-53,
+    * NorthPoleLAEAEurope.java:54-57, WGS84AntarcticPolarStereographic.java:74-77).
+    */
+  def isPlottable(epsg: String, lat: Column, lng: Column): Column = {
+    val lngOk = lng >= -180 && lng <= 180
+    epsg match {
+      case "EPSG:3857" =>
+        lat >= -Projections.MercatorMaxLatitude && lat <= Projections.MercatorMaxLatitude && lngOk
+      case "EPSG:4326" => lat >= -90 && lat <= 90 && lngOk
+      case "EPSG:3575" => lat >= 0 && lngOk
+      case "EPSG:3031" => lat <= 0 && lngOk
+      case other       => throw new IllegalArgumentException(other)
+    }
+  }
+
+  /** Floored integer pixel at max zoom; lower zooms derive via [[zoomPixel]]. */
+  def pixelAtMaxZoom(epsg: String, lat: Column, lng: Column, maxZoom: Int, tileSize: Int)
+      : (Column, Column) = epsg match {
+    case "EPSG:3857" =>
+      val (x, y) = mercatorXY(lat, lng, maxZoom, tileSize)
+      (floor(x).cast("long"), floor(y).cast("long"))
+    case "EPSG:4326" =>
+      val (x, y) = wgs84XY(lat, lng, maxZoom, tileSize)
+      (floor(x).cast("long"), floor(y).cast("long"))
+    case "EPSG:3575" | "EPSG:3031" =>
+      val p = Projections.fromEpsg(epsg, tileSize)
+      val u = udf { (la: Double, ln: Double) =>
+        val (x, y) = p.toGlobalPixelXY(la, ln, maxZoom)
+        Array(math.floor(x).toLong, math.floor(y).toLong)
+      }
+      val arr = u(lat, lng)
+      (arr(0), arr(1))
+    case other => throw new IllegalArgumentException(other)
+  }
+
+  /** Derive the pixel address at zoom z from the max-zoom address by bit shift
+    * (TileMapBuilder.java:129-138) — the "compute-once pyramid" trick (O3).
+    */
+  def zoomPixel(pixelAtMax: Column, maxZoom: Int, z: Int): Column =
+    shiftright(pixelAtMax, maxZoom - z)
+
+  /** Tile address of a global pixel: `px div tileSize` (clamped by construction
+    * since pixels are in-range).
+    */
+  def tileAddr(px: Column, tileSize: Int): Column = (px / tileSize).cast("long")
+
+  /** Pixel local to its containing tile (no buffer wrap — wrap handling lives
+    * in the replica generator).
+    */
+  def tileLocal(px: Column, tileSize: Int): Column = pmod(px, lit(tileSize)).cast("long")
+
+  /** `hash & 0x0fffffff % modulus` salt from Java String.hashCode parity
+    * (ModulusSalt.java:61-65). Needs a UDF only because Spark's `hash()` is
+    * Murmur3, not `String.hashCode`.
+    */
+  private val javaHashUdf = udf { (s: String) => s.hashCode }
+
+  def javaHash(key: Column): Column = javaHashUdf(key)
+
+  def saltOf(key: Column, modulus: Int): Column =
+    pmod(javaHash(key).bitwiseAND(lit(0xfffffff)), lit(modulus))
+
+  /** Full salted sort key "NNN:mapKey:z:x:y" (HBaseKeyUDF.java:42-52). */
+  def saltedTileKey(mapKey: Column, z: Column, x: Column, y: Column, modulus: Int): Column = {
+    val digits = Salt(modulus).digitCount
+    val key = concat_ws(":", mapKey, z, x, y)
+    concat_ws(":", lpad(saltOf(key, modulus), digits, "0"), key)
+  }
+
+  /** Hex cell (q, r) of a global pixel on a world-wide flat-top grid — the
+    * Spark-first re-design of per-tile hex binning (graft.core.HexGrid).
+    * Pure Column math: axial transform + cube rounding, codegen-friendly and
+    * reproducible in ANSI SQL for the oracle.
+    */
+  def hexCell(px: Column, py: Column, radius: Double): (Column, Column) = {
+    val q = (px * lit(2.0 / 3.0)) / lit(radius)
+    val r = (px * lit(-1.0 / 3.0) + py * lit(math.sqrt(3) / 3.0)) / lit(radius)
+    cubeRound(q, r)
+  }
+
+  /** Cube-round fractional axial coords to the containing hexagon. */
+  private def cubeRound(q: Column, r: Column): (Column, Column) = {
+    val s = -q - r
+    val rq = round(q); val rr = round(r); val rs = round(s)
+    val dq = abs(rq - q); val dr = abs(rr - r); val ds = abs(rs - s)
+    val fq = when(dq > dr && dq > ds, -rr - rs).otherwise(rq)
+    val fr = when(!(dq > dr && dq > ds) && dr > ds, -rq - rs).otherwise(rr)
+    (fq.cast("long"), fr.cast("long"))
+  }
+
+  /** Square-bin cell key `(x/cell)<<32 | y/cell` (SquareBin.java:114-120). */
+  def squareCell(px: Column, py: Column, cellSize: Int): Column =
+    shiftleft((px / cellSize).cast("long"), 32).bitwiseOR((py / cellSize).cast("long"))
+}

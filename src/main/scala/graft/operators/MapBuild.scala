@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.functions.GeoFunctions._
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** The batch map-build dataflow, re-expressed as declarative DataFrame
+  * pipelines (reference: MapBuilder.java:118-177, PointMapBuilder.java:48-116,
+  * TileMapBuilder.java:52-204).
+  *
+  * Scale notes (designed for ~100 TB input on a real cluster):
+  *  - G1 `explode` multiplies rows ~5×; the very next operator is always a
+  *    partial-aggregating `groupBy`, so map-side combine collapses the blowup
+  *    before the shuffle.
+  *  - The "0:0" ALL view is in every record's key array — the deliberate skew
+  *    key. Aggregation keys always include pixel/borYear (millions of groups
+  *    per view), so no single reducer sees a whole view; the final per-key
+  *    rollups are tiny (one row per view).
+  *  - The pyramid derives each zoom from the previous zoom's output
+  *    (input halves each level) instead of re-reading the z-max table per
+  *    zoom as the reference does (TileMapBuilder.java:162-170) — strictly
+  *    less shuffle I/O at identical results.
+  */
+object MapBuild {
+  import OccurrenceView.{TileSize, MaxZoom}
+
+  /** G1: one row per (record, mapKey). */
+  def explodeMapKeys(occ: DataFrame): DataFrame =
+    occ.withColumn("map_key", explode(col("map_keys"))).drop("map_keys")
+
+  /** A1: per-view counts — the large/small bifurcation stat
+    * (MapBuilder.java:205-229).
+    */
+  def viewCounts(occ: DataFrame): DataFrame =
+    explodeMapKeys(occ).groupBy("map_key").agg(count(lit(1)).as("occ_count"))
+
+  /** A1 HAVING: views at/above the pyramid threshold. Small enough to
+    * broadcast (bounded by #views, not #records).
+    */
+  def largeViews(occ: DataFrame, threshold: Long): DataFrame =
+    viewCounts(occ).filter(col("occ_count") >= threshold)
+
+  /** F4/J3: keep only records of large (or small) views via broadcast
+    * semi-/anti-join — never a driver collect at scale.
+    */
+  def filterToViews(exploded: DataFrame, views: DataFrame, keep: Boolean): DataFrame = {
+    val joinType = if (keep) "left_semi" else "left_anti"
+    exploded.join(broadcast(views.select("map_key")), Seq("map_key"), joinType)
+  }
+
+  /** A2: point-map aggregate — distinct locations per (view, borYear). */
+  def pointAgg(exploded: DataFrame): DataFrame =
+    exploded
+      .groupBy("map_key", "lat10", "lng10", "bor_year")
+      .agg(count(lit(1)).as("occ_count"))
+
+  /** A3: per-view feature blob as a canonical sorted string (the reference
+    * collects structs then proto-encodes, PointMapBuilder.java:73-92; a
+    * sorted string keeps it oracle-comparable and order-insensitive).
+    */
+  def featureRollup(pointAgg: DataFrame): DataFrame =
+    pointAgg
+      .groupBy("map_key")
+      .agg(
+        count(lit(1)).as("n_features"),
+        sum("occ_count").as("total"),
+        md5(concat_ws(";",
+          sort_array(collect_list(
+            concat_ws(",", col("lat10"), col("lng10"), col("bor_year"), col("occ_count"))
+          ))
+        )).as("blob_md5")
+      )
+
+  /** Global pixel columns at max zoom for the given projection (C2+F3):
+    * unplottable rows are dropped, matching `WHERE xy.x IS NOT NULL`
+    * (TileMapBuilder.java:158-159).
+    */
+  def withPixels(df: DataFrame, epsg: String): DataFrame = {
+    val (px, py) = pixelAtMaxZoom(epsg, col("lat"), col("lng"), MaxZoom, TileSize)
+    df.filter(isPlottable(epsg, col("lat"), col("lng")))
+      .withColumn("px", px)
+      .withColumn("py", py)
+  }
+
+  /** A4: max-zoom pixel aggregate, computed once per projection
+    * (TileMapBuilder.java:140-160).
+    */
+  def pixelAgg(exploded: DataFrame, epsg: String): DataFrame =
+    withPixels(exploded, epsg)
+      .groupBy("map_key", "px", "py", "bor_year")
+      .agg(count(lit(1)).as("occ_count"))
+
+  /** A5 level 1: re-aggregate a finer-zoom pixel table to zoom `z`.
+    * `fromZoom` is the zoom of `pixels`' px/py addressing.
+    */
+  def rollupToZoom(pixels: DataFrame, fromZoom: Int, z: Int): DataFrame = {
+    require(z <= fromZoom)
+    pixels
+      .groupBy(
+        col("map_key"),
+        shiftright(col("px"), fromZoom - z).as("px"),
+        shiftright(col("py"), fromZoom - z).as("py"),
+        col("bor_year"))
+      .agg(sum("occ_count").as("occ_count"))
+  }
+
+  /** A5 levels 2–3: group pixels of one zoom into tiles with per-pixel feature
+    * lists, one row per (map_key, z, tx, ty). Features are canonicalized to a
+    * sorted string (≙ the MVT payload) plus stats.
+    */
+  def tileAssembly(pixelsAtZ: DataFrame, z: Int): DataFrame = {
+    val perPixel = pixelsAtZ
+      .groupBy(
+        col("map_key"),
+        tileAddr(col("px"), TileSize).as("tx"),
+        tileAddr(col("py"), TileSize).as("ty"),
+        tileLocal(col("px"), TileSize).as("lpx"),
+        tileLocal(col("py"), TileSize).as("lpy"))
+      .agg(
+        sum("occ_count").as("pixel_total"),
+        count(lit(1)).as("n_features"))
+    perPixel
+      .groupBy("map_key", "tx", "ty")
+      .agg(
+        count(lit(1)).as("n_pixels"),
+        sum("pixel_total").as("total"))
+      .withColumn("z", lit(z))
+  }
+
+  /** Full pyramid for one projection: iterative halving from max zoom.
+    * Returns one DataFrame unioned over the requested zooms with column z —
+    * at scale each level is a separate job writing its own partition, but the
+    * lineage shape (each zoom consumes the previous) is what matters.
+    */
+  def pyramid(exploded: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
+    var level = pixelAgg(exploded, epsg)
+    if (maxZoom < MaxZoom) level = rollupToZoom(level, MaxZoom, maxZoom)
+    var out = tileAssembly(level, maxZoom)
+    var z = maxZoom - 1
+    while (z >= minZoom) {
+      level = rollupToZoom(level, z + 1, z)
+      out = out.unionByName(tileAssembly(level, z))
+      z -= 1
+    }
+    out
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Synthetic "occurrence" fact table derived deterministically from the
+  * driver-provided TPC-H `lineitem`, mirroring the reference's input schema
+  * (MapBuilder.java:53-79): lat/lng, year (nullable), a basisOfRecord-like
+  * enum, and the multi-tenant map-view dimensions that G1 explodes.
+  *
+  * Every derived column is integer arithmetic (exact in IEEE/ANSI SQL), so the
+  * DuckDB oracle can reproduce it bit-for-bit — see [[OccurrenceView.OccSql]].
+  *
+  *  - lat10/lng10 are tenth-of-degree ints (lat = lat10/10.0), keeping all
+  *    geo values exactly representable and string-formattable.
+  *  - map keys: "0:0" = ALL (in every record — the deliberate skew key,
+  *    MapKeysUDF.java:201-245), "1:" taxon-ish, "2:" dataset-ish,
+  *    "3:" publisher-ish, "4:" country-ish.
+  */
+object OccurrenceView {
+  val TileSize = 512
+  val MaxZoom = 16
+  /** pyramid threshold analog of MapBuilder.java:93 */
+  val Threshold = 1000L
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
+  /** `events` with `ts` normalized to a TIMESTAMP column `tstamp` and
+    * floor-seconds `tsec`. The table carries parquet TIMESTAMP(NANOS), which
+    * Spark only reads as long when `spark.sql.legacy.parquet.nanosAsLong` is
+    * set — handle both arrival types so any session config works.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("tsec", expr("ts div 1000000000"))
+          .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+      case _ =>
+        raw.withColumn("tsec", unix_timestamp(col("ts")))
+          .withColumn("tstamp", col("ts"))
+    }
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The occurrence view. Columns:
+    * lat10, lng10 (long), lat, lng (double), year (int, nullable),
+    * bor_id (int 0..2 from l_returnflag), bor_year (long), map_keys
+    * (array<string>), plus passthrough lineitem columns.
+    */
+  def occ(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    li.select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_returnflag"), col("l_linestatus"),
+        ((col("l_orderkey") * 7 + col("l_linenumber") * 13) % 1700 - 850).as("lat10"),
+        ((col("l_partkey") * 17 + col("l_suppkey") * 23) % 3600 - 1800).as("lng10"),
+        when(col("l_orderkey") % 20 === 0, lit(null))
+          .otherwise((col("l_orderkey") % 25 + 1992)).cast("int").as("year"),
+        when(col("l_returnflag") === "A", 0)
+          .when(col("l_returnflag") === "N", 1)
+          .otherwise(2).cast("int").as("bor_id")
+      )
+      .withColumn("lat", col("lat10") / 10.0)
+      .withColumn("lng", col("lng10") / 10.0)
+      .withColumn("bor_year",
+        (coalesce(col("year"), lit(0)).cast("long") * 100 + col("bor_id")).as("bor_year"))
+      .withColumn("map_keys", mapKeysArray)
+  }
+
+  /** G1: the per-record array of map-view keys (MapKeysUDF.java:99-147). */
+  def mapKeysArray: Column = array(
+    lit("0:0"),
+    concat(lit("1:"), col("l_partkey") % 50),
+    concat(lit("2:"), col("l_suppkey")),
+    concat(lit("3:"), col("l_returnflag")),
+    concat(lit("4:"), col("l_orderkey") % 7)
+  )
+
+  /** The same view as a DuckDB CTE, textually shared by every oracle query. */
+  val OccSql: String =
+    """WITH occ AS (
+      |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |         l_extendedprice, l_discount, l_returnflag, l_linestatus,
+      |         ((l_orderkey*7 + l_linenumber*13) % 1700) - 850 AS lat10,
+      |         ((l_partkey*17 + l_suppkey*23) % 3600) - 1800 AS lng10,
+      |         CAST(CASE WHEN l_orderkey % 20 = 0 THEN NULL
+      |              ELSE l_orderkey % 25 + 1992 END AS INT) AS year,
+      |         CAST(CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1
+      |              ELSE 2 END AS INT) AS bor_id
+      |  FROM lineitem
+      |), occ2 AS (
+      |  SELECT *,
+      |         lat10/10.0 AS lat, lng10/10.0 AS lng,
+      |         CAST(COALESCE(year,0) AS BIGINT)*100 + bor_id AS bor_year,
+      |         ['0:0', '1:'||(l_partkey%50), '2:'||l_suppkey,
+      |          '3:'||l_returnflag, '4:'||(l_orderkey%7)] AS map_keys
+      |  FROM occ
+      |)""".stripMargin
+
+  /** Events with synthetic coordinates — the ad-hoc (ES-replacement) source
+    * (AdHocEventMapsResource.java:55-67 uses the event index the same way).
+    */
+  def eventsGeo(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("lat10", col("event_id") * 11 % 1700 - 850)
+      .withColumn("lng10", (col("user_id") * 31 + col("event_id") * 3) % 3600 - 1800)
+      .withColumn("lat", col("lat10") / 10.0)
+      .withColumn("lng", col("lng10") / 10.0)
+
+  val EventsGeoSql: String =
+    """WITH ev AS (
+      |  SELECT *,
+      |         (event_id*11 % 1700) - 850 AS lat10,
+      |         ((user_id*31 + event_id*3) % 3600) - 1800 AS lng10
+      |  FROM events
+      |), ev2 AS (
+      |  SELECT *, lat10/10.0 AS lat, lng10/10.0 AS lng FROM ev
+      |)""".stripMargin
+}

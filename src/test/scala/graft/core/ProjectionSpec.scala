@@ -1,0 +1,121 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Projection vectors ported from the reference tests
+  * (SphericalMercatorTest.java:43-63, WGS84Test.java:23-40).
+  */
+class ProjectionSpec extends AnyFunSuite with Matchers {
+  val eps = 1e-5
+  val L85 = 85.0511287798066
+
+  def assertXY(actual: (Double, Double), ex: Double, ey: Double): Unit = {
+    actual._1 shouldBe ex +- eps
+    actual._2 shouldBe ey +- eps
+  }
+
+  test("mercator plottable clip at ±85.05113") {
+    val sm = SphericalMercator(512)
+    sm.isPlottable(L85, 0) shouldBe true
+    sm.isPlottable(-L85, 0) shouldBe true
+    sm.isPlottable(L85 + eps, 0) shouldBe false
+    sm.isPlottable(-L85 - eps, 0) shouldBe false
+  }
+
+  test("mercator global pixel XY (incl. Helsinki vectors)") {
+    val sm = SphericalMercator(512)
+    assertXY(sm.toGlobalPixelXY(0, 0, 0), 256, 256)
+    assertXY(sm.toGlobalPixelXY(0, -180, 0), 0, 256)
+    assertXY(sm.toGlobalPixelXY(0, 180, 0), 512, 256)
+    assertXY(sm.toGlobalPixelXY(L85, 0, 0), 256, 0)
+    assertXY(sm.toGlobalPixelXY(-L85, 0, 0), 256, 512)
+    assertXY(sm.toGlobalPixelXY(0, 0, 2), 1024, 1024)
+    assertXY(sm.toGlobalPixelXY(60.170833, 24.9375, 0), 291.46666, 148.19743)
+    assertXY(sm.toGlobalPixelXY(60.170833, 24.9375, 1), 582.93333, 296.39486)
+    assertXY(sm.toGlobalPixelXY(60.170833, 24.9375, 2), 1165.86666, 592.78972)
+  }
+
+  test("wgs84 global pixel XY, 2x1 tiles at z0") {
+    val p = Wgs84(512)
+    assertXY(p.toGlobalPixelXY(0, 0, 0), 512, 256)
+    assertXY(p.toGlobalPixelXY(90, -180, 0), 0, 0)
+    assertXY(p.toGlobalPixelXY(90, 180, 0), 1024, 0)
+    assertXY(p.toGlobalPixelXY(-90, 180, 0), 1024, 512)
+    assertXY(p.toGlobalPixelXY(0, 0, 2), 2048, 1024)
+    assertXY(p.toGlobalPixelXY(90, 180, 2), 4096, 0)
+  }
+
+  test("polar clip rules: 3575 northern hemisphere, 3031 southern") {
+    val n = NorthPoleLaea(512)
+    n.isPlottable(0, 0) shouldBe true
+    n.isPlottable(-0.1, 0) shouldBe false
+    val s = AntarcticStereographic(512)
+    s.isPlottable(0, 0) shouldBe true
+    s.isPlottable(0.1, 0) shouldBe false
+  }
+
+  test("LAEA 3575: pole maps to centre; equator to extent circle") {
+    val p = NorthPoleLaea(512)
+    // North pole → exact centre of the pixel grid at any zoom
+    assertXY(p.toGlobalPixelXY(90, 0, 0), 256, 256)
+    assertXY(p.toGlobalPixelXY(90, 123, 3), 2048, 2048)
+    // Equator at lon0=10E projects straight "down" in projected space:
+    // x=0, y=-2R·sin(45°)=-extent → pixel (256+0, 512) at z0... i.e. bottom centre
+    val (x, y) = p.toGlobalPixelXY(0, 10, 0)
+    x shouldBe 256.0 +- eps
+    y shouldBe 512.0 +- eps
+  }
+
+  test("stereographic 3031: south pole centre, equator on extent circle") {
+    val p = AntarcticStereographic(512)
+    assertXY(p.toGlobalPixelXY(-90, 0, 0), 256, 256)
+    // Equator at lng=0: x=0, y=+extent → top centre at z0
+    val (x, y) = p.toGlobalPixelXY(0, 0, 0)
+    x shouldBe 256.0 +- eps
+    y shouldBe 0.0 +- eps
+    // lng=90E → right centre
+    val (x2, y2) = p.toGlobalPixelXY(0, 90, 0)
+    x2 shouldBe 512.0 +- eps
+    y2 shouldBe 256.0 +- eps
+  }
+
+  test("azimuthal projections stay within pixel bounds for plottable coords") {
+    val rnd = new scala.util.Random(42)
+    val projs = Seq(NorthPoleLaea(512), AntarcticStereographic(512))
+    (1 to 500).foreach { _ =>
+      val lat = rnd.nextDouble() * 180 - 90
+      val lng = rnd.nextDouble() * 360 - 180
+      projs.foreach { p =>
+        if (p.isPlottable(lat, lng)) {
+          val (x, y) = p.toGlobalPixelXY(lat, lng, 4)
+          val max = (512L << 4).toDouble
+          x should be >= -1e-6
+          x should be <= max + 1e-6
+          y should be >= -1e-6
+          y should be <= max + 1e-6
+        }
+      }
+    }
+  }
+
+  test("mercator zoom scaling is a factor of 2 per level") {
+    val rnd = new scala.util.Random(7)
+    val sm = SphericalMercator(512)
+    (1 to 500).foreach { _ =>
+      val lat = rnd.nextDouble() * 2 * L85 - L85
+      val lng = rnd.nextDouble() * 360 - 180
+      val z = rnd.nextInt(15)
+      val (x0, y0) = sm.toGlobalPixelXY(lat, lng, z)
+      val (x1, y1) = sm.toGlobalPixelXY(lat, lng, z + 1)
+      x1 shouldBe (2 * x0) +- 1e-6 * math.max(1, math.abs(x0))
+      y1 shouldBe (2 * y0) +- 1e-6 * math.max(1, math.abs(y0))
+    }
+  }
+
+  test("to180Degrees normalization") {
+    Projections.to180Degrees(190) shouldBe -170.0
+    Projections.to180Degrees(-190) shouldBe 170.0
+    Projections.to180Degrees(180) shouldBe 180.0
+  }
+}
