@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{HexGrid, YearRange}
 import graft.functions.GeoFunctions._
-import graft.operators.{MapBuild, OccurrenceView, TileServe}
+import graft.operators.{Dedup, MapBuild, OccurrenceView, Similarity, TileServe}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,6 +70,14 @@ object SparkEntry {
     // A4: max-zoom pixel aggregate, Plate Carrée
     "q06_pixel_agg_4326" -> ((s, dir) =>
       MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326")),
+
+    // A4/C2: max-zoom pixel aggregate, north-polar LAEA (hemisphere-clipped, F2/F3)
+    "q26_pixel_agg_3575" -> ((s, dir) =>
+      MapBuild.pixelAgg(exploded(s, dir), "EPSG:3575")),
+
+    // A4/C2: max-zoom pixel aggregate, Antarctic stereographic
+    "q27_pixel_agg_3031" -> ((s, dir) =>
+      MapBuild.pixelAgg(exploded(s, dir), "EPSG:3031")),
 
     // A5/O3: zoom rollup via bit-shift re-aggregation (TileMapBuilder.java:129-138)
     "q07_zoom_rollup" -> ((s, dir) =>
@@ -196,6 +204,34 @@ object SparkEntry {
       documents(s, dir).select(col("doc_id"), fp(col("text")).as("fp"))
     }),
 
+    // Dedup: MinHash signatures (5-char shingles, 8 permutations)
+    "q28_minhash_sig" -> ((s, dir) =>
+      Dedup.withMinhashSignature(documents(s, dir))
+        .select(col("doc_id") +: (0 until Dedup.NumHashes).map(k => col(s"mh$k")): _*)),
+
+    // Dedup: LSH banding → bucket-local candidate pairs → est similarity
+    "q29_lsh_neardup" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(documents(s, dir), 0.5)),
+
+    // Dedup: 32-bit SimHash fingerprints
+    "q30_simhash" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))),
+
+    // Dedup: exact word-trigram Jaccard within source blocks
+    "q31_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(documents(s, dir), "source", 0.02)),
+
+    // Similarity: embedding-cosine near-dup pairs
+    "q32_embed_neardup" -> ((s, dir) =>
+      Similarity.cosinePairs(embeddings(s, dir), 0.4)),
+
+    // Similarity: random-hyperplane LSH-bucketed ANN top-k
+    "q33_lsh_ann" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.lshTopK(emb, qv, 10)
+    }),
+
     // Events: hourly tumbling-window aggregate (batch analog of the stream path)
     "q24_event_hourly" -> ((s, dir) =>
       events(s, dir)
@@ -260,6 +296,39 @@ rp AS (SELECT map_key, ${px4326("lng")} >> 6 AS px, ${py4326("lat")} >> 6 AS py,
   FROM ptsll WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
   GROUP BY ALL)"""
 
+  /** Shingle hashes CTE over documents — mirrors Dedup.shingleHashes. */
+  private val HsSql =
+    """WITH sh AS (SELECT doc_id, source,
+  [substr(text, i, 5) for i in range(1, length(text) - 3)] AS shingles FROM documents),
+hs AS (SELECT doc_id, source,
+  [list_reduce(list_prepend(CAST(0 AS BIGINT),
+     [CAST(unicode(c) AS BIGINT) for c in string_split(sh, '')]),
+     (a, b) -> (a*31 + b) % 2147483647) for sh in shingles] AS hs FROM sh)"""
+
+  private val MinhashAs = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  private val MinhashBs = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+
+  /** sig CTE: minhash columns mh0..mh7 — mirrors Dedup.withMinhashSignature. */
+  private val SigSql = HsSql + ",\nsig AS (SELECT doc_id, " +
+    MinhashAs.zip(MinhashBs).zipWithIndex.map { case ((a, b), k) =>
+      s"list_min([($a * h + $b) % 2147483647 for h in hs]) AS mh$k"
+    }.mkString(",\n  ") + "\n  FROM hs)"
+
+  /** Fold-based dot product of two DuckDB float lists, cast to double. */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in range(1, 65)]), (x, y) -> x + y)"
+
+  /** Random-hyperplane LSH bucket — mirrors Similarity.bucketCol. */
+  private def bucketSql(emb: String) =
+    (0 until Similarity.NumPlanes).map { d =>
+      s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[CAST($emb[i] AS DOUBLE) * CAST(((($d*67 + (i-1)*31) % 19) - 9) AS DOUBLE) " +
+        s"for i in range(1, 65)]), (x, y) -> x + y) > 0.0 " +
+        s"THEN CAST(${1L << d} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+
   /** Java String.hashCode, 32-bit wrap-around, as a DuckDB fold. */
   private def javaHashSql(k: String) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -275,9 +344,9 @@ rp AS (SELECT map_key, ${px4326("lng")} >> 6 AS px, ${py4326("lat")} >> 6 AS py,
 
     "q03_point_agg" -> (Pts + "\nSELECT * FROM pts"),
 
-    "q04_feature_rollup" -> (Pts + """
+    "q04_feature_rollup" -> (Pts + s"""
 SELECT map_key, count(*) AS n_features, CAST(sum(occ_count) AS BIGINT) AS total,
-       md5(array_to_string(list_sort(list(concat_ws(',', lat10, lng10, bor_year, occ_count))), ';')) AS blob_md5
+       CAST(sum(${javaHashSql("concat_ws(',', lat10, lng10, bor_year, occ_count)")}) % 4294967296 AS BIGINT) AS blob_fp
 FROM pts GROUP BY map_key"""),
 
     "q05_pixel_agg_3857" -> (Ex + s"""
@@ -291,6 +360,30 @@ SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(
 FROM ex
 WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
 GROUP BY ALL"""),
+
+    "q26_pixel_agg_3575" -> (Ex + """,
+pol AS (SELECT map_key, bor_year,
+  (2.0*6378137.0)*sin((pi()/4.0) - (lat*(pi()/180.0))/2.0) AS rho,
+  (lng*(pi()/180.0)) - (10.0*(pi()/180.0)) AS dl
+  FROM ex WHERE lat >= 0 AND lng >= -180 AND lng <= 180),
+xy AS (SELECT map_key, bor_year, rho*sin(dl) AS mx, -(rho*cos(dl)) AS my FROM pol)
+SELECT map_key,
+  CAST(floor((mx + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT) AS px,
+  CAST(floor(33554432.0 - (my + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT) AS py,
+  bor_year, count(*) AS occ_count
+FROM xy GROUP BY ALL"""),
+
+    "q27_pixel_agg_3031" -> (Ex + """,
+pol AS (SELECT map_key, bor_year,
+  ((2.0*6378137.0)*(12367396.21845986/(2.0*6378137.0)))*tan((pi()/4.0) + (lat*(pi()/180.0))/2.0) AS rho,
+  lng*(pi()/180.0) AS lam
+  FROM ex WHERE lat <= 0 AND lng >= -180 AND lng <= 180),
+xy AS (SELECT map_key, bor_year, rho*sin(lam) AS mx, rho*cos(lam) AS my FROM pol)
+SELECT map_key,
+  CAST(floor((mx + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT) AS px,
+  CAST(floor(33554432.0 - (my + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT) AS py,
+  bor_year, count(*) AS occ_count
+FROM xy GROUP BY ALL"""),
 
     "q07_zoom_rollup" -> (Ex + s"""
 , px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
@@ -422,6 +515,56 @@ FROM sc GROUP BY ALL""",
 FROM documents""",
 
     "q23_doc_fingerprint" -> (s"""SELECT doc_id, ${javaHashSql("text")} AS fp FROM documents"""),
+
+    "q28_minhash_sig" -> (SigSql + "\nSELECT * FROM sig"),
+
+    "q29_lsh_neardup" -> (SigSql + s""",
+bands AS (${(0 until Dedup.NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
+      .mkString("\n  UNION ALL ")}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+    (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+WHERE est_sim >= 0.5"""),
+
+    "q30_simhash" -> (HsSql + """
+SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS simhash
+FROM hs"""),
+
+    "q31_ngram_jaccard" -> """WITH tk AS (SELECT doc_id, source,
+  regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+tg AS (SELECT doc_id, source,
+  [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS gs FROM tk),
+sh AS (SELECT doc_id, source,
+  list_distinct([list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(g, '')]),
+    (a, b) -> (a*31 + b) % 2147483647) for g in gs]) AS s FROM tg)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.s, b.s)) / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.02""",
+
+    "q32_embed_neardup" -> (s"""WITH e AS (SELECT vec_id, embedding,
+  ${bucketSql("embedding")} AS bucket,
+  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT * FROM p WHERE sim >= 0.4"""),
+
+    "q33_lsh_ann" -> (s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+b AS (SELECT e.vec_id, e.label, e.embedding, ${bucketSql("e.embedding")} AS bucket FROM embeddings e),
+qb AS (SELECT qv, ${bucketSql("qv")} AS qbucket FROM q)
+SELECT vec_id, label, bucket,
+  round(${dotSql("embedding", "qv")}
+    / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 6) AS sim
+FROM b, qb WHERE bucket = qbucket
+ORDER BY sim DESC, vec_id LIMIT 10"""),
 
     "q24_event_hourly" -> """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
   count(*) AS n, round(sum(value), 4) AS sum_value

@@ -73,14 +73,42 @@ object GeoFunctions {
       val (x, y) = wgs84XY(lat, lng, maxZoom, tileSize)
       (floor(x).cast("long"), floor(y).cast("long"))
     case "EPSG:3575" | "EPSG:3031" =>
-      val p = Projections.fromEpsg(epsg, tileSize)
-      val u = udf { (la: Double, ln: Double) =>
-        val (x, y) = p.toGlobalPixelXY(la, ln, maxZoom)
-        Array(math.floor(x).toLong, math.floor(y).toLong)
-      }
-      val arr = u(lat, lng)
-      (arr(0), arr(1))
+      val (x, y) = polarXY(epsg, lat, lng, maxZoom, tileSize)
+      (floor(x).cast("long"), floor(y).cast("long"))
     case other => throw new IllegalArgumentException(other)
+  }
+
+  /** Polar projections (EPSG:3575 north LAEA lon0=10°E, EPSG:3031 Antarctic
+    * stereographic) as pure Column math — closed-form spherical formulas, so
+    * the whole pixel pipeline stays inside WholeStageCodegen (the reference
+    * routes these through GeoTools inside a Java UDF,
+    * GlobalPixelUDF.java:31-58 + WGS84Azimuthal.java:44-96).
+    */
+  def polarXY(epsg: String, lat: Column, lng: Column, zoom: Int, tileSize: Int)
+      : (Column, Column) = {
+    val R = Projections.EarthRadius
+    val phi = lat * lit(math.Pi / 180)
+    val gpx = lit((tileSize.toLong << zoom).toDouble)
+    epsg match {
+      case "EPSG:3575" =>
+        val extent = Projections.LaeaExtent
+        val dl = lng * lit(math.Pi / 180) - lit(10.0 * (math.Pi / 180))
+        val rho = lit(2.0 * R) * sin(lit(math.Pi / 4) - phi / lit(2.0))
+        val mx = rho * sin(dl)
+        val my = -(rho * cos(dl))
+        val ppm = lit((tileSize.toLong << zoom).toDouble / extent / 2.0)
+        ((mx + lit(extent)) * ppm, gpx - (my + lit(extent)) * ppm)
+      case "EPSG:3031" =>
+        val extent = Projections.StereographicExtent
+        val k0 = extent / (2.0 * R)
+        val lam = lng * lit(math.Pi / 180)
+        val rho = lit(2.0 * R * k0) * tan(lit(math.Pi / 4) + phi / lit(2.0))
+        val mx = rho * sin(lam)
+        val my = rho * cos(lam)
+        val ppm = lit((tileSize.toLong << zoom).toDouble / extent / 2.0)
+        ((mx + lit(extent)) * ppm, gpx - (my + lit(extent)) * ppm)
+      case other => throw new IllegalArgumentException(other)
+    }
   }
 
   /** Derive the pixel address at zoom z from the max-zoom address by bit shift

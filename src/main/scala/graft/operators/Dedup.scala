@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication & similarity operators for large-scale training-data
+  * pipelines — beyond the reference's own surface (SURVEY.md §7.2 step 9).
+  *
+  * Scale design: every operator here is shuffle-minimal —
+  *  - signatures/fingerprints are computed row-local (higher-order functions
+  *    inside WholeStageCodegen-adjacent columnar eval, no shuffle);
+  *  - candidate generation joins only on compact band/bucket keys (LSH), so
+  *    the quadratic blow-up is confined to hash-bucket-local pairs;
+  *  - the only full shuffles are groupBy(hash) for exact dedup and the
+  *    band-key self-join, both over small projected columns.
+  * At 100 TB the pairwise verifiers (Jaccard, cosine) must only ever run on
+  * LSH candidates, never on the cross product; the blocked/cross variants
+  * here exist for oracle-checkable correctness at test scale.
+  */
+object Dedup {
+
+  /** Modulus for all text hashing: 2^31-1 (Mersenne prime), keeping every
+    * intermediate product below 2^63 so the same integer arithmetic is exact
+    * in any engine.
+    */
+  val M: Long = 2147483647L
+
+  private val As = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  private val Bs = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  val NumHashes: Int = As.size
+  val NumBands: Int = 4 // 4 bands x 2 rows
+
+  /** All 5-char shingles of `text` (step 1, not distinct — MIN is
+    * insensitive to duplicates).
+    */
+  def shingles: Column =
+    expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+
+  /** Full MinHash signature in one JIT-compiled pass over the text (the
+    * HOF-expression formulation evaluates interpreted per element — ~10×
+    * slower; the arithmetic here is identical and engine-portable).
+    */
+  private val minhashSigUdf = udf { (t: String) =>
+    val n = t.length - 4
+    if (n <= 0) null
+    else {
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var a = 0L; var j = i; val e = i + 5
+        while (j < e) { a = (a * 31 + t.charAt(j)) % M; j += 1 }
+        hs(i) = a; i += 1
+      }
+      As.zip(Bs).map { case (a, b) =>
+        var m = Long.MaxValue; var k = 0
+        while (k < hs.length) { val v = (a * hs(k) + b) % M; if (v < m) m = v; k += 1 }
+        m
+      }.toArray
+    }
+  }
+
+  /** MinHash signature columns mh0..mh7 from a `text` column. */
+  def withMinhashSignature(docs: DataFrame): DataFrame = {
+    val withSig = docs.withColumn("sig", minhashSigUdf(col("text")))
+    As.indices.foldLeft(withSig) { (df, k) =>
+      df.withColumn(s"mh$k", element_at(col("sig"), k + 1))
+    }.drop("sig")
+  }
+
+  /** LSH banding: candidate pairs sharing any (band, bandHash) bucket, with
+    * the estimated similarity (fraction of agreeing minhashes) ≥ minEst.
+    * The self-join key is the band hash — bucket-local pairs only.
+    */
+  def lshCandidatePairs(docs: DataFrame, minEst: Double): DataFrame = {
+    val sig = withMinhashSignature(docs).select("doc_id", As.indices.map(k => s"mh$k"): _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        ((col(s"mh${2 * b}") * 31 + col(s"mh${2 * b + 1}")) % M).as("bh"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val est = As.indices
+      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
+      .reduce(_ + _) / lit(8.0)
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_sim"))
+      .filter(col("est_sim") >= minEst)
+  }
+
+  /** 32-bit SimHash over shingle hashes (integer-only, engine-portable). */
+  val simhash32 = udf { (t: String) =>
+    val hs = (1 to t.length - 4).map { i =>
+      t.substring(i - 1, i + 4).foldLeft(0L)((a, c) => (a * 31 + c.toInt) % M)
+    }
+    (0 until 32).foldLeft(0L) { (acc, j) =>
+      val w = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+      if (w > 0) acc + (1L << j) else acc
+    }
+  }
+
+  /** Distinct word-trigram set of `text`, as 31-polynomial hashes mod M —
+    * long set-intersection is ~10× cheaper than string sets, and word
+    * n-grams keep the sets ~5× smaller than char shingles.
+    */
+  private val trigramHashSetUdf = udf { (t: String) =>
+    val toks = t.trim.split("\\s+")
+    if (toks.length < 3) Array.empty[Long]
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var i = 0
+      while (i < toks.length - 2) {
+        val s = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        seen += s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % M)
+        i += 1
+      }
+      seen.toArray
+    }
+  }
+
+  /** Exact n-gram Jaccard over distinct hashed word-trigram sets, blocked by
+    * a grouping column (at scale: always pre-blocked — by LSH bucket or
+    * metadata key — never the raw cross product).
+    */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, minJaccard: Double): DataFrame = {
+    val sh = docs.withColumn("s", trigramHashSetUdf(col("text")))
+      .select(col("doc_id"), col(blockCol).as("blk"), col("s"))
+    val inter = size(array_intersect(col("a.s"), col("b.s")))
+    sh.as("a")
+      .join(sh.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (inter / (size(col("a.s")) + size(col("b.s")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

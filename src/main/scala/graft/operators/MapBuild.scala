@@ -54,9 +54,16 @@ object MapBuild {
       .groupBy("map_key", "lat10", "lng10", "bor_year")
       .agg(count(lit(1)).as("occ_count"))
 
-  /** A3: per-view feature blob as a canonical sorted string (the reference
-    * collects structs then proto-encodes, PointMapBuilder.java:73-92; a
-    * sorted string keeps it oracle-comparable and order-insensitive).
+  private val hash32 = udf { (s: String) =>
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 4294967296L)
+  }
+
+  /** A3: per-view feature rollup with an order-insensitive content
+    * fingerprint (sum of per-feature 32-bit hashes). The reference collects
+    * structs then proto-encodes (PointMapBuilder.java:73-92); a commutative
+    * checksum instead of collect_list+sort keeps the aggregation fully
+    * partial (map-side combine) and immune to the `0:0` ALL-view skew — no
+    * single reducer ever materializes a whole view's feature list.
     */
   def featureRollup(pointAgg: DataFrame): DataFrame =
     pointAgg
@@ -64,11 +71,9 @@ object MapBuild {
       .agg(
         count(lit(1)).as("n_features"),
         sum("occ_count").as("total"),
-        md5(concat_ws(";",
-          sort_array(collect_list(
-            concat_ws(",", col("lat10"), col("lng10"), col("bor_year"), col("occ_count"))
-          ))
-        )).as("blob_md5")
+        (sum(hash32(
+          concat_ws(",", col("lat10"), col("lng10"), col("bor_year"), col("occ_count"))
+        )) % 4294967296L).as("blob_fp")
       )
 
   /** Global pixel columns at max zoom for the given projection (C2+F3):

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `embedding: array<float>` column.
+  *
+  * Scale design: brute-force cosine is the correctness baseline (a single
+  * broadcast of the query vector, no shuffle, scan-bounded). The scale path
+  * is random-hyperplane LSH: each vector is assigned a deterministic bucket
+  * by the sign pattern of 8 fixed integer hyperplanes, so a top-k probe only
+  * scans its bucket (1/256 of rows in expectation) — the bucket id is also a
+  * natural partition/bucketing key for a 100 TB vector table. Cosine pair
+  * search for near-dup detection joins bucket-local only at scale; the full
+  * pairwise variant exists for oracle-checkable small-scale verification.
+  *
+  * All dot products fold left-sequentially over the array so results are
+  * bit-reproducible across engines.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of the embedding with a literal vector. */
+  def dotLit(emb: Column, v: Seq[Double]): Column =
+    aggregate(
+      zip_with(emb, typedlit(v), (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x)
+
+  def dotCols(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def sqNorm(emb: Column): Column =
+    aggregate(
+      transform(emb, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k against a literal query vector; the rounded
+    * similarity is the sort key (with id tiebreak) for determinism.
+    */
+  def cosineTopK(emb: DataFrame, qv: Seq[Float], k: Int): DataFrame = {
+    val sqQ = qv.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
+    val dot = aggregate(
+      zip_with(col("embedding"), typedlit(qv), (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val sim = round(dot / (sqrt(sqNorm(col("embedding"))) * lit(math.sqrt(sqQ))), 6)
+    emb.select(col("vec_id"), col("label"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
+  /** Vector pairs with cosine ≥ minSim, restricted to equal LSH buckets —
+    * the scale-honest near-dup search: the pair join is an equi-join on the
+    * bucket key (1/2^NumPlanes of the cross product in expectation) and each
+    * vector's norm is computed once before the join, so per-pair work is a
+    * single dot product.
+    */
+  def cosinePairs(emb: DataFrame, minSim: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      bucketCol(col("embedding")).as("bucket"),
+      sqrt(sqNorm(col("embedding"))).as("nrm"))
+    val sim = round(
+      dotCols(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+    e.as("a")
+      .join(e.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), sim.as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  // ------------------------------------------------ random-hyperplane LSH
+
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** Deterministic integer hyperplanes: hp(d)(i) = ((d*67 + i*31) % 19) - 9. */
+  def hyperplane(d: Int): Seq[Double] =
+    (0 until Dim).map(i => (((d * 67 + i * 31) % 19) - 9).toDouble)
+
+  /** Sign-pattern bucket id (0..2^NumPlanes-1) of an embedding column. */
+  def bucketCol(emb: Column): Column =
+    (0 until NumPlanes)
+      .map(d => when(dotLit(emb, hyperplane(d)) > 0.0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Same bucket function driver-side, for the query vector. */
+  def bucketOf(v: Seq[Float]): Long =
+    (0 until NumPlanes).foldLeft(0L) { (acc, d) =>
+      val hp = hyperplane(d)
+      val dot = v.zipWithIndex.foldLeft(0.0) { case (a, (x, i)) => a + x.toDouble * hp(i) }
+      if (dot > 0.0) acc + (1L << d) else acc
+    }
+
+  /** LSH-bucketed ANN: top-k by cosine within the query's bucket only. */
+  def lshTopK(emb: DataFrame, qv: Seq[Float], k: Int): DataFrame = {
+    val sqQ = qv.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
+    val dot = aggregate(
+      zip_with(col("embedding"), typedlit(qv), (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val sim = round(dot / (sqrt(sqNorm(col("embedding"))) * lit(math.sqrt(sqQ))), 6)
+    emb.withColumn("bucket", bucketCol(col("embedding")))
+      .filter(col("bucket") === lit(bucketOf(qv)))
+      .select(col("vec_id"), col("label"), col("bucket"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+}
