@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{HexGrid, YearRange}
 import graft.functions.GeoFunctions._
-import graft.operators.{Dedup, MapBuild, OccurrenceView, Similarity, TileServe}
+import graft.operators.{Dedup, MapBuild, Multimodal, OccurrenceView, Similarity, TileServe}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -203,6 +203,44 @@ object SparkEntry {
       }
       documents(s, dir).select(col("doc_id"), fp(col("text")).as("fp"))
     }),
+
+    // J1: country-mask semi-join of density pixels against a mask view's pixels
+    "q34_country_mask" -> ((s, dir) => {
+      val rp = TileServe.renderPixels(pointsLL(s, dir), "EPSG:4326", 10)
+      TileServe.maskSemiJoin(
+        rp.filter(col("map_key") === "0:0"),
+        rp.filter(col("map_key") === "4:3"))
+        .select("px", "py", "total")
+    }),
+
+    // F4/O10: large/small bifurcation — small views via broadcast anti-join
+    "q35_small_views" -> ((s, dir) => {
+      val ex = exploded(s, dir)
+      val small = MapBuild.filterToViews(ex, MapBuild.largeViews(occ(s, dir), Threshold), keep = false)
+      MapBuild.featureRollup(MapBuild.pointAgg(small))
+    }),
+
+    // G2: buffer-replica tile explode at z6 (dateline wrap + 8-neighbour buffers)
+    "q36_tile_replicas" -> ((s, dir) => {
+      val px16 = MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326")
+      MapBuild.tileReplicaAssembly(MapBuild.rollupToZoom(px16, MaxZoom, 6), "EPSG:4326", 6)
+    }),
+
+    // A14/O5: dictionary-encode view keys to dense ints for shuffle shrink
+    "q37_dict_encode" -> ((s, dir) =>
+      MapBuild.viewCounts(occ(s, dir))
+        .select(col("map_key"),
+          (row_number().over(Window.orderBy("map_key")) - 1).as("key_id"),
+          col("occ_count"))),
+
+    // Multimodal: binary payload column -> typed mapPartitions "decode" (stubbed codec)
+    "q38_media_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(s, Multimodal.withPayload(documents(s, dir))).toDF()),
+
+    // Multimodal: frame sampling via explode over decoded frame counts
+    "q39_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(s, Multimodal.withPayload(documents(s, dir))).toDF(), 5)),
 
     // Dedup: MinHash signatures (5-char shingles, 8 permutations)
     "q28_minhash_sig" -> ((s, dir) =>
@@ -515,6 +553,59 @@ FROM sc GROUP BY ALL""",
 FROM documents""",
 
     "q23_doc_fingerprint" -> (s"""SELECT doc_id, ${javaHashSql("text")} AS fp FROM documents"""),
+
+    "q34_country_mask" -> (RpZ10Sql + """
+SELECT r.px, r.py, r.total FROM rp r
+WHERE r.map_key = '0:0'
+  AND EXISTS (SELECT 1 FROM rp m WHERE m.map_key = '4:3' AND m.px = r.px AND m.py = r.py)"""),
+
+    "q35_small_views" -> (Ex + s""",
+lv AS (SELECT map_key FROM ex GROUP BY map_key HAVING count(*) >= $Threshold),
+spts AS (SELECT map_key, lat10, lng10, bor_year, count(*) AS occ_count
+  FROM ex WHERE map_key NOT IN (SELECT map_key FROM lv)
+  GROUP BY map_key, lat10, lng10, bor_year)
+SELECT map_key, count(*) AS n_features, CAST(sum(occ_count) AS BIGINT) AS total,
+       CAST(sum(${javaHashSql("concat_ws(',', lat10, lng10, bor_year, occ_count)")}) % 4294967296 AS BIGINT) AS blob_fp
+FROM spts GROUP BY map_key"""),
+
+    // z6 4326 grid: 128x64 tiles, 512 px tiles, 64 px buffer, dateline wrap.
+    // Each neighbour arm mirrors one addOn() branch of Tiles.collectToTiles:
+    // the buffer flag implies containment for in-range neighbours, and the
+    // wrapped x-edge tiles contain exactly the flagged edge pixels.
+    "q36_tile_replicas" -> (Ex + s""",
+px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
+  FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+  GROUP BY ALL),
+z6p AS (SELECT map_key, px >> 10 AS px, py >> 10 AS py, CAST(sum(occ_count) AS BIGINT) AS occ_count
+  FROM px16 GROUP BY ALL),
+reps AS (SELECT map_key, occ_count, px // 512 AS tx, py // 512 AS ty, px % 512 AS lx, py % 512 AS ly FROM z6p),
+nbr AS (
+  SELECT map_key, occ_count, tx, ty FROM reps
+  UNION ALL SELECT map_key, occ_count, CASE WHEN tx - 1 < 0 THEN 127 ELSE tx - 1 END, ty FROM reps WHERE lx < 64
+  UNION ALL SELECT map_key, occ_count, CASE WHEN tx + 1 > 127 THEN 0 ELSE tx + 1 END, ty FROM reps WHERE lx >= 448
+  UNION ALL SELECT map_key, occ_count, tx, ty - 1 FROM reps WHERE ly < 64 AND ty - 1 >= 0
+  UNION ALL SELECT map_key, occ_count, tx, ty + 1 FROM reps WHERE ly >= 448 AND ty + 1 <= 63
+  UNION ALL SELECT map_key, occ_count, CASE WHEN tx - 1 < 0 THEN 127 ELSE tx - 1 END, ty - 1 FROM reps WHERE lx < 64 AND ly < 64 AND ty - 1 >= 0
+  UNION ALL SELECT map_key, occ_count, CASE WHEN tx + 1 > 127 THEN 0 ELSE tx + 1 END, ty - 1 FROM reps WHERE lx >= 448 AND ly < 64 AND ty - 1 >= 0
+  UNION ALL SELECT map_key, occ_count, CASE WHEN tx - 1 < 0 THEN 127 ELSE tx - 1 END, ty + 1 FROM reps WHERE lx < 64 AND ly >= 448 AND ty + 1 <= 63
+  UNION ALL SELECT map_key, occ_count, CASE WHEN tx + 1 > 127 THEN 0 ELSE tx + 1 END, ty + 1 FROM reps WHERE lx >= 448 AND ly >= 448 AND ty + 1 <= 63)
+SELECT map_key, tx, ty, count(*) AS n_pixels, CAST(sum(occ_count) AS BIGINT) AS total, 6 AS z
+FROM nbr GROUP BY map_key, tx, ty"""),
+
+    "q37_dict_encode" -> (Ex + """
+SELECT map_key, row_number() OVER (ORDER BY map_key) - 1 AS key_id, occ_count
+FROM (SELECT map_key, count(*) AS occ_count FROM ex GROUP BY map_key)"""),
+
+    "q38_media_meta" -> """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+  CAST(1 + (octet_length(encode(text)) * 7) % 48 AS INT) AS height,
+  CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames
+FROM documents""",
+
+    "q39_frame_sample" -> """WITH meta AS (
+  SELECT doc_id, CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames FROM documents)
+SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_id FROM meta""",
 
     "q28_minhash_sig" -> (SigSql + "\nSELECT * FROM sig"),
 

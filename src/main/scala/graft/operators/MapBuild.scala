@@ -132,6 +132,30 @@ object MapBuild {
       .withColumn("z", lit(z))
   }
 
+  /** G2: buffer-replica tile explode — each zoom-z global pixel lands on its
+    * containing tile plus any neighbour (incl. dateline-wrapped) whose 64 px
+    * buffer it falls into, then tiles aggregate counts over their pixels
+    * *including buffer replicas* (TileXYUDF.java:70-181). The replica
+    * generator is the core library's `Tiles.collectToTiles` (unit/property
+    * tested); explode multiplies rows ≤4× and the immediately following
+    * partial aggregation collapses it before the shuffle.
+    */
+  def tileReplicaAssembly(pixelsAtZ: DataFrame, epsg: String, z: Int): DataFrame = {
+    val schema = graft.core.TileSchema.fromSrs(epsg)
+    val buffer = 64
+    val replicas = udf { (px: Long, py: Long) =>
+      graft.core.Tiles.collectToTiles(px.toDouble, py.toDouble, schema, z, TileSize, buffer)
+        .map { case (tx, ty, _, _) => (tx, ty) }
+    }
+    pixelsAtZ
+      .groupBy("map_key", "px", "py")
+      .agg(sum("occ_count").as("occ_count"))
+      .withColumn("t", explode(replicas(col("px"), col("py"))))
+      .groupBy(col("map_key"), col("t._1").as("tx"), col("t._2").as("ty"))
+      .agg(count(lit(1)).as("n_pixels"), sum("occ_count").as("total"))
+      .withColumn("z", lit(z))
+  }
+
   /** Full pyramid for one projection: iterative halving from max zoom.
     * Returns one DataFrame unioned over the requested zooms with column z —
     * at scale each level is a separate job writing its own partition, but the

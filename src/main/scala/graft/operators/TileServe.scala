@@ -50,6 +50,13 @@ object TileServe {
       .agg(sum("occ_count").as("total"))
   }
 
+  /** J1: country-mask semi-join — density pixels kept only where the mask
+    * view also has a pixel (VectorTileFilters.java:83-99). A broadcast-able
+    * semi-join on the pixel key at any scale (the mask is one view's tile).
+    */
+  def maskSemiJoin(density: DataFrame, mask: DataFrame): DataFrame =
+    density.join(mask.select("px", "py").distinct(), Seq("px", "py"), "left_semi")
+
   /** A9: square binning — `(x/cell, y/cell)` cells with summed totals
     * (SquareBin.java:60-120).
     */

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.core.YearRange
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level invariants over the sf0.001 testdata — the engine-side port
+  * of the reference's golden-tile consistency tests (AggregationsTest.java:
+  * 35-93, YearFilteringTest.java:37-88): pyramid conservation, parent==Σ
+  * children, filter-partition totals.
+  */
+class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val Dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("operator-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def exploded = MapBuild.explodeMapKeys(OccurrenceView.occ(spark, Dir))
+
+  test("pyramid conserves totals across zoom levels (O3 rollup)") {
+    val px16 = MapBuild.pixelAgg(exploded, "EPSG:4326").cache()
+    val t16 = px16.agg(sum("occ_count")).head.getLong(0)
+    val z8 = MapBuild.rollupToZoom(px16, 16, 8)
+    val t8 = z8.agg(sum("occ_count")).head.getLong(0)
+    val t0 = MapBuild.rollupToZoom(z8, 8, 0).agg(sum("occ_count")).head.getLong(0)
+    assert(t16 === t8 && t8 === t0)
+    px16.unpersist()
+  }
+
+  test("parent tile total equals the sum of its four children (z5 vs z6)") {
+    val px16 = MapBuild.pixelAgg(exploded, "EPSG:4326").cache()
+    val z6 = MapBuild.tileAssembly(MapBuild.rollupToZoom(px16, 16, 6), 6)
+    val z5 = MapBuild.tileAssembly(MapBuild.rollupToZoom(px16, 16, 5), 5)
+    val fromChildren = z6
+      .groupBy(col("map_key"), (col("tx") / 2).cast("long").as("tx"),
+        (col("ty") / 2).cast("long").as("ty"))
+      .agg(sum("total").as("total"))
+    val joined = z5.select("map_key", "tx", "ty", "total").as("p")
+      .join(fromChildren.as("c"), Seq("map_key", "tx", "ty"), "full_outer")
+      .filter(!(col("p.total") <=> col("c.total")))
+    assert(joined.count() === 0)
+    px16.unpersist()
+  }
+
+  test("year-range filter partitions totals (F6 ≙ verbose slice)") {
+    val pts = MapBuild.pointAgg(exploded).cache()
+    val total = pts.agg(sum("occ_count")).head.getLong(0)
+    val lo = TileServe.yearRangeFilter(pts, YearRange(None, Some(2003)))
+      .agg(sum("occ_count")).head.getLong(0)
+    val hi = TileServe.yearRangeFilter(pts, YearRange(Some(2004), None))
+      .agg(sum("occ_count")).head.getLong(0)
+    val unknown = pts.filter(col("bor_year") < 100)
+      .agg(coalesce(sum("occ_count"), lit(0L))).head.getLong(0)
+    assert(lo + hi + unknown === total)
+    pts.unpersist()
+  }
+
+  test("buffer replicas strictly extend the plain tile assembly (G2)") {
+    val px16 = MapBuild.pixelAgg(exploded, "EPSG:4326")
+    val z6 = MapBuild.rollupToZoom(px16, 16, 6).cache()
+    val plain = MapBuild.tileAssembly(z6, 6)
+      .groupBy("map_key").agg(sum("n_pixels").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val buffered = MapBuild.tileReplicaAssembly(z6, "EPSG:4326", 6)
+      .groupBy("map_key").agg(sum("n_pixels").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain.keySet === buffered.keySet)
+    plain.foreach { case (k, n) => assert(buffered(k) >= n, s"view $k") }
+    z6.unpersist()
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("evstream")
+    Files.copy(Paths.get(s"$Dir/events.parquet"),
+      tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$Dir/events.parquet").schema
+    val stream = graft.streaming.EventStream.hourlyCounts(
+      graft.streaming.EventStream.readEvents(spark, tmp.toString, schema))
+    val q = stream.writeStream.format("memory")
+      .queryName("ev_hourly").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("ev_hourly")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("q24_event_hourly")(spark, Dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+}
