@@ -242,6 +242,34 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.decodeMeta(s, Multimodal.withPayload(documents(s, dir))).toDF(), 5)),
 
+    // A6/S8 serving combo: year-filtered render of the busiest z6 tile of the ALL view
+    "q40_tile_render" -> ((s, dir) => {
+      val p = TileServe.yearRangeFilter(pointsLL(s, dir), YearRange(Some(1995), Some(2005)))
+        .filter(col("map_key") === "0:0")
+      val pix = TileServe.renderPixels(p, "EPSG:4326", 6)
+        .withColumn("tx", (col("px") / TileSize).cast("long"))
+        .withColumn("ty", (col("py") / TileSize).cast("long"))
+      val top = pix.groupBy("tx", "ty").agg(sum("total").as("tile_total"))
+        .orderBy(col("tile_total").desc, col("tx"), col("ty")).limit(1)
+      pix.join(broadcast(top.select("tx", "ty")), Seq("tx", "ty"))
+        .select(col("tx"), col("ty"),
+          pmod(col("px"), lit(TileSize.toLong)).as("lpx"),
+          pmod(col("py"), lit(TileSize.toLong)).as("lpy"), col("total"))
+    }),
+
+    // A11 full: antimeridian-aware circular longitude extent per view
+    "q41_circular_extent" -> ((s, dir) =>
+      TileServe.circularExtent(points(s, dir))),
+
+    // A5 encode: MVT binary tiles (rows-only check — protobuf not SQL-expressible)
+    "q42_mvt_tiles" -> ((s, dir) => {
+      val z6 = MapBuild.rollupToZoom(
+        MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326"), MaxZoom, 6)
+      graft.operators.TileEncode.mvtTiles(s, z6, 6)
+        .select(col("map_key"), col("z"), col("tx"), col("ty"),
+          length(col("mvt")).as("mvt_len"))
+    }),
+
     // Dedup: MinHash signatures (5-char shingles, 8 permutations)
     "q28_minhash_sig" -> ((s, dir) =>
       Dedup.withMinhashSignature(documents(s, dir))
@@ -606,6 +634,32 @@ FROM documents""",
     "q39_frame_sample" -> """WITH meta AS (
   SELECT doc_id, CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames FROM documents)
 SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_id FROM meta""",
+
+    "q40_tile_render" -> (Pts + s""",
+fpts AS (SELECT * FROM pts WHERE map_key = '0:0'
+  AND bor_year >= 100 AND bor_year // 100 BETWEEN 1995 AND 2005),
+ptsll AS (SELECT *, lat10/10.0 AS lat, lng10/10.0 AS lng FROM fpts),
+rp AS (SELECT map_key, ${px4326("lng")} >> 10 AS px, ${py4326("lat")} >> 10 AS py,
+  CAST(sum(occ_count) AS BIGINT) AS total
+  FROM ptsll WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+  GROUP BY ALL),
+fpf AS (SELECT px, py, total, px // 512 AS tx, py // 512 AS ty FROM rp),
+top AS (SELECT tx, ty FROM fpf GROUP BY tx, ty
+  ORDER BY CAST(sum(total) AS BIGINT) DESC, tx, ty LIMIT 1)
+SELECT f.tx, f.ty, f.px % 512 AS lpx, f.py % 512 AS lpy, f.total
+FROM fpf f JOIN top t ON f.tx = t.tx AND f.ty = t.ty"""),
+
+    "q41_circular_extent" -> (Pts + """,
+d AS (SELECT DISTINCT map_key, lng10 FROM pts),
+g AS (SELECT map_key, lng10,
+  lag(lng10) OVER (PARTITION BY map_key ORDER BY lng10) AS prev,
+  max(lng10) OVER (PARTITION BY map_key) AS mx FROM d),
+gg AS (SELECT map_key, lng10,
+  CASE WHEN prev IS NULL THEN lng10 + 3600 - mx ELSE lng10 - prev END AS gap,
+  coalesce(prev, mx) AS east_cand FROM g),
+rk AS (SELECT map_key, lng10, east_cand,
+  row_number() OVER (PARTITION BY map_key ORDER BY gap DESC, lng10) AS rn FROM gg)
+SELECT map_key, lng10 AS west10, east_cand AS east10 FROM rk WHERE rn = 1"""),
 
     "q28_minhash_sig" -> (SigSql + "\nSELECT * FROM sig"),
 

@@ -94,6 +94,32 @@ object TileServe {
         sum("occ_count").as("total"))
   }
 
+  /** A11 full: antimeridian-aware longitude extent per view — find the
+    * largest circular gap between occupied longitudes; the extent is the
+    * complement of that gap (Capabilities.java:288-334). west10 is the
+    * longitude after the gap, east10 the one before it (west > east ⟺ the
+    * extent crosses the antimeridian). Deterministic tiebreak: smaller gap
+    * end wins among equal gaps.
+    */
+  def circularExtent(points: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = points.select("map_key", "lng10").distinct()
+    val w = Window.partitionBy("map_key").orderBy("lng10")
+    val whole = Window.partitionBy("map_key")
+    val g = d
+      .withColumn("prev", lag("lng10", 1).over(w))
+      .withColumn("mx", max("lng10").over(whole))
+      .withColumn("gap",
+        when(col("prev").isNull, col("lng10") + 3600 - col("mx"))
+          .otherwise(col("lng10") - col("prev")))
+      .withColumn("east_cand", coalesce(col("prev"), col("mx")))
+    g.withColumn("rn",
+        row_number().over(Window.partitionBy("map_key")
+          .orderBy(col("gap").desc, col("lng10"))))
+      .filter(col("rn") === 1)
+      .select(col("map_key"), col("lng10").as("west10"), col("east_cand").as("east10"))
+  }
+
   /** A12/A13: per-cell OLS regression of normalized yearly counts
     * (species/group per year → slope/intercept/r2/count), built on Spark's
     * codegen'd `regr_*` aggregates rather than driver-side SimpleRegression

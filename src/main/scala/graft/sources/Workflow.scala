@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** S11 + §7.2 step 8: the prepare/build/finalise lifecycle with a manifest
+  * pointer replacing the reference's ZK metastore (ZKMapMetastore.java:38-60,
+  * MapTables.java:107-154, FinaliseBackfill.java:64-106).
+  *
+  * Each build writes versioned directories (`v<N>/points`, `v<N>/tiles`)
+  * then atomically swaps `manifest.json` to point at them — readers resolve
+  * through the manifest, so a rebuild is invisible until the swap, and the
+  * previous version stays on disk for rollback (the reference keeps the last
+  * 2 HBase tables, FinaliseBackfill.java:153-222).
+  */
+object Workflow {
+
+  final case class Manifest(version: Long, points: String, tiles: String)
+
+  private def manifestPath(workDir: String) = Paths.get(workDir, "manifest.json")
+
+  def readManifest(workDir: String): Option[Manifest] = {
+    val p = manifestPath(workDir)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      def field(k: String) = s.split("\"" + k + "\"\\s*:\\s*")(1).split("[,}]")(0).trim
+      Some(Manifest(field("version").toLong,
+        field("points").stripPrefix("\"").stripSuffix("\""),
+        field("tiles").stripPrefix("\"").stripSuffix("\"")))
+    }
+  }
+
+  /** Build both index tables for one scale-factor dir, then swap the
+    * manifest. Returns the new manifest.
+    */
+  def build(spark: SparkSession, sfDir: String, workDir: String): Manifest = {
+    import graft.operators.{MapBuild, OccurrenceView, TileEncode}
+    val version = readManifest(workDir).map(_.version + 1).getOrElse(1L)
+    val pointsPath = s"$workDir/v$version/points"
+    val tilesPath = s"$workDir/v$version/tiles"
+
+    val exploded = MapBuild.explodeMapKeys(OccurrenceView.occ(spark, sfDir))
+    // points store: per-view feature rows keyed by map_key (salt 10,
+    // MapBuilder.java:92)
+    KeyedSink.writeSalted(MapBuild.pointAgg(exploded), col("map_key"), 10, pointsPath)
+    // tiles store: z6 MVT blobs keyed by mapKey:z:x:y (salt 100,
+    // MapBuilder.java:104)
+    val z6 = MapBuild.rollupToZoom(MapBuild.pixelAgg(exploded, "EPSG:4326"), 16, 6)
+    KeyedSink.writeSalted(
+      TileEncode.mvtTiles(spark, z6, 6),
+      concat_ws(":", col("map_key"), col("z"), col("tx"), col("ty")), 100, tilesPath)
+
+    val m = Manifest(version, pointsPath, tilesPath)
+    val tmp = Paths.get(workDir, s".manifest.v$version.tmp")
+    Files.createDirectories(Paths.get(workDir))
+    Files.write(tmp,
+      s"""{"version": ${m.version}, "points": "${m.points}", "tiles": "${m.tiles}"}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(workDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    m
+  }
+}
