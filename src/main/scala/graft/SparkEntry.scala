@@ -39,7 +39,7 @@ object SparkEntry {
       .withColumn("lng", col("lng10") / 10.0)
 
   private def tilesZ6(s: SparkSession, dir: String): DataFrame = {
-    val px16 = MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326")
+    val px16 = MapBuild.pixelAgg(occ(s, dir), "EPSG:4326")
     MapBuild.tileAssembly(MapBuild.rollupToZoom(px16, MaxZoom, 6), 6)
   }
 
@@ -65,23 +65,23 @@ object SparkEntry {
 
     // A4: max-zoom pixel aggregate, Web Mercator (TileMapBuilder.java:140-160)
     "q05_pixel_agg_3857" -> ((s, dir) =>
-      MapBuild.pixelAgg(exploded(s, dir), "EPSG:3857")),
+      MapBuild.pixelAgg(occ(s, dir), "EPSG:3857")),
 
     // A4: max-zoom pixel aggregate, Plate Carrée
     "q06_pixel_agg_4326" -> ((s, dir) =>
-      MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326")),
+      MapBuild.pixelAgg(occ(s, dir), "EPSG:4326")),
 
     // A4/C2: max-zoom pixel aggregate, north-polar LAEA (hemisphere-clipped, F2/F3)
     "q26_pixel_agg_3575" -> ((s, dir) =>
-      MapBuild.pixelAgg(exploded(s, dir), "EPSG:3575")),
+      MapBuild.pixelAgg(occ(s, dir), "EPSG:3575")),
 
     // A4/C2: max-zoom pixel aggregate, Antarctic stereographic
     "q27_pixel_agg_3031" -> ((s, dir) =>
-      MapBuild.pixelAgg(exploded(s, dir), "EPSG:3031")),
+      MapBuild.pixelAgg(occ(s, dir), "EPSG:3031")),
 
     // A5/O3: zoom rollup via bit-shift re-aggregation (TileMapBuilder.java:129-138)
     "q07_zoom_rollup" -> ((s, dir) =>
-      MapBuild.rollupToZoom(MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326"), MaxZoom, 10)),
+      MapBuild.rollupToZoom(MapBuild.pixelAgg(occ(s, dir), "EPSG:4326"), MaxZoom, 10)),
 
     // A5: tile assembly at one zoom (TileMapBuilder.java:173-204)
     "q08_tiles_z6" -> ((s, dir) => tilesZ6(s, dir)),
@@ -222,7 +222,7 @@ object SparkEntry {
 
     // G2: buffer-replica tile explode at z6 (dateline wrap + 8-neighbour buffers)
     "q36_tile_replicas" -> ((s, dir) => {
-      val px16 = MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326")
+      val px16 = MapBuild.pixelAgg(occ(s, dir), "EPSG:4326")
       MapBuild.tileReplicaAssembly(MapBuild.rollupToZoom(px16, MaxZoom, 6), "EPSG:4326", 6)
     }),
 
@@ -264,10 +264,25 @@ object SparkEntry {
     // A5 encode: MVT binary tiles (rows-only check — protobuf not SQL-expressible)
     "q42_mvt_tiles" -> ((s, dir) => {
       val z6 = MapBuild.rollupToZoom(
-        MapBuild.pixelAgg(exploded(s, dir), "EPSG:4326"), MaxZoom, 6)
+        MapBuild.pixelAgg(occ(s, dir), "EPSG:4326"), MaxZoom, 6)
       graft.operators.TileEncode.mvtTiles(s, z6, 6)
         .select(col("map_key"), col("z"), col("tx"), col("ty"),
           length(col("mvt")).as("mvt_len"))
+    }),
+
+    // S10: year facet over the occurrence view (RegressionResource.java:226-252)
+    "q43_year_facet" -> ((s, dir) =>
+      occ(s, dir).filter(col("year").isNotNull)
+        .groupBy("year").agg(count(lit(1)).as("n"))),
+
+    // S9/C6 ad-hoc: tileBoundary-driven bbox filter + geotile agg inside one tile
+    "q44_adhoc_tile" -> ((s, dir) => {
+      val (la0, la1, lo0, lo1) =
+        graft.core.Wgs84(TileSize).tileBoundary(2, 2, 1, 0.0)
+      TileServe.geotile(
+        eventsGeo(s, dir)
+          .filter(col("lat") >= la0 && col("lat") <= la1 &&
+            col("lng") >= lo0 && col("lng") <= lo1), 6, bounds = false)
     }),
 
     // Dedup: MinHash signatures (5-char shingles, 8 permutations)
@@ -660,6 +675,21 @@ gg AS (SELECT map_key, lng10,
 rk AS (SELECT map_key, lng10, east_cand,
   row_number() OVER (PARTITION BY map_key ORDER BY gap DESC, lng10) AS rn FROM gg)
 SELECT map_key, lng10 AS west10, east_cand AS east10 FROM rk WHERE rn = 1"""),
+
+    "q43_year_facet" -> (OccSql + """
+SELECT year, count(*) AS n FROM occ2 WHERE year IS NOT NULL GROUP BY year"""),
+
+    "q44_adhoc_tile" -> {
+      val (la0, la1, lo0, lo1) = graft.core.Wgs84(OccurrenceView.TileSize).tileBoundary(2, 2, 1, 0.0)
+      EventsGeoSql + s"""
+SELECT CAST(floor((lng + 180.0)*(64.0/180.0)) AS BIGINT) AS cell_x,
+       CAST(floor((90.0 - lat)*(64.0/180.0)) AS BIGINT) AS cell_y,
+       count(*) AS doc_count,
+       avg(lat10) AS centroid_lat10, avg(lng10) AS centroid_lng10
+FROM ev2
+WHERE lat >= $la0 AND lat <= $la1 AND lng >= $lo0 AND lng <= $lo1
+GROUP BY ALL"""
+    },
 
     "q28_minhash_sig" -> (SigSql + "\nSELECT * FROM sig"),
 

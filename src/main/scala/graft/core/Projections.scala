@@ -18,12 +18,59 @@ sealed trait TileProjection extends Serializable {
   /** Global pixel coordinates at the given zoom; (0,0) is top-left. */
   def toGlobalPixelXY(lat: Double, lng: Double, zoom: Int): (Double, Double)
 
+  /** Inverse: (lat, lng) of a global pixel — C6 tileBoundary support
+    * (SphericalMercator.java:56-77, WGS84.java:60-74).
+    */
+  def fromGlobalPixelXY(gx: Double, gy: Double, zoom: Int): (Double, Double)
+
   /** Whether the coordinate is plottable under this projection's clip rules. */
   def isPlottable(lat: Double, lng: Double): Boolean
 
   /** Total pixels across the globe horizontally at this zoom. */
   def globalPixelsX(zoom: Int): Long = schema.tilesHorizontal(zoom) * tileSize
   def globalPixelsY(zoom: Int): Long = schema.tilesVertical(zoom) * tileSize
+
+  /** C6: WGS84 bounding box (minLat, maxLat, minLng, maxLng) of tile
+    * (z, x, y) expanded by `bufferFraction` of a tile on each side.
+    * Computed by sampling the tile edge in pixel space and inverting —
+    * handles the curved edges of the polar projections; a tile containing
+    * a pole degenerates to the full longitude range (the reference's
+    * quadrant fan-out, NorthPoleLAEAEurope.java:67-201 /
+    * AdHocMapsResource.java:156-170).
+    */
+  def tileBoundary(z: Int, x: Long, y: Long, bufferFraction: Double)
+      : (Double, Double, Double, Double) = {
+    val b = bufferFraction * tileSize
+    val x0 = x * tileSize - b
+    val y0 = y * tileSize - b
+    val x1 = (x + 1) * tileSize + b
+    val y1 = (y + 1) * tileSize + b
+    val maxPx = globalPixelsX(z).toDouble
+    val maxPy = globalPixelsY(z).toDouble
+    val steps = 8
+    val samples = for {
+      i <- 0 to steps; j <- 0 to steps
+      if i == 0 || i == steps || j == 0 || j == steps // edge ring only
+    } yield {
+      val gx = math.min(math.max(x0 + (x1 - x0) * i / steps, 0.0), maxPx)
+      val gy = math.min(math.max(y0 + (y1 - y0) * j / steps, 0.0), maxPy)
+      fromGlobalPixelXY(gx, gy, z)
+    }
+    val lats = samples.map(_._1)
+    val lngs = samples.map(_._2)
+    // pole inside the tile (polar projections): lat extent reaches the pole
+    // and longitude wraps fully
+    val cx = maxPx / 2.0
+    val poleInside = !schema.wrapX &&
+      x0 <= cx && cx <= x1 && y0 <= maxPy / 2.0 && maxPy / 2.0 <= y1
+    if (poleInside) {
+      val poleLat = fromGlobalPixelXY(cx, maxPy / 2.0, z)._1
+      (math.min(lats.min, poleLat), math.max(lats.max, poleLat), -180.0, 180.0)
+    } else if (lngs.max - lngs.min > 180.0 && !schema.wrapX) {
+      // antimeridian seam crosses the tile (polar schemes)
+      (lats.min, lats.max, -180.0, 180.0)
+    } else (lats.min, lats.max, lngs.min, lngs.max)
+  }
 }
 
 object Projections {
@@ -69,6 +116,14 @@ final case class SphericalMercator(tileSize: Int) extends TileProjection {
   def isPlottable(lat: Double, lng: Double): Boolean =
     lat >= -Projections.MercatorMaxLatitude && lat <= Projections.MercatorMaxLatitude &&
       lng >= -180 && lng <= 180
+
+  def fromGlobalPixelXY(gx: Double, gy: Double, zoom: Int): (Double, Double) = {
+    val pixels = (tileSize.toLong << zoom).toDouble
+    val lng = gx / pixels * 360 - 180
+    val u = (0.5 - gy / pixels) * 4 * PI
+    val lat = toDegrees(atan(sinh(u / 2)))
+    (lat, lng)
+  }
 }
 
 /** EPSG:4326 Plate Carrée, two tiles wide at zoom 0 (WGS84.java:37-52). */
@@ -86,6 +141,11 @@ final case class Wgs84(tileSize: Int) extends TileProjection {
 
   def isPlottable(lat: Double, lng: Double): Boolean =
     lat >= -90 && lat <= 90 && lng >= -180 && lng <= 180
+
+  def fromGlobalPixelXY(gx: Double, gy: Double, zoom: Int): (Double, Double) = {
+    val pixels = (tileSize.toLong << zoom).toDouble
+    (90 - gy * 180 / pixels, gx * 180 / pixels - 180)
+  }
 }
 
 /** Shared world→pixel affine for azimuthal projections (WGS84Azimuthal.java:63-96):
@@ -97,6 +157,9 @@ sealed trait Azimuthal extends TileProjection {
   /** Forward projection to metres (x east, y north), centered on the pole. */
   def toMetres(lat: Double, lng: Double): (Double, Double)
 
+  /** Inverse of [[toMetres]]. */
+  def fromMetres(mx: Double, my: Double): (Double, Double)
+
   def toGlobalPixelXY(lat: Double, lng: Double, zoom: Int): (Double, Double) = {
     val (mx, my) = toMetres(lat, lng)
     val globalPixelExtent = (tileSize.toLong << zoom).toDouble
@@ -104,6 +167,14 @@ sealed trait Azimuthal extends TileProjection {
     val x = (mx + extent) * pixelsPerMetre
     val y = globalPixelExtent - (my + extent) * pixelsPerMetre // mirror y
     (x, y)
+  }
+
+  def fromGlobalPixelXY(gx: Double, gy: Double, zoom: Int): (Double, Double) = {
+    val globalPixelExtent = (tileSize.toLong << zoom).toDouble
+    val pixelsPerMetre = globalPixelExtent / extent / 2.0
+    val mx = gx / pixelsPerMetre - extent
+    val my = (globalPixelExtent - gy) / pixelsPerMetre - extent
+    fromMetres(mx, my)
   }
 }
 
@@ -130,6 +201,16 @@ final case class NorthPoleLaea(tileSize: Int) extends Azimuthal {
 
   def isPlottable(lat: Double, lng: Double): Boolean =
     lat >= 0 && lng >= -180 && lng <= 180
+
+  def fromMetres(mx: Double, my: Double): (Double, Double) = {
+    val rho = math.hypot(mx, my)
+    if (rho < 1e-9) (90.0, toDegrees(lon0))
+    else {
+      val phi = PI / 2 - 2 * asin(math.min(1.0, rho / (2.0 * Projections.EarthRadius)))
+      val lam = atan2(mx, -my) + lon0
+      (toDegrees(phi), Projections.to180Degrees(toDegrees(lam)))
+    }
+  }
 }
 
 /** EPSG:3031 Antarctic polar stereographic (lon0 = 0, true scale at 71°S),
@@ -156,4 +237,14 @@ final case class AntarcticStereographic(tileSize: Int) extends Azimuthal {
 
   def isPlottable(lat: Double, lng: Double): Boolean =
     lat <= 0 && lng >= -180 && lng <= 180
+
+  def fromMetres(mx: Double, my: Double): (Double, Double) = {
+    val rho = math.hypot(mx, my)
+    if (rho < 1e-9) (-90.0, 0.0)
+    else {
+      val phi = 2 * (atan(rho / (2.0 * Projections.EarthRadius * k0)) - PI / 4)
+      val lam = atan2(mx, my)
+      (toDegrees(phi), toDegrees(lam))
+    }
+  }
 }

@@ -88,10 +88,13 @@ object MapBuild {
   }
 
   /** A4: max-zoom pixel aggregate, computed once per projection
-    * (TileMapBuilder.java:140-160).
+    * (TileMapBuilder.java:140-160). Takes the UN-exploded occurrence view:
+    * the projection (transcendental math for 3857/polar) runs once per
+    * record, BEFORE the ~5× mapKeys explode — the explode only replicates
+    * the finished integer pixel columns.
     */
-  def pixelAgg(exploded: DataFrame, epsg: String): DataFrame =
-    withPixels(exploded, epsg)
+  def pixelAgg(occ: DataFrame, epsg: String): DataFrame =
+    explodeMapKeys(withPixels(occ, epsg))
       .groupBy("map_key", "px", "py", "bor_year")
       .agg(count(lit(1)).as("occ_count"))
 
@@ -161,8 +164,8 @@ object MapBuild {
     * at scale each level is a separate job writing its own partition, but the
     * lineage shape (each zoom consumes the previous) is what matters.
     */
-  def pyramid(exploded: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
-    var level = pixelAgg(exploded, epsg)
+  def pyramid(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
+    var level = pixelAgg(occ, epsg)
     if (maxZoom < MaxZoom) level = rollupToZoom(level, MaxZoom, maxZoom)
     var out = tileAssembly(level, maxZoom)
     var z = maxZoom - 1

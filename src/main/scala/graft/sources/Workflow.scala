@@ -48,7 +48,7 @@ object Workflow {
     KeyedSink.writeSalted(MapBuild.pointAgg(exploded), col("map_key"), 10, pointsPath)
     // tiles store: z6 MVT blobs keyed by mapKey:z:x:y (salt 100,
     // MapBuilder.java:104)
-    val z6 = MapBuild.rollupToZoom(MapBuild.pixelAgg(exploded, "EPSG:4326"), 16, 6)
+    val z6 = MapBuild.rollupToZoom(MapBuild.pixelAgg(OccurrenceView.occ(spark, sfDir), "EPSG:4326"), 16, 6)
     KeyedSink.writeSalted(
       TileEncode.mvtTiles(spark, z6, 6),
       concat_ws(":", col("map_key"), col("z"), col("tx"), col("ty")), 100, tilesPath)

@@ -113,6 +113,47 @@ class ProjectionSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("inverse projection round-trips the forward for all 4 SRS (C6)") {
+    val rnd = new scala.util.Random(11)
+    val projs = Seq(SphericalMercator(512), Wgs84(512),
+      NorthPoleLaea(512), AntarcticStereographic(512))
+    (1 to 500).foreach { _ =>
+      val lat = rnd.nextDouble() * 168 - 84 // inside mercator clip
+      val lng = rnd.nextDouble() * 358 - 179
+      projs.foreach { p =>
+        if (p.isPlottable(lat, lng)) {
+          val z = rnd.nextInt(10)
+          val (gx, gy) = p.toGlobalPixelXY(lat, lng, z)
+          val (lat2, lng2) = p.fromGlobalPixelXY(gx, gy, z)
+          lat2 shouldBe lat +- 1e-6
+          lng2 shouldBe lng +- 1e-6
+        }
+      }
+    }
+  }
+
+  test("tileBoundary contains every point projected into the tile (C6)") {
+    val rnd = new scala.util.Random(13)
+    val projs = Seq(SphericalMercator(512), Wgs84(512),
+      NorthPoleLaea(512), AntarcticStereographic(512))
+    (1 to 300).foreach { _ =>
+      val lat = rnd.nextDouble() * 168 - 84
+      val lng = rnd.nextDouble() * 358 - 179
+      projs.foreach { p =>
+        if (p.isPlottable(lat, lng)) {
+          val z = 1 + rnd.nextInt(6)
+          val (gx, gy) = p.toGlobalPixelXY(lat, lng, z)
+          val (tx, ty) = Tiles.toTileXY(gx, gy, p.schema, z, 512)
+          val (la0, la1, lo0, lo1) = p.tileBoundary(z, tx, ty, 0.05)
+          assert(lat >= la0 - 1e-6 && lat <= la1 + 1e-6,
+            s"${p.srs} lat $lat outside [$la0,$la1] tile($z,$tx,$ty)")
+          assert(lng >= lo0 - 1e-6 && lng <= lo1 + 1e-6,
+            s"${p.srs} lng $lng outside [$lo0,$lo1] tile($z,$tx,$ty)")
+        }
+      }
+    }
+  }
+
   test("to180Degrees normalization") {
     Projections.to180Degrees(190) shouldBe -170.0
     Projections.to180Degrees(-190) shouldBe 170.0

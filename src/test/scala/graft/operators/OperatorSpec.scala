@@ -31,7 +31,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def exploded = MapBuild.explodeMapKeys(OccurrenceView.occ(spark, Dir))
 
   test("pyramid conserves totals across zoom levels (O3 rollup)") {
-    val px16 = MapBuild.pixelAgg(exploded, "EPSG:4326").cache()
+    val px16 = MapBuild.pixelAgg(OccurrenceView.occ(spark, Dir), "EPSG:4326").cache()
     val t16 = px16.agg(sum("occ_count")).head.getLong(0)
     val z8 = MapBuild.rollupToZoom(px16, 16, 8)
     val t8 = z8.agg(sum("occ_count")).head.getLong(0)
@@ -41,7 +41,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("parent tile total equals the sum of its four children (z5 vs z6)") {
-    val px16 = MapBuild.pixelAgg(exploded, "EPSG:4326").cache()
+    val px16 = MapBuild.pixelAgg(OccurrenceView.occ(spark, Dir), "EPSG:4326").cache()
     val z6 = MapBuild.tileAssembly(MapBuild.rollupToZoom(px16, 16, 6), 6)
     val z5 = MapBuild.tileAssembly(MapBuild.rollupToZoom(px16, 16, 5), 5)
     val fromChildren = z6
@@ -69,7 +69,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("buffer replicas strictly extend the plain tile assembly (G2)") {
-    val px16 = MapBuild.pixelAgg(exploded, "EPSG:4326")
+    val px16 = MapBuild.pixelAgg(OccurrenceView.occ(spark, Dir), "EPSG:4326")
     val z6 = MapBuild.rollupToZoom(px16, 16, 6).cache()
     val plain = MapBuild.tileAssembly(z6, 6)
       .groupBy("map_key").agg(sum("n_pixels").as("n")).collect()
