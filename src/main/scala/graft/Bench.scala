@@ -29,7 +29,11 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // builders may persist intermediates (pyramid levels); drop them so
+      // one query's cache never skews the next query's timing
+      spark.catalog.clearCache()
+      dt
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

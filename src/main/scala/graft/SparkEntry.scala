@@ -270,6 +270,11 @@ object SparkEntry {
           length(col("mvt")).as("mvt_len"))
     }),
 
+    // O3 full chain: the z6→z0 tile pyramid in one lineage (each level
+    // consumes the previous level's output — input halves per level)
+    "q45_pyramid" -> ((s, dir) =>
+      MapBuild.pyramid(occ(s, dir), "EPSG:4326", 0, 6)),
+
     // S10: year facet over the occurrence view (RegressionResource.java:226-252)
     "q43_year_facet" -> ((s, dir) =>
       occ(s, dir).filter(col("year").isNotNull)
@@ -675,6 +680,19 @@ gg AS (SELECT map_key, lng10,
 rk AS (SELECT map_key, lng10, east_cand,
   row_number() OVER (PARTITION BY map_key ORDER BY gap DESC, lng10) AS rn FROM gg)
 SELECT map_key, lng10 AS west10, east_cand AS east10 FROM rk WHERE rn = 1"""),
+
+    "q45_pyramid" -> (Ex + s""",
+px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
+  FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+  GROUP BY ALL),
+${(0 to 6).map { z => s"""
+lvl$z AS (SELECT map_key, px >> ${16 - z} AS px, py >> ${16 - z} AS py, bor_year, CAST(sum(occ_count) AS BIGINT) AS occ_count
+  FROM px16 GROUP BY ALL),
+pp$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, px % 512 AS lpx, py % 512 AS lpy,
+  CAST(sum(occ_count) AS BIGINT) AS pixel_total FROM lvl$z GROUP BY ALL),
+tl$z AS (SELECT map_key, tx, ty, count(*) AS n_pixels, CAST(sum(pixel_total) AS BIGINT) AS total, $z AS z
+  FROM pp$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
+${(6 to 0 by -1).map(z => s"SELECT * FROM tl$z").mkString("\nUNION ALL ")}"""),
 
     "q43_year_facet" -> (OccSql + """
 SELECT year, count(*) AS n FROM occ2 WHERE year IS NOT NULL GROUP BY year"""),

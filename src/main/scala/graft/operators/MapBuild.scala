@@ -165,12 +165,22 @@ object MapBuild {
     * lineage shape (each zoom consumes the previous) is what matters.
     */
   def pyramid(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     var level = pixelAgg(occ, epsg)
     if (maxZoom < MaxZoom) level = rollupToZoom(level, MaxZoom, maxZoom)
+    // Persist each level: every zoom's assembly AND the next rollup consume
+    // it, and without a materialization barrier each union branch would
+    // recompute the whole chain from the scan (the reference writes each
+    // level to a table for the same reason — O4, MapBuilder.java:179-199).
+    // At production scale this becomes a parquet write per level.
+    level.persist(StorageLevel.MEMORY_AND_DISK).count() // materialize barrier
     var out = tileAssembly(level, maxZoom)
     var z = maxZoom - 1
     while (z >= minZoom) {
       level = rollupToZoom(level, z + 1, z)
+      // every level stays persisted until the result is consumed — the union
+      // output references all of them; sizes shrink ~4x per level
+      level.persist(StorageLevel.MEMORY_AND_DISK).count()
       out = out.unionByName(tileAssembly(level, z))
       z -= 1
     }

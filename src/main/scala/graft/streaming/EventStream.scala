@@ -23,9 +23,39 @@ object EventStream {
     val raw = spark.readStream.schema(schema).parquet(dir)
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
-      case _ => raw.withColumn("tstamp", col("ts"))
+        raw.withColumn("tsec", expr("ts div 1000000000"))
+          .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+      case _ =>
+        raw.withColumn("tsec", unix_timestamp(col("ts")))
+          .withColumn("tstamp", col("ts"))
     }
+  }
+
+  final case class SessState(lastTsec: Long, nSessions: Long, nEvents: Long)
+
+  /** Stateful gap-based sessionization (30-min gap) via mapGroupsWithState —
+    * the streaming twin of the batch window-function sessionize (q25). State
+    * per user is three longs; events within a micro-batch are sorted per
+    * group, and session continuity carries across batches through the state
+    * store. Outputs a running (user_id, n_sessions, n_events) snapshot per
+    * update; both counters are monotone, so the max per user is the final.
+    */
+  def sessionize(spark: SparkSession, stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    stream.select(col("user_id").as[Long], col("tsec").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)], state) =>
+          val sorted = it.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { t =>
+            val isNew = st.lastTsec == Long.MinValue || t - st.lastTsec > 1800
+            st = SessState(t, st.nSessions + (if (isNew) 1L else 0L), st.nEvents + 1L)
+          }
+          state.update(st)
+          (uid, st.nSessions, st.nEvents)
+      }.toDF("user_id", "n_sessions", "n_events")
   }
 
   /** Watermarked hourly tumbling-window counts per event type. */

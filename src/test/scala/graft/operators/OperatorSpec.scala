@@ -82,6 +82,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     z6.unpersist()
   }
 
+  test("stateful streaming sessionization equals batch across micro-batches") {
+    import java.nio.file.Files
+    val ev = OccurrenceView.events(spark, Dir)
+    val mid = ev.selectExpr("CAST(percentile_approx(tsec, 0.5) AS BIGINT) AS m").head.getLong(0)
+    val tmp = Files.createTempDirectory("evsess")
+    // two time-ordered files → two micro-batches; state must carry across
+    ev.filter(col("tsec") <= mid).coalesce(1)
+      .write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100) // file-source orders batches by modification time
+    ev.filter(col("tsec") > mid).coalesce(1)
+      .write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString + "/*/")
+    val withTs = raw.withColumn("tsec", expr("ts div 1000000000"))
+    val q = graft.streaming.EventStream.sessionize(spark, withTs)
+      .writeStream.format("memory").queryName("ev_sess").outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("ev_sess")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.SparkEntry.queries("q25_sessionize")(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("evstream")
