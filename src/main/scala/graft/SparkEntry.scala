@@ -275,6 +275,54 @@ object SparkEntry {
     "q45_pyramid" -> ((s, dir) =>
       MapBuild.pyramid(occ(s, dir), "EPSG:4326", 0, 6)),
 
+    // F8/A7: buffered tile-containment filter with dateline wrap, tile-local coords
+    "q46_points_in_tile" -> ((s, dir) => {
+      val pix = TileServe.renderPixels(
+        pointsLL(s, dir).filter(col("map_key") === "0:0"), "EPSG:4326", 6)
+      val top = pix
+        .groupBy((col("px") / TileSize).cast("long").as("ttx"),
+          (col("py") / TileSize).cast("long").as("tty"))
+        .agg(sum("total").as("tile_total"))
+        .orderBy(col("tile_total").desc, col("ttx"), col("tty")).limit(1)
+      TileServe.pointsInTile(
+        pix.crossJoin(broadcast(top.select("ttx", "tty"))),
+        col("ttx"), col("tty"), 6, TileSize, 64, 128L)
+    }),
+
+    // Dedup: connected-components duplicate clusters (iterative min-label propagation)
+    "q47_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(documents(s, dir), 0.5)),
+
+    // Composite: training-corpus filter (canonical ∩ lang ∩ quality ∩ token bounds)
+    "q48_corpus_filter" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val canon = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("cid"))
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      def cnt(w: String): Column =
+        (length(padded) - length(replace(padded, lit(w), lit("")))) / lit(w.length)
+      val sEn = cnt(" the ") + cnt(" and ") + cnt(" of ")
+      val sFr = cnt(" le ") + cnt(" et ") + cnt(" la ")
+      val sDe = cnt(" der ") + cnt(" und ") + cnt(" die ")
+      docs
+        .join(canon, md5(col("text")) === col("h") && col("doc_id") === col("cid"), "left_semi")
+        .filter(when(sEn >= sFr && sEn >= sDe, "en").when(sFr >= sDe, "fr").otherwise("de") === "en")
+        .filter((length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+          / length(col("text"))) >= 0.7)
+        .withColumn("n_tokens",
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))))
+        .filter(col("n_tokens").between(10, 200))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
+    // O9 skew pattern: two-stage salted aggregation (equals q01 exactly)
+    "q49_salted_agg" -> ((s, dir) =>
+      exploded(s, dir)
+        .withColumn("sk", col("l_orderkey") % 16)
+        .groupBy("map_key", "sk").agg(count(lit(1)).as("c"))
+        .groupBy("map_key").agg(sum("c").as("occ_count"))),
+
     // S10: year facet over the occurrence view (RegressionResource.java:226-252)
     "q43_year_facet" -> ((s, dir) =>
       occ(s, dir).filter(col("year").isNotNull)
@@ -693,6 +741,63 @@ pp$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, px % 512 AS lpx, py %
 tl$z AS (SELECT map_key, tx, ty, count(*) AS n_pixels, CAST(sum(pixel_total) AS BIGINT) AS total, $z AS z
   FROM pp$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
 ${(6 to 0 by -1).map(z => s"SELECT * FROM tl$z").mkString("\nUNION ALL ")}"""),
+
+    "q46_points_in_tile" -> (RpZ10Sql.replace(" >> 6 AS px", " >> 10 AS px").replace(" >> 6 AS py", " >> 10 AS py") + """,
+f0 AS (SELECT px, py, total FROM rp WHERE map_key = '0:0'),
+top AS (SELECT px // 512 AS ttx, py // 512 AS tty FROM f0 GROUP BY ttx, tty
+  ORDER BY CAST(sum(total) AS BIGINT) DESC, ttx, tty LIMIT 1)
+SELECT t.ttx AS tx, t.tty AS ty,
+  CASE WHEN t.ttx = 0 AND f.px >= 65536 - 64 THEN f.px - 65536
+       WHEN t.ttx = 127 AND f.px < 64 THEN f.px + 65536 - t.ttx*512
+       ELSE f.px - t.ttx*512 END AS lpx,
+  f.py - t.tty*512 AS lpy, f.total
+FROM f0 f, top t
+WHERE f.py >= t.tty*512 - 64 AND f.py <= t.tty*512 + 512 + 64
+  AND ((f.px >= t.ttx*512 - 64 AND f.px <= t.ttx*512 + 512 + 64)
+    OR (t.ttx = 0 AND f.px >= 65536 - 64) OR (t.ttx = 127 AND f.px < 64))"""),
+
+    "q47_dup_clusters" -> (SigSql.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+bands AS (${(0 until Dedup.NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
+      .mkString("\n  UNION ALL ")}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+ed0 AS (SELECT doc_a, doc_b FROM (
+  SELECT doc_a, doc_b,
+    (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+  WHERE est_sim >= 0.5),
+ed AS (SELECT doc_a AS a, doc_b AS b FROM ed0 UNION SELECT doc_b, doc_a FROM ed0),
+cl AS (SELECT a, b FROM ed UNION SELECT cl.a, ed.b FROM cl JOIN ed ON cl.b = ed.a)
+SELECT d.doc_id, LEAST(d.doc_id, coalesce(min(cl.b), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN cl ON cl.a = d.doc_id
+GROUP BY d.doc_id"""),
+
+    "q48_corpus_filter" -> """WITH canon AS (
+  SELECT md5(text) AS h, min(doc_id) AS cid FROM documents GROUP BY md5(text)),
+base AS (SELECT d.* FROM documents d JOIN canon c ON md5(d.text) = c.h AND d.doc_id = c.cid),
+sc AS (SELECT *,
+    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4 AS s_en,
+    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' le ', ''))) / 4
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' et ', ''))) / 4
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' la ', ''))) / 4 AS s_fr,
+    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' der ', ''))) / 5
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' und ', ''))) / 5
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' die ', ''))) / 5 AS s_de
+  FROM base),
+fl AS (SELECT *, CASE WHEN length(trim(text)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM sc
+  WHERE (CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+         WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = 'en'
+    AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.7)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM fl WHERE n_tokens BETWEEN 10 AND 200 GROUP BY source""",
+
+    "q49_salted_agg" -> (Ex +
+      "\nSELECT map_key, count(*) AS occ_count FROM ex GROUP BY map_key"),
 
     "q43_year_facet" -> (OccSql + """
 SELECT year, count(*) AS n FROM occ2 WHERE year IS NOT NULL GROUP BY year"""),

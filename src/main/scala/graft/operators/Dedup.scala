@@ -97,6 +97,46 @@ object Dedup {
       .filter(col("est_sim") >= minEst)
   }
 
+  /** Connected components over near-dup edges → duplicate clusters, labeled
+    * by the minimum doc_id reachable. Iterative min-label propagation with a
+    * bounded driver loop and per-round persist — the standard large-scale
+    * pattern (rounds ≤ graph diameter; at 100 TB each round is one shuffle
+    * over the edge list, with checkpoints to cut lineage).
+    */
+  def duplicateClusters(docs: DataFrame, minEst: Double): DataFrame = {
+    val edges = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+    // localCheckpoint (eager) truncates the logical plan each round — the
+    // propagation plan references `labels` twice, so without lineage cuts the
+    // plan tree doubles per round and the driver dies on plan blow-up long
+    // before the data is big. At cluster scale use checkpoint() on
+    // reliable storage instead.
+    val sym = edges
+      .union(edges.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbMin = sym
+        .join(labels.withColumnRenamed("doc_id", "dst_id"), col("dst") === col("dst_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster_id").as("nb_min"))
+      val next = labels.join(nbMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.withColumnRenamed("cluster_id", "new_id")
+        .join(labels, Seq("doc_id"))
+        .filter(col("new_id") =!= col("cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over shingle hashes (integer-only, engine-portable). */
   val simhash32 = udf { (t: String) =>
     val hs = (1 to t.length - 4).map { i =>

@@ -94,6 +94,29 @@ object TileServe {
         sum("occ_count").as("total"))
   }
 
+  /** F8/A7: point-features-in-tile filter — keeps the pixels of one tile ±
+    * buffer, honouring dateline wrap at the x-edges, and emits tile-local
+    * coordinates (negative / ≥tileSize inside the buffer)
+    * (Tiles.java:58-127, PointFeatureFilters.java:145-156). tx/ty are
+    * columns so the tile address may come from a data-dependent join.
+    */
+  def pointsInTile(pixels: DataFrame, tx: Column, ty: Column, z: Int,
+      tileSize: Int, buffer: Int, tilesHorizontal: Long): DataFrame = {
+    val maxG = tilesHorizontal * tileSize
+    val px = col("px"); val py = col("py")
+    val inY = py >= ty * tileSize - buffer && py <= ty * tileSize + tileSize + buffer
+    val inX = px >= tx * tileSize - buffer && px <= tx * tileSize + tileSize + buffer
+    val wrapWest = tx === 0 && px >= maxG - buffer
+    val wrapEast = tx === tilesHorizontal - 1 && px < buffer
+    val lpx = when(wrapWest, px - maxG)
+      .when(wrapEast, px + maxG - tx * tileSize)
+      .otherwise(px - tx * tileSize)
+    pixels
+      .filter(inY && (inX || wrapWest || wrapEast))
+      .select(tx.as("tx"), ty.as("ty"),
+        lpx.as("lpx"), (py - ty * tileSize).as("lpy"), col("total"))
+  }
+
   /** A11 full: antimeridian-aware longitude extent per view — find the
     * largest circular gap between occupied longitudes; the extent is the
     * complement of that gap (Capabilities.java:288-334). west10 is the
