@@ -23,8 +23,21 @@ object OccurrenceView {
   /** pyramid threshold analog of MapBuilder.java:93 */
   val Threshold = 1000L
 
+  /** The testdata tables are single-row-group parquet files, so the scan
+    * yields ONE input partition regardless of maxPartitionBytes (parquet
+    * splits at row-group granularity) — and everything up to the first
+    * exchange (decode, projection math, explode, partial aggregation) would
+    * run on one core. Fan out to the session default parallelism right
+    * after the scan; at production scale inputs arrive in many row groups
+    * and this is a no-op.
+    */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    fanOut(spark, spark.read.parquet(s"$dir/lineitem.parquet"))
 
   def orders(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/orders.parquet")
@@ -35,7 +48,7 @@ object OccurrenceView {
     * set — handle both arrival types so any session config works.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = fanOut(spark, spark.read.parquet(s"$dir/events.parquet"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("tsec", expr("ts div 1000000000"))
@@ -47,10 +60,10 @@ object OccurrenceView {
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    fanOut(spark, spark.read.parquet(s"$dir/documents.parquet"))
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    fanOut(spark, spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** The occurrence view. Columns:
     * lat10, lng10 (long), lat, lng (double), year (int, nullable),
