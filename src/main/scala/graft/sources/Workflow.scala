@@ -46,12 +46,17 @@ object Workflow {
     // points store: per-view feature rows keyed by map_key (salt 10,
     // MapBuilder.java:92)
     KeyedSink.writeSalted(MapBuild.pointAgg(exploded), col("map_key"), 10, pointsPath)
-    // tiles store: z6 MVT blobs keyed by mapKey:z:x:y (salt 100,
-    // MapBuilder.java:104)
-    val z6 = MapBuild.rollupToZoom(MapBuild.pixelAgg(OccurrenceView.occ(spark, sfDir), "EPSG:4326"), 16, 6)
-    KeyedSink.writeSalted(
-      TileEncode.mvtTiles(spark, z6, 6),
-      concat_ws(":", col("map_key"), col("z"), col("tx"), col("ty")), 100, tilesPath)
+    // tiles store: z6 MVT blobs keyed by srs:mapKey:z:x:y (salt 100,
+    // MapBuilder.java:104) — one sub-store per projection, like the
+    // reference's four column families (PrepareBackfill.java:88-93)
+    Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031").foreach { epsg =>
+      val z6 = MapBuild.rollupToZoom(
+        MapBuild.pixelAgg(OccurrenceView.occ(spark, sfDir), epsg), 16, 6)
+      KeyedSink.writeSalted(
+        TileEncode.mvtTiles(spark, z6, 6),
+        concat_ws(":", lit(epsg), col("map_key"), col("z"), col("tx"), col("ty")),
+        100, s"$tilesPath/srs=${epsg.replace(':', '_')}")
+    }
 
     val m = Manifest(version, pointsPath, tilesPath)
     val tmp = Paths.get(workDir, s".manifest.v$version.tmp")

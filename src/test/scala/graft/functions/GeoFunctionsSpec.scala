@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.core.Projections
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Column-math projections must agree with the pure-Scala core library —
+  * guards refactors of either side (the oracle only checks the Column path).
+  */
+class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("geofn-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("Column pixelAtMaxZoom matches core toGlobalPixelXY for all 4 SRS") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(99)
+    val pts = Seq.fill(2000)((rnd.nextDouble() * 168 - 84, rnd.nextDouble() * 358 - 179))
+    val df = pts.toDF("lat", "lng")
+    Seq("EPSG:3857", "EPSG:4326", "EPSG:3575", "EPSG:3031").foreach { epsg =>
+      val proj = Projections.fromEpsg(epsg, 512)
+      val (px, py) = GeoFunctions.pixelAtMaxZoom(epsg, col("lat"), col("lng"), 16, 512)
+      val got = df.filter(GeoFunctions.isPlottable(epsg, col("lat"), col("lng")))
+        .select(col("lat"), col("lng"), px.as("px"), py.as("py"))
+        .collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        val (gx, gy) = proj.toGlobalPixelXY(r.getDouble(0), r.getDouble(1), 16)
+        // core and Column paths use different literal folding; allow 1 pixel
+        // of slack only at exact floor boundaries (none expected in practice)
+        assert(math.abs(math.floor(gx).toLong - r.getLong(2)) <= 1,
+          s"$epsg px core=${math.floor(gx).toLong} col=${r.getLong(2)} @ $r")
+        assert(math.abs(math.floor(gy).toLong - r.getLong(3)) <= 1,
+          s"$epsg py core=${math.floor(gy).toLong} col=${r.getLong(3)} @ $r")
+      }
+    }
+  }
+}

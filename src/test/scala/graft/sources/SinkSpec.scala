@@ -45,8 +45,10 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.count() > 0)
     assert(one.select("map_key").distinct().collect().map(_.getString(0)).toSeq === Seq("0:0"))
 
-    // tiles store: MVT blobs decode and conserve the points total
-    val tiles = spark.read.parquet(m2.tiles).select("map_key", "mvt").collect()
+    // tiles store: 4326 MVT blobs decode and conserve the points total
+    // (other projections clip to their hemispheres)
+    val tiles = spark.read.parquet(s"${m2.tiles}/srs=EPSG_4326")
+      .select("map_key", "mvt").collect()
     val totalFromTiles = tiles.filter(_.getString(0) == "0:0")
       .map(r => graft.functions.Mvt.decodeTile(r.getAs[Array[Byte]](1)).map(_.total).sum).sum
     val expected = spark.read.parquet(m2.points)
