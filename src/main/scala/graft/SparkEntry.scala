@@ -733,13 +733,13 @@ SELECT map_key, lng10 AS west10, east_cand AS east10 FROM rk WHERE rn = 1"""),
 px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
   FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
   GROUP BY ALL),
+pxc AS (SELECT map_key, px, py, CAST(sum(occ_count) AS BIGINT) AS total FROM px16 GROUP BY ALL),
 ${(0 to 6).map { z => s"""
-lvl$z AS (SELECT map_key, px >> ${16 - z} AS px, py >> ${16 - z} AS py, bor_year, CAST(sum(occ_count) AS BIGINT) AS occ_count
-  FROM px16 GROUP BY ALL),
-pp$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, px % 512 AS lpx, py % 512 AS lpy,
-  CAST(sum(occ_count) AS BIGINT) AS pixel_total FROM lvl$z GROUP BY ALL),
-tl$z AS (SELECT map_key, tx, ty, count(*) AS n_pixels, CAST(sum(pixel_total) AS BIGINT) AS total, $z AS z
-  FROM pp$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
+lvl$z AS (SELECT map_key, px >> ${16 - z} AS px, py >> ${16 - z} AS py, CAST(sum(total) AS BIGINT) AS total
+  FROM pxc GROUP BY ALL),
+tl$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, count(*) AS n_pixels,
+  CAST(sum(total) AS BIGINT) AS total, $z AS z
+  FROM lvl$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
 ${(6 to 0 by -1).map(z => s"SELECT * FROM tl$z").mkString("\nUNION ALL ")}"""),
 
     "q46_points_in_tile" -> (RpZ10Sql.replace(" >> 6 AS px", " >> 10 AS px").replace(" >> 6 AS py", " >> 10 AS py") + """,

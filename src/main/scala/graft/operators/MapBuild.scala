@@ -164,24 +164,52 @@ object MapBuild {
     * at scale each level is a separate job writing its own partition, but the
     * lineage shape (each zoom consumes the previous) is what matters.
     */
+  /** Tile stats for one zoom from bor-collapsed per-pixel rows
+    * (map_key, px, py, total): pixel rows ARE the per-pixel aggregate, so
+    * tiles need exactly one groupBy.
+    */
+  private def tileStats(pixelsAtZ: DataFrame, z: Int): DataFrame =
+    pixelsAtZ
+      .groupBy(
+        col("map_key"),
+        (col("px") / TileSize).cast("long").as("tx"),
+        (col("py") / TileSize).cast("long").as("ty"))
+      .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
+      .withColumn("z", lit(z))
+
   def pyramid(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // The pyramid's tile stats never use bor_year — collapse it once at max
+    // zoom so every level's rows shrink and each zoom needs a single
+    // groupBy instead of two (the bor-keyed variant exists for the MVT
+    // encode path, tileAssembly/TileEncode).
     var level = pixelAgg(occ, epsg)
-    if (maxZoom < MaxZoom) level = rollupToZoom(level, MaxZoom, maxZoom)
+      .groupBy("map_key", "px", "py")
+      .agg(sum("occ_count").as("total"))
+    if (maxZoom < MaxZoom)
+      level = level.groupBy(
+        col("map_key"),
+        shiftright(col("px"), MaxZoom - maxZoom).as("px"),
+        shiftright(col("py"), MaxZoom - maxZoom).as("py"))
+        .agg(sum("total").as("total"))
     // Persist each level: every zoom's assembly AND the next rollup consume
     // it, and without a materialization barrier each union branch would
     // recompute the whole chain from the scan (the reference writes each
     // level to a table for the same reason — O4, MapBuilder.java:179-199).
     // At production scale this becomes a parquet write per level.
     level.persist(StorageLevel.MEMORY_AND_DISK).count() // materialize barrier
-    var out = tileAssembly(level, maxZoom)
+    var out = tileStats(level, maxZoom)
     var z = maxZoom - 1
     while (z >= minZoom) {
-      level = rollupToZoom(level, z + 1, z)
+      level = level.groupBy(
+        col("map_key"),
+        shiftright(col("px"), 1).as("px"),
+        shiftright(col("py"), 1).as("py"))
+        .agg(sum("total").as("total"))
       // every level stays persisted until the result is consumed — the union
       // output references all of them; sizes shrink ~4x per level
       level.persist(StorageLevel.MEMORY_AND_DISK).count()
-      out = out.unionByName(tileAssembly(level, z))
+      out = out.unionByName(tileStats(level, z))
       z -= 1
     }
     out
