@@ -323,6 +323,34 @@ object SparkEntry {
         .groupBy("map_key", "sk").agg(count(lit(1)).as("c"))
         .groupBy("map_key").agg(sum("c").as("occ_count"))),
 
+    // Pipeline: deterministic per-stratum sampling (LCG hash of the id —
+    // reproducible across engines and runs, no RNG state)
+    "q50_stratified_sample" -> ((s, dir) =>
+      documents(s, dir)
+        .filter((col("doc_id") * 1103515245L + 12345) % 2147483648L % 100 < 25)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))),
+
+    // Pipeline: deterministic train/val/test split (80/10/10 by id hash)
+    "q51_data_split" -> ((s, dir) => {
+      val b = (col("doc_id") * 1103515245L + 12345) % 2147483648L % 100
+      documents(s, dir)
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
+    // Pipeline: sequence-length bucketing for batch packing (16-token buckets)
+    "q52_length_buckets" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("n_tokens",
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))))
+        .groupBy((expr("n_tokens div 16") * 16).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))),
+
     // S10: year facet over the occurrence view (RegressionResource.java:226-252)
     "q43_year_facet" -> ((s, dir) =>
       occ(s, dir).filter(col("year").isNotNull)
@@ -798,6 +826,22 @@ FROM fl WHERE n_tokens BETWEEN 10 AND 200 GROUP BY source""",
 
     "q49_salted_agg" -> (Ex +
       "\nSELECT map_key, count(*) AS occ_count FROM ex GROUP BY map_key"),
+
+    "q50_stratified_sample" -> """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 100 < 25
+GROUP BY source""",
+
+    "q51_data_split" -> """SELECT CASE WHEN (doc_id * 1103515245 + 12345) % 2147483648 % 100 < 80 THEN 'train'
+  WHEN (doc_id * 1103515245 + 12345) % 2147483648 % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ALL""",
+
+    "q52_length_buckets" -> """WITH tk AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens FROM documents)
+SELECT (n_tokens // 16) * 16 AS bucket, count(*) AS n_docs,
+  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+FROM tk GROUP BY bucket""",
 
     "q43_year_facet" -> (OccSql + """
 SELECT year, count(*) AS n FROM occ2 WHERE year IS NOT NULL GROUP BY year"""),
