@@ -31,6 +31,26 @@ object EventStream {
     }
   }
 
+  /** Sliding-window counts (1h window, 15min slide) with a watermark —
+    * out-of-order events land in all windows they overlap until the
+    * watermark passes; state per (window, event_type) only.
+    */
+  def slidingCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("tstamp", "1 hour")
+      .groupBy(window(col("tstamp"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"))
+
+  /** Stream-static enrichment: broadcast-join the event stream against a
+    * static dimension (per-user aggregate) — the streaming analog of the
+    * reference's dictionary lookups; no stream-side state.
+    */
+  def enriched(stream: DataFrame, userDim: DataFrame): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
+
   final case class SessState(lastTsec: Long, nSessions: Long, nEvents: Long)
 
   /** Stateful gap-based sessionization (30-min gap) via mapGroupsWithState —

@@ -111,6 +111,48 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("sliding-window streaming counts equal the batch window aggregation") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("evslide")
+    Files.copy(Paths.get(s"$Dir/events.parquet"),
+      tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$Dir/events.parquet").schema
+    val stream = graft.streaming.EventStream.slidingCounts(
+      graft.streaming.EventStream.readEvents(spark, tmp.toString, schema))
+    val q = stream.writeStream.format("memory")
+      .queryName("ev_slide").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("ev_slide").collect().map(_.toSeq).toSet
+    val batch = OccurrenceView.events(spark, Dir)
+      .groupBy(window(col("tstamp"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("stream-static broadcast enrichment joins every event to its dimension row") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("evenrich")
+    Files.copy(Paths.get(s"$Dir/events.parquet"),
+      tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$Dir/events.parquet").schema
+    val dim = OccurrenceView.events(spark, Dir)
+      .groupBy("user_id").agg(count(lit(1)).as("user_total"))
+    val stream = graft.streaming.EventStream.enriched(
+      graft.streaming.EventStream.readEvents(spark, tmp.toString, schema), dim)
+      .select("event_id", "user_id", "user_total")
+    val q = stream.writeStream.format("memory")
+      .queryName("ev_enrich").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("ev_enrich")
+    assert(got.count() === OccurrenceView.events(spark, Dir).count())
+    assert(got.filter(col("user_total").isNull).count() === 0)
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("evstream")
