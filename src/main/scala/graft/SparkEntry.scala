@@ -257,6 +257,28 @@ object SparkEntry {
           pmod(col("py"), lit(TileSize.toLong)).as("lpy"), col("total"))
     }),
 
+    // A6 verbose mode: per-pixel per-year counts of the busiest tile
+    "q53_tile_verbose" -> ((s, dir) => {
+      val pix = MapBuild.withPixels(
+        pointsLL(s, dir).filter(col("map_key") === "0:0"), "EPSG:4326")
+        .select(
+          shiftright(col("px"), MaxZoom - 6).as("px"),
+          shiftright(col("py"), MaxZoom - 6).as("py"),
+          when(col("bor_year") >= 100, (col("bor_year") / 100).cast("int"))
+            .otherwise(0).as("yr"),
+          col("occ_count"))
+        .groupBy("px", "py", "yr").agg(sum("occ_count").as("n"))
+        .withColumn("tx", (col("px") / TileSize).cast("long"))
+        .withColumn("ty", (col("py") / TileSize).cast("long"))
+      val top = pix.groupBy("tx", "ty").agg(sum("n").as("t"))
+        .orderBy(col("t").desc, col("tx"), col("ty")).limit(1)
+      pix.join(broadcast(top.select("tx", "ty")), Seq("tx", "ty"))
+        .select(col("tx"), col("ty"),
+          pmod(col("px"), lit(TileSize.toLong)).as("lpx"),
+          pmod(col("py"), lit(TileSize.toLong)).as("lpy"),
+          col("yr"), col("n"))
+    }),
+
     // A11 full: antimeridian-aware circular longitude extent per view
     "q41_circular_extent" -> ((s, dir) =>
       TileServe.circularExtent(points(s, dir))),
@@ -744,6 +766,19 @@ top AS (SELECT tx, ty FROM fpf GROUP BY tx, ty
   ORDER BY CAST(sum(total) AS BIGINT) DESC, tx, ty LIMIT 1)
 SELECT f.tx, f.ty, f.px % 512 AS lpx, f.py % 512 AS lpy, f.total
 FROM fpf f JOIN top t ON f.tx = t.tx AND f.ty = t.ty"""),
+
+    "q53_tile_verbose" -> (Pts + s""",
+f0 AS (SELECT * FROM pts WHERE map_key = '0:0'),
+ptsll AS (SELECT *, lat10/10.0 AS lat, lng10/10.0 AS lng FROM f0),
+pix0 AS (SELECT ${px4326("lng")} >> 10 AS px, ${py4326("lat")} >> 10 AS py,
+  CASE WHEN bor_year >= 100 THEN CAST(bor_year // 100 AS INT) ELSE 0 END AS yr, occ_count
+  FROM ptsll WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180),
+pixg AS (SELECT px, py, yr, CAST(sum(occ_count) AS BIGINT) AS n, px // 512 AS tx, py // 512 AS ty
+  FROM pix0 GROUP BY px, py, yr),
+top AS (SELECT tx, ty FROM pixg GROUP BY tx, ty
+  ORDER BY CAST(sum(n) AS BIGINT) DESC, tx, ty LIMIT 1)
+SELECT p.tx, p.ty, p.px % 512 AS lpx, p.py % 512 AS lpy, p.yr, p.n
+FROM pixg p JOIN top t ON p.tx = t.tx AND p.ty = t.ty"""),
 
     "q41_circular_extent" -> (Pts + """,
 d AS (SELECT DISTINCT map_key, lng10 FROM pts),

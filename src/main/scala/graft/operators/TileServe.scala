@@ -50,6 +50,35 @@ object TileServe {
       .agg(sum("occ_count").as("total"))
   }
 
+  /** §3.2 full serving path over the BUILT store: resolve the manifest,
+    * fetch one tile blob by salted key (S8), decode the MVT, apply year/bor
+    * filters to its per-feature attributes (F6/F7), and re-aggregate to
+    * per-pixel totals (A6) — the reference's
+    * TileResource.getTile → HBaseMaps.getTile → VectorTileFilters chain.
+    */
+  def serveTile(spark: org.apache.spark.sql.SparkSession, workDir: String,
+      epsg: String, mapKey: String, z: Int, x: Long, y: Long,
+      years: YearRange, borIds: Seq[Int]): Seq[(Int, Int, Long)] = {
+    val m = graft.sources.Workflow.readManifest(workDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest in $workDir"))
+    val key = s"$epsg:$mapKey:$z:$x:$y"
+    val blobs = graft.sources.KeyedSink
+      .lookup(spark, s"${m.tiles}/srs=${epsg.replace(':', '_')}", 100, key)
+      .select("mvt").collect()
+    blobs.toSeq.flatMap { r =>
+      graft.functions.Mvt.decodeTile(r.getAs[Array[Byte]](0))
+        .filter(f => borIds.isEmpty || borIds.contains(f.layer.stripPrefix("bor").toInt))
+        .flatMap { f =>
+          val kept = f.yearCounts.collect {
+            case (yr, n) if years.contains(if (yr == 0) None else Some(yr)) => n
+          }.sum
+          if (kept > 0) Some((f.x, f.y, kept)) else None
+        }
+    }.groupBy(t => (t._1, t._2))
+      .map { case ((px, py), ts) => (px, py, ts.map(_._3).sum) }
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
   /** J1: country-mask semi-join — density pixels kept only where the mask
     * view also has a pixel (VectorTileFilters.java:83-99). A broadcast-able
     * semi-join on the pixel key at any scale (the mask is one view's tile).

@@ -56,6 +56,34 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalFromTiles === expected)
   }
 
+  test("serving a tile from the store equals computing it from the raw table") {
+    import graft.operators.{MapBuild, OccurrenceView, TileServe}
+    import graft.core.YearRange
+    val m = Workflow.readManifest(work.toString).get
+    val first = spark.read.parquet(s"${m.tiles}/srs=EPSG_4326")
+      .filter(col("map_key") === "0:0")
+      .select("tx", "ty").orderBy("tx", "ty").head
+    val (tx, ty) = (first.getLong(0), first.getLong(1))
+
+    val served = TileServe.serveTile(spark, work.toString, "EPSG:4326", "0:0",
+      6, tx, ty, YearRange.Unbounded, Nil).toSet
+
+    val z6 = MapBuild.rollupToZoom(
+      MapBuild.pixelAgg(OccurrenceView.occ(spark, Dir), "EPSG:4326"), 16, 6)
+    val fresh = z6.filter(col("map_key") === "0:0" &&
+        (col("px") / 512).cast("long") === tx && (col("py") / 512).cast("long") === ty)
+      .groupBy(pmod(col("px"), lit(512)).as("lpx"), pmod(col("py"), lit(512)).as("lpy"))
+      .agg(sum("occ_count").as("n"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))).toSet
+    assert(served === fresh)
+    assert(served.nonEmpty)
+
+    // year-filtered serve is a subset with smaller totals
+    val filtered = TileServe.serveTile(spark, work.toString, "EPSG:4326", "0:0",
+      6, tx, ty, YearRange(Some(1995), Some(2005)), Nil)
+    assert(filtered.map(_._3).sum < served.toSeq.map(_._3).sum)
+  }
+
   test("rows within each salt partition are sorted by salted key") {
     val m = Workflow.readManifest(work.toString).get
     import scala.jdk.CollectionConverters._
