@@ -82,6 +82,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     z6.unpersist()
   }
 
+  test("core pipelines yield empty results (not errors) on empty input") {
+    val empty = OccurrenceView.occ(spark, Dir).filter(lit(false))
+    assert(MapBuild.viewCounts(empty).count() === 0)
+    assert(MapBuild.featureRollup(MapBuild.pointAgg(
+      MapBuild.explodeMapKeys(empty))).count() === 0)
+    assert(MapBuild.pixelAgg(empty, "EPSG:3857").count() === 0)
+    assert(TileServe.capabilities(MapBuild.pointAgg(
+      MapBuild.explodeMapKeys(empty))).count() === 0)
+    assert(TileServe.circularExtent(MapBuild.pointAgg(
+      MapBuild.explodeMapKeys(empty))).count() === 0)
+    val emptyDocs = OccurrenceView.documents(spark, Dir).filter(lit(false))
+    assert(Dedup.withMinhashSignature(emptyDocs).count() === 0)
+    assert(Dedup.lshCandidatePairs(emptyDocs, 0.5).count() === 0)
+    assert(Dedup.duplicateClusters(emptyDocs, 0.5).count() === 0)
+  }
+
   test("stateful streaming sessionization equals batch across micro-batches") {
     import java.nio.file.Files
     val ev = OccurrenceView.events(spark, Dir)
