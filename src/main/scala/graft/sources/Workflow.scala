@@ -46,16 +46,31 @@ object Workflow {
     // points store: per-view feature rows keyed by map_key (salt 10,
     // MapBuilder.java:92)
     KeyedSink.writeSalted(MapBuild.pointAgg(exploded), col("map_key"), 10, pointsPath)
-    // tiles store: z6 MVT blobs keyed by srs:mapKey:z:x:y (salt 100,
-    // MapBuilder.java:104) — one sub-store per projection, like the
-    // reference's four column families (PrepareBackfill.java:88-93)
+    // tiles store: MVT blobs for every zoom 0..6, keyed srs:mapKey:z:x:y
+    // (salt 100, MapBuilder.java:104) — one sub-store per (projection, zoom)
+    // like the reference's per-zoom HFile directories under four column
+    // families (PrepareBackfill.java:88-93, TileMapBuilder.java:87-93).
+    // Each zoom's pixels derive from the previous zoom's persisted level
+    // (O3 compute-once pyramid).
     Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031").foreach { epsg =>
-      val z6 = MapBuild.rollupToZoom(
+      var level = MapBuild.rollupToZoom(
         MapBuild.pixelAgg(OccurrenceView.occ(spark, sfDir), epsg), 16, 6)
-      KeyedSink.writeSalted(
-        TileEncode.mvtTiles(spark, z6, 6),
-        concat_ws(":", lit(epsg), col("map_key"), col("z"), col("tx"), col("ty")),
-        100, s"$tilesPath/srs=${epsg.replace(':', '_')}")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var z = 6
+      while (z >= 0) {
+        KeyedSink.writeSalted(
+          TileEncode.mvtTiles(spark, level, z),
+          concat_ws(":", lit(epsg), col("map_key"), col("z"), col("tx"), col("ty")),
+          100, s"$tilesPath/srs=${epsg.replace(':', '_')}/zoom=$z")
+        if (z > 0) {
+          val next = MapBuild.rollupToZoom(level, z, z - 1)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          level.unpersist()
+          level = next
+        } else level.unpersist()
+        z -= 1
+      }
     }
 
     val m = Manifest(version, pointsPath, tilesPath)

@@ -45,9 +45,9 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.count() > 0)
     assert(one.select("map_key").distinct().collect().map(_.getString(0)).toSeq === Seq("0:0"))
 
-    // tiles store: 4326 MVT blobs decode and conserve the points total
-    // (other projections clip to their hemispheres)
-    val tiles = spark.read.parquet(s"${m2.tiles}/srs=EPSG_4326")
+    // tiles store: 4326 z6 MVT blobs decode and conserve the points total
+    // (other projections clip to their hemispheres; lower zooms re-count it)
+    val tiles = spark.read.parquet(s"${m2.tiles}/srs=EPSG_4326/zoom=6")
       .select("map_key", "mvt").collect()
     val totalFromTiles = tiles.filter(_.getString(0) == "0:0")
       .map(r => graft.functions.Mvt.decodeTile(r.getAs[Array[Byte]](1)).map(_.total).sum).sum
@@ -60,7 +60,7 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.operators.{MapBuild, OccurrenceView, TileServe}
     import graft.core.YearRange
     val m = Workflow.readManifest(work.toString).get
-    val first = spark.read.parquet(s"${m.tiles}/srs=EPSG_4326")
+    val first = spark.read.parquet(s"${m.tiles}/srs=EPSG_4326/zoom=6")
       .filter(col("map_key") === "0:0")
       .select("tx", "ty").orderBy("tx", "ty").head
     val (tx, ty) = (first.getLong(0), first.getLong(1))
@@ -82,6 +82,15 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val filtered = TileServe.serveTile(spark, work.toString, "EPSG:4326", "0:0",
       6, tx, ty, YearRange(Some(1995), Some(2005)), Nil)
     assert(filtered.map(_._3).sum < served.toSeq.map(_._3).sum)
+
+    // the pyramid store serves lower zooms too: both z0 tiles of the 2x1
+    // scheme together carry the view's full total
+    val z0total = (0L to 1L).flatMap(x =>
+      TileServe.serveTile(spark, work.toString, "EPSG:4326", "0:0",
+        0, x, 0, YearRange.Unbounded, Nil)).map(_._3).sum
+    val expected0 = spark.read.parquet(m.points)
+      .filter(col("map_key") === "0:0").agg(sum("occ_count")).head.getLong(0)
+    assert(z0total === expected0)
   }
 
   test("rows within each salt partition are sorted by salted key") {
