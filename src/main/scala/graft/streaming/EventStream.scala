@@ -51,6 +51,25 @@ object EventStream {
   def enriched(stream: DataFrame, userDim: DataFrame): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(userDim), Seq("user_id"))
 
+  /** Incremental tile-index maintenance: a streaming aggregation over
+    * occurrence batches keeps per-(view, zoom-z pixel) counts continuously
+    * up to date — where the reference can only rebuild the whole index and
+    * swap a pointer (FinaliseBackfill.java:64-106), a stream of appends
+    * updates exactly the touched pixel rows. State is the live pixel
+    * aggregate; downstream tile encode/serve reads the update stream.
+    */
+  def incrementalPixelCounts(occStream: DataFrame, epsg: String, z: Int): DataFrame = {
+    val projected = graft.operators.MapBuild.withPixels(occStream, epsg)
+      .withColumn("map_key", explode(col("map_keys")))
+    projected
+      .groupBy(
+        col("map_key"),
+        shiftright(col("px"), graft.operators.OccurrenceView.MaxZoom - z).as("px"),
+        shiftright(col("py"), graft.operators.OccurrenceView.MaxZoom - z).as("py"),
+        col("bor_year"))
+      .agg(count(lit(1)).as("occ_count"))
+  }
+
   final case class SessState(lastTsec: Long, nSessions: Long, nEvents: Long)
 
   /** Stateful gap-based sessionization (30-min gap) via mapGroupsWithState —

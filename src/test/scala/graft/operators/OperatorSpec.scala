@@ -82,6 +82,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     z6.unpersist()
   }
 
+  test("incremental streaming pixel index equals the batch z6 rollup") {
+    import java.nio.file.Files
+    val occ = OccurrenceView.occ(spark, Dir)
+    val tmp = Files.createTempDirectory("occstream")
+    // two append batches, as if two ingest waves arrived
+    occ.filter(col("l_orderkey") % 2 === 0).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    occ.filter(col("l_orderkey") % 2 === 1).write.parquet(tmp.resolve("b2").toString)
+    val schema = occ.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val agg = graft.streaming.EventStream.incrementalPixelCounts(stream, "EPSG:4326", 6)
+    val q = agg.writeStream.format("memory")
+      .queryName("occ_pixels").outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("occ_pixels").collect().map(_.toSeq).toSet
+    val batch = MapBuild.rollupToZoom(
+      MapBuild.pixelAgg(occ, "EPSG:4326"), 16, 6).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("core pipelines yield empty results (not errors) on empty input") {
     val empty = OccurrenceView.occ(spark, Dir).filter(lit(false))
     assert(MapBuild.viewCounts(empty).count() === 0)
