@@ -113,6 +113,25 @@ object SparkEntry {
         regr_count(col("ratio"), col("year")).as("n_years"))
     }),
 
+    // A12 full parity: per-hexagon regression — species layer ⋈ higher-taxon
+    // layer on hex id, emitting slope/intercept/r²/SSE/significance
+    // (RegressionResource.java:258-314). Hex cells are the q10 world grid at
+    // z10; "species" ≙ the 1:7 taxon view's records, "higher taxon" ≙ all.
+    "q55_hex_regression" -> ((s, dir) => {
+      val base = MapBuild
+        .withPixels(occ(s, dir).filter(col("year").isNotNull), "EPSG:4326")
+        .select(col("year"), col("l_partkey"),
+          shiftright(col("px"), MaxZoom - 10).as("px"),
+          shiftright(col("py"), MaxZoom - 10).as("py"))
+      val (hq, hr) = hexCell(col("px"), col("py"), Hex.radius)
+      val cells = base.select(col("year"), col("l_partkey"),
+        hq.as("hex_q"), hr.as("hex_r"))
+      val group = cells.groupBy("hex_q", "hex_r", "year").agg(count(lit(1)).as("n"))
+      val species = cells.filter(col("l_partkey") % 50 === 7)
+        .groupBy("hex_q", "hex_r", "year").agg(count(lit(1)).as("n"))
+      TileServe.regressionFull(species, group, Seq("hex_q", "hex_r"))
+    }),
+
     // S9/A10: ad-hoc geotile aggregation, GEO_BOUNDS (AdHocMapsResource.java:186-232)
     "q13_geotile_bounds" -> ((s, dir) =>
       TileServe.geotile(eventsGeo(s, dir), 6, bounds = true)),
@@ -226,12 +245,10 @@ object SparkEntry {
       MapBuild.tileReplicaAssembly(MapBuild.rollupToZoom(px16, MaxZoom, 6), "EPSG:4326", 6)
     }),
 
-    // A14/O5: dictionary-encode view keys to dense ints for shuffle shrink
+    // A14/O5: dictionary-encode view keys to dense ints for shuffle shrink —
+    // broadcast dictionary (bounded by #views), NOT a global Window
     "q37_dict_encode" -> ((s, dir) =>
-      MapBuild.viewCounts(occ(s, dir))
-        .select(col("map_key"),
-          (row_number().over(Window.orderBy("map_key")) - 1).as("key_id"),
-          col("occ_count"))),
+      MapBuild.dictionaryEncode(s, MapBuild.viewCounts(occ(s, dir)))),
 
     // Multimodal: binary payload column -> typed mapPartitions "decode" (stubbed codec)
     "q38_media_meta" -> ((s, dir) =>
@@ -290,6 +307,27 @@ object SparkEntry {
       graft.operators.TileEncode.mvtTiles(s, z6, 6)
         .select(col("map_key"), col("z"), col("tx"), col("ty"),
           length(col("mvt")).as("mvt_len"))
+    }),
+
+    // A5 decode gate: the q42 MVT blobs decoded back to per-pixel per-year
+    // rows — closes the encode path's no-oracle gap (the bytes aren't
+    // SQL-expressible; their decoded content is)
+    "q54_mvt_decoded" -> ((s, dir) => {
+      import s.implicits._
+      val z6 = MapBuild.rollupToZoom(
+        MapBuild.pixelAgg(occ(s, dir), "EPSG:4326"), MaxZoom, 6)
+      graft.operators.TileEncode.mvtTiles(s, z6, 6)
+        .select("map_key", "tx", "ty", "mvt")
+        .as[(String, Long, Long, Array[Byte])]
+        .flatMap { case (k, tx, ty, bytes) =>
+          graft.functions.Mvt.decodeTile(bytes).flatMap { f =>
+            val bor = f.layer.stripPrefix("bor").toInt
+            f.yearCounts.toSeq.map { case (yr, n) =>
+              (k, tx, ty, f.x.toLong, f.y.toLong, bor, yr, n)
+            }
+          }
+        }
+        .toDF("map_key", "tx", "ty", "lpx", "lpy", "bor", "year", "n")
     }),
 
     // O3 full chain: the z6→z0 tile pyramid in one lineage (each level
@@ -386,6 +424,35 @@ object SparkEntry {
         eventsGeo(s, dir)
           .filter(col("lat") >= la0 && col("lat") <= la1 &&
             col("lng") >= lo0 && col("lng") <= lo1), 6, bounds = false)
+    }),
+
+    // S9/C6 polar ad-hoc: a pole tile's boundary (EPSG:3575, z2 NE quadrant)
+    // drives the bbox pre-filter — the tile reaches the pole (maxLat=90) and
+    // spans a circular (antimeridian-crossing) longitude range, the quadrant
+    // fan-out case (AdHocMapsResource.java:156-170, NorthPoleLAEAEurope.java:67-211)
+    "q56_adhoc_polar_3575" -> ((s, dir) => {
+      val (la0, la1, lo0, lo1) =
+        graft.core.NorthPoleLaea(TileSize).tileBoundary(2, 2, 1, 0.1)
+      val lngF =
+        if (lo0 <= lo1) col("lng") >= lo0 && col("lng") <= lo1
+        else col("lng") >= lo0 || col("lng") <= lo1
+      TileServe.geotile(
+        eventsGeo(s, dir)
+          .filter(col("lat") >= la0 && col("lat") <= la1 && lngF), 6, bounds = false)
+    }),
+
+    // S9/C6 polar ad-hoc: an EPSG:3031 seam tile (z2, buffered) — the
+    // boundary crosses the antimeridian WITHOUT containing the pole, the
+    // circular-range serving case (WGS84AntarcticPolarStereographic.java:87-224)
+    "q57_adhoc_polar_3031" -> ((s, dir) => {
+      val (la0, la1, lo0, lo1) =
+        graft.core.AntarcticStereographic(TileSize).tileBoundary(2, 1, 3, 0.25)
+      val lngF =
+        if (lo0 <= lo1) col("lng") >= lo0 && col("lng") <= lo1
+        else col("lng") >= lo0 || col("lng") <= lo1
+      TileServe.geotile(
+        eventsGeo(s, dir)
+          .filter(col("lat") >= la0 && col("lat") <= la1 && lngF), 6, bounds = false)
     }),
 
     // Dedup: MinHash signatures (5-char shingles, 8 permutations)
@@ -579,8 +646,10 @@ FROM px16 GROUP BY ALL"""),
     "q08_tiles_z6" -> (TilesZ6Sql + "\nSELECT * FROM tl"),
 
     "q09_square_bin" -> (RpZ10Sql + """
-SELECT map_key, px // 64 AS cell_x, py // 64 AS cell_y, CAST(sum(total) AS BIGINT) AS total
-FROM rp GROUP BY ALL"""),
+SELECT *, cell_x * 64 AS x0, cell_y * 64 AS y0,
+  (cell_x + 1) * 64 AS x1, (cell_y + 1) * 64 AS y1
+FROM (SELECT map_key, px // 64 AS cell_x, py // 64 AS cell_y,
+  CAST(sum(total) AS BIGINT) AS total FROM rp GROUP BY ALL)"""),
 
     "q10_hex_bin" -> (RpZ10Sql + s""",
 ax AS (SELECT map_key, total,
@@ -593,7 +662,15 @@ cells AS (SELECT map_key, total,
   CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS BIGINT) AS hex_q,
   CAST(CASE WHEN dq > dr AND dq > ds THEN rr
             WHEN dr > ds THEN -rq - rs ELSE rr END AS BIGINT) AS hex_r FROM dd)
-SELECT map_key, hex_q, hex_r, CAST(sum(total) AS BIGINT) AS total
+SELECT map_key, hex_q, hex_r, CAST(sum(total) AS BIGINT) AS total,
+  round((hex_q * 1.5) * ${Hex.radius}, 6) AS cx,
+  round((hex_q * ${math.sqrt(3) / 2} + hex_r * ${math.sqrt(3)}) * ${Hex.radius}, 6) AS cy,
+  ${(0 until 6).map { i =>
+        val dx = Hex.radius * math.cos(math.toRadians(60.0 * i))
+        val dy = Hex.radius * math.sin(math.toRadians(60.0 * i))
+        s"round(((hex_q * 1.5) * ${Hex.radius}) + $dx, 6) AS v${i}x,\n  " +
+          s"round(((hex_q * ${math.sqrt(3) / 2} + hex_r * ${math.sqrt(3)}) * ${Hex.radius}) + $dy, 6) AS v${i}y"
+      }.mkString(",\n  ")}
 FROM cells GROUP BY map_key, hex_q, hex_r"""),
 
     "q11_capabilities" -> (Pts + """
@@ -615,6 +692,36 @@ SELECT cell, round(regr_slope(ratio, year), 6) AS slope,
        round(regr_intercept(ratio, year), 6) AS intercept,
        regr_count(ratio, year) AS n_years
 FROM j GROUP BY cell"""),
+
+    "q55_hex_regression" -> (OccSql + s""",
+base AS (SELECT year, l_partkey, ${px4326("lng")} >> 6 AS px, ${py4326("lat")} >> 6 AS py
+  FROM occ2 WHERE year IS NOT NULL
+    AND lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180),
+ax AS (SELECT year, l_partkey,
+  (px * (2.0/3.0)) / ${Hex.radius} AS q,
+  (px * (-1.0/3.0) + py * (sqrt(3.0)/3.0)) / ${Hex.radius} AS r FROM base),
+rnd AS (SELECT year, l_partkey, q, r, -q - r AS s,
+  round(q) AS rq, round(r) AS rr, round(-q - r) AS rs FROM ax),
+dd AS (SELECT *, abs(rq - q) AS dq, abs(rr - r) AS dr, abs(rs - s) AS ds FROM rnd),
+cells AS (SELECT year, l_partkey,
+  CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END AS BIGINT) AS hex_q,
+  CAST(CASE WHEN dq > dr AND dq > ds THEN rr
+            WHEN dr > ds THEN -rq - rs ELSE rr END AS BIGINT) AS hex_r FROM dd),
+g AS (SELECT hex_q, hex_r, year, count(*) AS n FROM cells GROUP BY ALL),
+sp AS (SELECT hex_q, hex_r, year, count(*) AS n FROM cells
+  WHERE l_partkey % 50 = 7 GROUP BY ALL),
+j AS (SELECT sp.hex_q, sp.hex_r, sp.year, CAST(sp.n AS DOUBLE) / g.n AS ratio
+  FROM sp JOIN g ON sp.hex_q = g.hex_q AND sp.hex_r = g.hex_r AND sp.year = g.year),
+r AS (SELECT hex_q, hex_r,
+  regr_slope(ratio, year) AS slope_raw, regr_intercept(ratio, year) AS icept_raw,
+  regr_r2(ratio, year) AS r2_raw, regr_syy(ratio, year) AS syy,
+  regr_sxx(ratio, year) AS sxx, regr_count(ratio, year) AS ny
+  FROM j GROUP BY hex_q, hex_r HAVING regr_count(ratio, year) >= 3)
+SELECT hex_q, hex_r, round(slope_raw, 6) AS slope, round(icept_raw, 6) AS intercept,
+  round(r2_raw, 6) AS r2, ny AS n_years,
+  round(${graft.operators.TileServe.RegrSse}, 6) AS sse,
+  round(${graft.operators.TileServe.RegrP}, 6) AS p_value
+FROM r"""),
 
     "q13_geotile_bounds" -> (EventsGeoSql + """
 SELECT CAST(floor((lng + 180.0)*(64.0/180.0)) AS BIGINT) AS cell_x,
@@ -792,6 +899,16 @@ rk AS (SELECT map_key, lng10, east_cand,
   row_number() OVER (PARTITION BY map_key ORDER BY gap DESC, lng10) AS rn FROM gg)
 SELECT map_key, lng10 AS west10, east_cand AS east10 FROM rk WHERE rn = 1"""),
 
+    "q54_mvt_decoded" -> (Ex + s""",
+px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
+  FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+  GROUP BY ALL),
+z6 AS (SELECT map_key, px >> 10 AS px, py >> 10 AS py, bor_year, CAST(sum(occ_count) AS BIGINT) AS n
+  FROM px16 GROUP BY ALL)
+SELECT map_key, px // 512 AS tx, py // 512 AS ty, px % 512 AS lpx, py % 512 AS lpy,
+  CAST(bor_year % 100 AS INT) AS bor, CAST(bor_year // 100 AS INT) AS year, n
+FROM z6"""),
+
     "q45_pyramid" -> (Ex + s""",
 px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
   FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
@@ -890,6 +1007,36 @@ SELECT CAST(floor((lng + 180.0)*(64.0/180.0)) AS BIGINT) AS cell_x,
        avg(lat10) AS centroid_lat10, avg(lng10) AS centroid_lng10
 FROM ev2
 WHERE lat >= $la0 AND lat <= $la1 AND lng >= $lo0 AND lng <= $lo1
+GROUP BY ALL"""
+    },
+
+    "q56_adhoc_polar_3575" -> {
+      val (la0, la1, lo0, lo1) =
+        graft.core.NorthPoleLaea(OccurrenceView.TileSize).tileBoundary(2, 2, 1, 0.1)
+      val lngSql = if (lo0 <= lo1) s"lng >= $lo0 AND lng <= $lo1"
+        else s"(lng >= $lo0 OR lng <= $lo1)"
+      EventsGeoSql + s"""
+SELECT CAST(floor((lng + 180.0)*(64.0/180.0)) AS BIGINT) AS cell_x,
+       CAST(floor((90.0 - lat)*(64.0/180.0)) AS BIGINT) AS cell_y,
+       count(*) AS doc_count,
+       avg(lat10) AS centroid_lat10, avg(lng10) AS centroid_lng10
+FROM ev2
+WHERE lat >= $la0 AND lat <= $la1 AND $lngSql
+GROUP BY ALL"""
+    },
+
+    "q57_adhoc_polar_3031" -> {
+      val (la0, la1, lo0, lo1) =
+        graft.core.AntarcticStereographic(OccurrenceView.TileSize).tileBoundary(2, 1, 3, 0.25)
+      val lngSql = if (lo0 <= lo1) s"lng >= $lo0 AND lng <= $lo1"
+        else s"(lng >= $lo0 OR lng <= $lo1)"
+      EventsGeoSql + s"""
+SELECT CAST(floor((lng + 180.0)*(64.0/180.0)) AS BIGINT) AS cell_x,
+       CAST(floor((90.0 - lat)*(64.0/180.0)) AS BIGINT) AS cell_y,
+       count(*) AS doc_count,
+       avg(lat10) AS centroid_lat10, avg(lng10) AS centroid_lng10
+FROM ev2
+WHERE lat >= $la0 AND lat <= $la1 AND $lngSql
 GROUP BY ALL"""
     },
 

@@ -160,6 +160,96 @@ sealed trait Azimuthal extends TileProjection {
   /** Inverse of [[toMetres]]. */
   def fromMetres(mx: Double, my: Double): (Double, Double)
 
+  /** true → north polar (EPSG:3575, antimeridian seam along the map top);
+    * false → south polar (EPSG:3031, seam along the bottom).
+    */
+  protected def northPolar: Boolean
+
+  /** The four tiles touching the pole at the grid centre (zoom > 0)
+    * (NorthPoleLAEAEurope.java:213-219).
+    */
+  def isPoleTile(z: Int, x: Long, y: Long): Boolean = {
+    val seam = (1L << z) / 2
+    z > 0 && (x == seam || x + 1 == seam) && (y == seam || y + 1 == seam)
+  }
+
+  /** C6 for azimuthal schemes — quadrant-based boundary re-expressed from
+    * NorthPoleLAEAEurope.java:67-211 / WGS84AntarcticPolarStereographic.java:87-224,
+    * validated against the reference's own test vectors (ProjectionSpec).
+    *
+    * Returns (minLat, maxLat, westLng, eastLng); westLng > eastLng means the
+    * range crosses the antimeridian (circular longitude semantics — the
+    * serving layer splits such a range into two scans). A pole tile spans
+    * one full quadrant of longitudes from its unbuffered edge corners and
+    * reaches the pole latitude.
+    */
+  override def tileBoundary(z: Int, x: Long, y: Long, bufferFraction: Double)
+      : (Double, Double, Double, Double) = {
+    if (z == 0) return (if (northPolar) (0.0, 90.0, -180.0, 180.0)
+      else (-90.0, 0.0, -180.0, 180.0))
+    val ts = tileSize.toDouble
+    val seam = (1L << z) / 2
+    val pole = isPoleTile(z, x, y)
+    def inv(gx: Double, gy: Double): (Double, Double) = fromGlobalPixelXY(gx, gy, z)
+    // corner naming: A(x1,y1) B(x2,y1) / C(x1,y2) D(x2,y2)
+    val x1b = (x - bufferFraction) * ts; val x2b = (x + 1 + bufferFraction) * ts
+    val y1b = (y - bufferFraction) * ts; val y2b = (y + 1 + bufferFraction) * ts
+    val pA = inv(x1b, y1b); val pB = inv(x2b, y1b)
+    val pC = inv(x1b, y2b); val pD = inv(x2b, y2b)
+    val nwse = (x < seam && y < seam) || (x >= seam && y >= seam)
+    // the radial corner pair spans the latitudes, the circumferential pair
+    // the longitudes
+    val (lat1, lat2) = if (nwse) (pA._1, pD._1) else (pB._1, pC._1)
+    var (lng1, lng2) =
+      if (pole) {
+        // pole tiles: the ad-hoc scan fans out per quadrant, so longitudes
+        // come from the unbuffered quadrant-edge corners
+        if (nwse) (inv(x * ts, (y + 1) * ts)._2, inv((x + 1) * ts, y * ts)._2)
+        else (inv(x * ts, y * ts)._2, inv((x + 1) * ts, (y + 1) * ts)._2)
+      } else if (nwse) (pC._2, pB._2)
+      else (pA._2, pD._2)
+    if (!pole && bufferFraction > 0) {
+      // a seam-adjacent tile buffers from the corner nearest the pole — it
+      // subtends the widest longitude range; crossing the antimeridian seam
+      // shifts a full turn so plain min/max orders the circular range
+      if (nwse) {
+        if (y + 1 == seam) lng1 = pD._2 else if (y == seam) lng2 = pA._2
+        if (x + 1 == seam) lng2 = if (northPolar) pD._2 - 360 else pD._2
+        else if (x == seam) lng1 = if (northPolar) pA._2 else pA._2 + 360
+      } else {
+        if (y + 1 == seam) lng2 = pC._2 else if (y == seam) lng1 = pB._2
+        if (x + 1 == seam) lng2 = if (northPolar) pB._2 else pB._2 - 360
+        else if (x == seam) lng1 = pC._2
+      }
+    }
+    // north: the antimeridian runs along the top seam, so east-of-seam tiles
+    // (NE quadrant) shift their first longitude a full turn — pole tiles and
+    // unbuffered tiles included (NorthPoleLAEAEurope.java:173-177)
+    if (northPolar && !nwse && x == seam) lng1 += 360
+    // on the left half of the map an exact +180° edge is the west side
+    if (x < seam) {
+      if (lng1 == 180) lng1 = -180
+      if (lng2 == 180) lng2 = -180
+    }
+    val (minLat, maxLat) =
+      if (northPolar)
+        (math.max(math.min(lat1, lat2), 0.0),
+          if (pole) 90.0 else math.max(math.max(lat1, lat2), 0.0))
+      else
+        (if (pole) -90.0 else math.min(lat1, lat2),
+          math.min(math.max(lat1, lat2), 0.0))
+    val west = Projections.to180Degrees(math.min(lng1, lng2))
+    val east = Projections.to180Degrees(math.max(lng1, lng2))
+    // A non-pole tile at z≥1 subtends under 180° of longitude, so a wider
+    // normalized span means the range really crosses the antimeridian
+    // mid-tile (3575's lon0=10° rotates the antimeridian off the tile-edge
+    // seam) — flip to the circular complement. Deliberate correctness fix
+    // over the reference, which returns the inside-out range for such tiles
+    // (NorthPoleLAEAEurope.java:199-202).
+    if (!pole && east - west > 180) (minLat, maxLat, east, west)
+    else (minLat, maxLat, west, east)
+  }
+
   def toGlobalPixelXY(lat: Double, lng: Double, zoom: Int): (Double, Double) = {
     val (mx, my) = toMetres(lat, lng)
     val globalPixelExtent = (tileSize.toLong << zoom).toDouble
@@ -190,6 +280,7 @@ final case class NorthPoleLaea(tileSize: Int) extends Azimuthal {
   val srs = "EPSG:3575"
   val schema: TileSchema = TileSchema.Polar
   val extent: Double = Projections.LaeaExtent
+  protected val northPolar = true
   private val lon0 = toRadians(10.0)
 
   def toMetres(lat: Double, lng: Double): (Double, Double) = {
@@ -224,6 +315,7 @@ final case class AntarcticStereographic(tileSize: Int) extends Azimuthal {
   val srs = "EPSG:3031"
   val schema: TileSchema = TileSchema.Polar
   val extent: Double = Projections.StereographicExtent
+  protected val northPolar = false
   // At the equator (φ=0) ρ = 2R·k0; the reference extent is the x of (0°,?) →
   // 2R·k0 == extent ⇒ k0 = extent / (2R).
   private val k0 = extent / (2.0 * Projections.EarthRadius)

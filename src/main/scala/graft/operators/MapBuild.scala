@@ -48,6 +48,21 @@ object MapBuild {
     exploded.join(broadcast(views.select("map_key")), Seq("map_key"), joinType)
   }
 
+  /** A14/O5: dictionary-encode view keys to dense ints (key_id = rank of the
+    * key in ascending order, 0-based). The key set is bounded by #views — not
+    * #records — so the reference collects it to the driver and broadcasts
+    * dense ints (TileMapBuilder.java:55-57,255-267); we do the same. The
+    * obvious `row_number().over(Window.orderBy(...))` alternative moves ALL
+    * rows to a single partition (Spark warns exactly that) and serializes
+    * the build through one task at scale — never use it here.
+    */
+  def dictionaryEncode(spark: org.apache.spark.sql.SparkSession, viewCounts: DataFrame): DataFrame = {
+    val keys = viewCounts.select("map_key").collect().map(_.getString(0)).sorted
+    val dict = spark.sparkContext.broadcast(keys.zipWithIndex.toMap)
+    val keyId = udf { (k: String) => dict.value(k) }
+    viewCounts.select(col("map_key"), keyId(col("map_key")).as("key_id"), col("occ_count"))
+  }
+
   /** A2: point-map aggregate — distinct locations per (view, borYear). */
   def pointAgg(exploded: DataFrame): DataFrame =
     exploded

@@ -86,8 +86,10 @@ object TileServe {
   def maskSemiJoin(density: DataFrame, mask: DataFrame): DataFrame =
     density.join(mask.select("px", "py").distinct(), Seq("px", "py"), "left_semi")
 
-  /** A9: square binning — `(x/cell, y/cell)` cells with summed totals
-    * (SquareBin.java:60-120).
+  /** A9: square binning — `(x/cell, y/cell)` cells with summed totals AND
+    * the cell's polygon corners in global pixel space — the reference's bins
+    * are emitted as polygon features (SquareBin.java:121-141). Corners are
+    * integer arithmetic, exact in any engine.
     */
   def squareBin(pixels: DataFrame, cellSize: Int): DataFrame =
     pixels
@@ -96,13 +98,43 @@ object TileServe {
         (col("px") / cellSize).cast("long").as("cell_x"),
         (col("py") / cellSize).cast("long").as("cell_y"))
       .agg(sum("total").as("total"))
+      .withColumn("x0", col("cell_x") * cellSize)
+      .withColumn("y0", col("cell_y") * cellSize)
+      .withColumn("x1", (col("cell_x") + 1) * cellSize)
+      .withColumn("y1", (col("cell_y") + 1) * cellSize)
 
-  /** A8: hex binning on the world-wide flat-top grid (graft.core.HexGrid). */
+  /** A8: hex binning on the world-wide flat-top grid (graft.core.HexGrid),
+    * with each cell's polygon (centre + 6 flat-top vertices) emitted like
+    * the reference's hexagon features (HexBin.java:217-257).
+    */
   def hexBin(pixels: DataFrame, radius: Double): DataFrame = {
     val (q, r) = hexCell(col("px"), col("py"), radius)
-    pixels
-      .groupBy(col("map_key"), q.as("hex_q"), r.as("hex_r"))
-      .agg(sum("total").as("total"))
+    withHexPolygon(
+      pixels
+        .groupBy(col("map_key"), q.as("hex_q"), r.as("hex_r"))
+        .agg(sum("total").as("total")),
+      radius)
+  }
+
+  /** Polygon columns for hex cells: centre (cx, cy) and vertices v0..v5 in
+    * global pixel space. The trig offsets are precomputed driver-side and
+    * injected as double literals, so the oracle SQL shares the exact IEEE
+    * values and op order (graft.core.HexGrid.polygonOf re-expressed as
+    * Column math).
+    */
+  def withHexPolygon(cells: DataFrame, radius: Double): DataFrame = {
+    val cx = (col("hex_q") * lit(1.5)) * lit(radius)
+    val cy = (col("hex_q") * lit(math.sqrt(3) / 2) +
+      col("hex_r") * lit(math.sqrt(3))) * lit(radius)
+    val base = cells
+      .withColumn("cx", round(cx, 6))
+      .withColumn("cy", round(cy, 6))
+    (0 until 6).foldLeft(base) { (df, i) =>
+      val dx = radius * math.cos(math.toRadians(60.0 * i))
+      val dy = radius * math.sin(math.toRadians(60.0 * i))
+      df.withColumn(s"v${i}x", round(cx + lit(dx), 6))
+        .withColumn(s"v${i}y", round(cy + lit(dy), 6))
+    }
   }
 
   /** A11: capabilities — global extent + year span + total for one view
@@ -191,6 +223,61 @@ object TileServe {
         regr_slope(col("ratio"), col("year")).as("slope"),
         regr_intercept(col("ratio"), col("year")).as("intercept"),
         regr_count(col("ratio"), col("year")).as("n_years"))
+  }
+
+  /** Scalar formulas over the raw `regr_*` aggregate columns
+    * (slope_raw, icept_raw, r2_raw, syy, sxx, ny). The SAME text is executed
+    * by Spark (via `expr`) and by the DuckDB oracle, so both engines run the
+    * identical IEEE-754 op sequence given equal aggregate inputs.
+    *
+    * SSE = Syy·(1−r²). Significance is the two-sided p-value of the slope:
+    * t = |slope|·√(Sxx·(n−2)/SSE), mapped to a standard normal via the
+    * classic t→z shrink z = t·(1−1/(4df))/√(1+t²/(2df)), then
+    * p = 1−erf(z/√2) with the Abramowitz–Stegun 7.1.26 polynomial erf —
+    * pure arithmetic, so it is expressible identically in any engine
+    * (the reference uses commons-math TDistribution,
+    * RegressionResource.java:296-314; this closed form agrees to ~1e-3,
+    * which is the fidelity a significance flag needs).
+    */
+  val RegrSse = "syy * (1.0 - r2_raw)"
+  private val RegrT = s"abs(slope_raw) * sqrt(sxx * (ny - 2.0) / ($RegrSse))"
+  private val RegrZ = s"($RegrT) * (1.0 - 1.0/(4.0*(ny - 2.0))) / " +
+    s"sqrt(1.0 + ($RegrT)*($RegrT)/(2.0*(ny - 2.0)))"
+  private val RegrX = s"($RegrZ) * 0.7071067811865476"
+  private val RegrU = s"1.0/(1.0 + 0.3275911*($RegrX))"
+  private val RegrErf = s"1.0 - ($RegrU)*(0.254829592 + ($RegrU)*(-0.284496736 + " +
+    s"($RegrU)*(1.421413741 + ($RegrU)*(-1.453152027 + ($RegrU)*1.061405429))))" +
+    s"*exp(-($RegrX)*($RegrX))"
+  val RegrP = s"CASE WHEN $RegrSse <= 0.0 THEN 0.0 ELSE 1.0 - ($RegrErf) END"
+
+  /** A12 full reference parity: per-cell OLS with the reference's complete
+    * output — slope, intercept, r², SSE and significance
+    * (RegressionResource.java:258-314) — over two yearly-count layers
+    * (species ⋈ higher-taxon) joined on the cell id. Cells with fewer than
+    * 3 years are dropped (df = n−2 must be positive).
+    */
+  def regressionFull(speciesYearly: DataFrame, groupYearly: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val j = speciesYearly.as("s")
+      .join(groupYearly.as("g"), keyCols :+ "year")
+      .select(keyCols.map(col) :+ col("year") :+
+        (col("s.n").cast("double") / col("g.n")).as("ratio"): _*)
+    j.groupBy(keyCols.map(col): _*)
+      .agg(
+        regr_slope(col("ratio"), col("year")).as("slope_raw"),
+        regr_intercept(col("ratio"), col("year")).as("icept_raw"),
+        regr_r2(col("ratio"), col("year")).as("r2_raw"),
+        regr_syy(col("ratio"), col("year")).as("syy"),
+        regr_sxx(col("ratio"), col("year")).as("sxx"),
+        regr_count(col("ratio"), col("year")).as("ny"))
+      .filter(col("ny") >= 3)
+      .select(keyCols.map(col) ++ Seq(
+        round(col("slope_raw"), 6).as("slope"),
+        round(col("icept_raw"), 6).as("intercept"),
+        round(col("r2_raw"), 6).as("r2"),
+        col("ny").as("n_years"),
+        round(expr(RegrSse), 6).as("sse"),
+        round(expr(RegrP), 6).as("p_value")): _*)
   }
 
   /** S9/A10: ad-hoc geo-grid aggregation — the ES geotile replacement.

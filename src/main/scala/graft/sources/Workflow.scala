@@ -42,7 +42,18 @@ object Workflow {
     val pointsPath = s"$workDir/v$version/points"
     val tilesPath = s"$workDir/v$version/tiles"
 
-    val exploded = MapBuild.explodeMapKeys(OccurrenceView.occ(spark, sfDir))
+    // S2/O4: materialize the occurrence snapshot ONCE — the points build and
+    // all four projection pyramids consume it, so the source is scanned a
+    // single time (the reference writes the filtered snapshot to disk for
+    // exactly this reason, "to defend against lazy evaluation that may cause
+    // the input avro files to be read multiple times",
+    // MapBuilder.java:184-199). At production scale this persist becomes a
+    // parquet write of the snapshot.
+    val occSnapshot = OccurrenceView.occ(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    occSnapshot.count() // materialization barrier: one source scan, here
+
+    val exploded = MapBuild.explodeMapKeys(occSnapshot)
     // points store: per-view feature rows keyed by map_key (salt 10,
     // MapBuilder.java:92)
     KeyedSink.writeSalted(MapBuild.pointAgg(exploded), col("map_key"), 10, pointsPath)
@@ -54,7 +65,7 @@ object Workflow {
     // (O3 compute-once pyramid).
     Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031").foreach { epsg =>
       var level = MapBuild.rollupToZoom(
-        MapBuild.pixelAgg(OccurrenceView.occ(spark, sfDir), epsg), 16, 6)
+        MapBuild.pixelAgg(occSnapshot, epsg), 16, 6)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var z = 6
       while (z >= 0) {
@@ -73,6 +84,7 @@ object Workflow {
       }
     }
 
+    occSnapshot.unpersist()
     val m = Manifest(version, pointsPath, tilesPath)
     val tmp = Paths.get(workDir, s".manifest.v$version.tmp")
     Files.createDirectories(Paths.get(workDir))

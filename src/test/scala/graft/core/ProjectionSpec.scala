@@ -145,13 +145,85 @@ class ProjectionSpec extends AnyFunSuite with Matchers {
           val (gx, gy) = p.toGlobalPixelXY(lat, lng, z)
           val (tx, ty) = Tiles.toTileXY(gx, gy, p.schema, z, 512)
           val (la0, la1, lo0, lo1) = p.tileBoundary(z, tx, ty, 0.05)
+          // spherical-vs-boundary rounding slack on lats; west>east is a
+          // circular (antimeridian-crossing) longitude range
           assert(lat >= la0 - 1e-6 && lat <= la1 + 1e-6,
             s"${p.srs} lat $lat outside [$la0,$la1] tile($z,$tx,$ty)")
-          assert(lng >= lo0 - 1e-6 && lng <= lo1 + 1e-6,
-            s"${p.srs} lng $lng outside [$lo0,$lo1] tile($z,$tx,$ty)")
+          val lngIn =
+            if (lo0 <= lo1) lng >= lo0 - 1e-6 && lng <= lo1 + 1e-6
+            else lng >= lo0 - 1e-6 || lng <= lo1 + 1e-6
+          assert(lngIn, s"${p.srs} lng $lng outside [$lo0,$lo1] tile($z,$tx,$ty)")
         }
       }
     }
+  }
+
+  /** Boundary vectors lifted from the reference tests
+    * (NorthPoleLAEAEuropeTest.java:61-196, AntarcticPolarStereographicTest.java:55-200).
+    * Expected values are GeoTools ELLIPSOIDAL transforms; this library uses
+    * documented spherical closed forms, so latitudes agree to ~0.15° while
+    * longitudes — purely angular in an azimuthal scheme — match to 1e-5.
+    * Vector order mirrors the reference's ((minLng,minLat),(maxLng,maxLat)).
+    */
+  private val latEps = 0.2
+  private def assertBoundary(p: TileProjection, z: Int, x: Long, y: Long,
+      buf: Double, minLng: Double, minLat: Double, maxLng: Double, maxLat: Double): Unit = {
+    val (la0, la1, lo0, lo1) = p.tileBoundary(z, x, y, buf)
+    withClue(s"${p.srs} $z/$x/$y buf=$buf: ") {
+      la0 shouldBe minLat +- latEps
+      la1 shouldBe maxLat +- latEps
+      lo0 shouldBe minLng +- eps
+      lo1 shouldBe maxLng +- eps
+    }
+  }
+
+  test("LAEA 3575 tileBoundary matches the reference vectors (C6 polar)") {
+    val p = NorthPoleLaea(512)
+    assertBoundary(p, 0, 0, 0, 0, -180, 0, 180, 90)
+    // z1: all four tiles are pole tiles, each spanning one quadrant
+    assertBoundary(p, 1, 0, 0, 0, -170, 0, -80, 90)
+    assertBoundary(p, 1, 1, 0, 0, 100, 0, -170, 90) // crosses the antimeridian
+    assertBoundary(p, 1, 0, 1, 0, -80, 0, 10, 90)
+    assertBoundary(p, 1, 1, 1, 0, 10, 0, 100, 90)
+    // z2 unbuffered
+    assertBoundary(p, 2, 1, 1, 0, -170, 30.111252, -80, 90)
+    assertBoundary(p, 2, 3, 1, 0, 100, 0, 145, 48.717627)
+    assertBoundary(p, 2, 1, 3, 0, -35, 0, 10, 48.717627)
+    assertBoundary(p, 2, 3, 3, 0, 36.565051, 0, 73.434949, 30.111252)
+    assertBoundary(p, 3, 5, 3, 0, 100, 43.560659, 145, 69.719412)
+    // buffered by a quarter tile
+    val b = 0.25
+    assertBoundary(p, 0, 0, 0, b, -180, 0, 180, 90)
+    assertBoundary(p, 1, 1, 1, b, 10, 0, 100, 90)
+    assertBoundary(p, 2, 0, 1, b, -139.036243, 0, -61.565051, 57.654332)
+    assertBoundary(p, 2, 1, 2, b, -80, 12.690523, 10, 90)
+    assertBoundary(p, 2, 1, 3, b, -49.036243, 0, 28.434949, 57.654332)
+    assertBoundary(p, 2, 2, 3, b, -8.434949, 0, 69.036243, 57.654332)
+    // outside the projected area: clamps to the equator edge
+    assertBoundary(p, 3, 0, 0, b, -137.094757, 0, -112.905243, 3.148974)
+    assertBoundary(p, 18, 0, 0, b, -125.000328, 0, -124.999672, 0)
+  }
+
+  test("stereographic 3031 tileBoundary matches the reference vectors (C6 polar)") {
+    val p = AntarcticStereographic(1024) // the reference vectors use 1024px tiles
+    assertBoundary(p, 0, 0, 0, 0, -180, -90, 180, 0)
+    assertBoundary(p, 1, 0, 0, 0, -90, -90, 0, 0)
+    assertBoundary(p, 1, 1, 0, 0, 0, -90, 90, 0)
+    assertBoundary(p, 1, 0, 1, 0, -180, -90, -90, 0)
+    assertBoundary(p, 1, 1, 1, 0, 90, -90, 180, 0)
+    assertBoundary(p, 2, 1, 1, 0, -90, -90, 0, -19.592468)
+    assertBoundary(p, 2, 3, 1, 0, 45, -37.054722, 90, 0)
+    assertBoundary(p, 2, 1, 3, 0, -180, -37.054722, -135, 0)
+    assertBoundary(p, 2, 3, 3, 0, 116.565051, -19.592468, 153.4349488, 0)
+    assertBoundary(p, 3, 5, 3, 0, 45, -62.08687, 90, -31.76006)
+    val b = 0.25
+    assertBoundary(p, 0, 0, 0, b, -180, -90, 180, 0)
+    assertBoundary(p, 1, 1, 1, b, 90, -90, 180, 0)
+    assertBoundary(p, 2, 0, 1, b, -108.4349488229220, -47.0556006, -30.96375653207352, 0)
+    assertBoundary(p, 2, 1, 2, b, -180, -90, -90, -7.101188115321475)
+    // seam tiles: circular (west > east) ranges over the antimeridian
+    assertBoundary(p, 2, 1, 3, b, 161.56505117707798, -47.0556006, -120.96375653207352, 0)
+    assertBoundary(p, 2, 2, 3, b, 120.96375653207352, -47.0556006, -161.56505117707798, 0)
   }
 
   test("to180Degrees normalization") {

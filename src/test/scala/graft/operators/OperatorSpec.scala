@@ -104,6 +104,38 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("MVT golden invariants: per-feature year-sum equals total; z5 parent " +
+    "totals equal decoded z6 children (AggregationsTest/YearFilteringTest analogs)") {
+    val px16 = MapBuild.pixelAgg(OccurrenceView.occ(spark, Dir), "EPSG:4326").cache()
+    def decoded(z: Int) =
+      TileEncode.mvtTiles(spark, MapBuild.rollupToZoom(px16, 16, z), z)
+        .select("map_key", "tx", "ty", "mvt")
+        .collect().toSeq
+        .flatMap { r =>
+          graft.functions.Mvt.decodeTile(r.getAs[Array[Byte]]("mvt"))
+            .map(f => (r.getString(0), r.getLong(1), r.getLong(2), f)) }
+    val d6 = decoded(6); val d5 = decoded(5)
+    (d5 ++ d6).foreach { case (_, _, _, f) =>
+      assert(f.yearCounts.values.sum === f.total) }
+    val childSums = d6.groupBy { case (k, tx, ty, _) => (k, tx / 2, ty / 2) }
+      .map { case (key, fs) => key -> fs.map(_._4.total).sum }
+    val parents = d5.groupBy { case (k, tx, ty, _) => (k, tx, ty) }
+      .map { case (key, fs) => key -> fs.map(_._4.total).sum }
+    assert(parents === childSums)
+    px16.unpersist()
+  }
+
+  test("dictionary encode: dense sorted ids, no single-partition Window in the plan (A14/O5)") {
+    val df = MapBuild.dictionaryEncode(spark,
+      MapBuild.viewCounts(OccurrenceView.occ(spark, Dir)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global Window found in plan:\n$plan")
+    val rows = df.select("map_key", "key_id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).sortBy(_._1)
+    // ids are exactly the rank of the key in ascending order, 0-based, dense
+    assert(rows.map(_._2).toSeq === rows.indices)
+  }
+
   test("core pipelines yield empty results (not errors) on empty input") {
     val empty = OccurrenceView.occ(spark, Dir).filter(lit(false))
     assert(MapBuild.viewCounts(empty).count() === 0)

@@ -56,6 +56,27 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalFromTiles === expected)
   }
 
+  test("build derives everything from one materialized snapshot (S2/O4): " +
+    "plans over the persisted occ read the cache, not the source") {
+    import graft.operators.{MapBuild, OccurrenceView}
+    val occ = OccurrenceView.occ(spark, Dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    occ.count() // the single source scan, as in Workflow.build
+    // every downstream consumer (points + each projection pyramid) must plan
+    // an InMemoryTableScan — no second FileScan of the fact table
+    Seq(MapBuild.pointAgg(MapBuild.explodeMapKeys(occ)),
+      MapBuild.pixelAgg(occ, "EPSG:3857"),
+      MapBuild.pixelAgg(occ, "EPSG:3575")).foreach { df =>
+      // the executing plan (everything above the InMemoryRelation, whose
+      // printout includes the original cached lineage) must read the cache,
+      // never the fact table
+      val plan = df.queryExecution.executedPlan.toString.split("InMemoryRelation")(0)
+      assert(plan.contains("InMemoryTableScan"), s"cache not used:\n$plan")
+      assert(!plan.contains("lineitem"), s"source rescan found:\n$plan")
+    }
+    occ.unpersist()
+  }
+
   test("serving a tile from the store equals computing it from the raw table") {
     import graft.operators.{MapBuild, OccurrenceView, TileServe}
     import graft.core.YearRange
