@@ -239,10 +239,34 @@ object SparkEntry {
       MapBuild.featureRollup(MapBuild.pointAgg(small))
     }),
 
+    // A3/S7 binary parity: small views encoded into deterministic
+    // PointFeatures blobs and decoded back — the blob roundtrip gate
+    // (point_feature.proto, ProtobufTiles.java:31-51)
+    "q58_point_blob" -> ((s, dir) => {
+      val ex = exploded(s, dir)
+      val small = MapBuild.filterToViews(ex,
+        MapBuild.largeViews(occ(s, dir), Threshold), keep = false)
+      graft.operators.PointEncode.decodeBlobs(s,
+        graft.operators.PointEncode.pointBlobs(s, MapBuild.pointAgg(small)))
+    }),
+
     // G2: buffer-replica tile explode at z6 (dateline wrap + 8-neighbour buffers)
     "q36_tile_replicas" -> ((s, dir) => {
       val px16 = MapBuild.pixelAgg(occ(s, dir), "EPSG:4326")
       MapBuild.tileReplicaAssembly(MapBuild.rollupToZoom(px16, MaxZoom, 6), "EPSG:4326", 6)
+    }),
+
+    // G2/G3 at EPSG:3857: the Mercator replica gate — z0 (1-tile world,
+    // where the dateline wrap degenerates to the tile itself and must
+    // dedupe) stacked with z1 (2-tile world, real wrap into the opposite
+    // tile's buffer), the hardest TileXYUDF.java:202-223 cases
+    "q59_tile_replicas_3857" -> ((s, dir) => {
+      val z1px = MapBuild.rollupToZoom(
+        MapBuild.pixelAgg(occ(s, dir), "EPSG:3857"), MaxZoom, 1)
+      val z0 = MapBuild.tileReplicaAssembly(
+        MapBuild.rollupToZoom(z1px, 1, 0), "EPSG:3857", 0)
+      val z1 = MapBuild.tileReplicaAssembly(z1px, "EPSG:3857", 1)
+      z0.unionByName(z1)
     }),
 
     // A14/O5: dictionary-encode view keys to dense ints for shuffle shrink —
@@ -821,6 +845,13 @@ SELECT map_key, count(*) AS n_features, CAST(sum(occ_count) AS BIGINT) AS total,
        CAST(sum(${javaHashSql("concat_ws(',', lat10, lng10, bor_year, occ_count)")}) % 4294967296 AS BIGINT) AS blob_fp
 FROM spts GROUP BY map_key"""),
 
+    "q58_point_blob" -> (Ex + s""",
+lv AS (SELECT map_key FROM ex GROUP BY map_key HAVING count(*) >= $Threshold),
+spts AS (SELECT map_key, lat10, lng10, bor_year, count(*) AS occ_count
+  FROM ex WHERE map_key NOT IN (SELECT map_key FROM lv)
+  GROUP BY map_key, lat10, lng10, bor_year)
+SELECT * FROM spts"""),
+
     // z6 4326 grid: 128x64 tiles, 512 px tiles, 64 px buffer, dateline wrap.
     // Each neighbour arm mirrors one addOn() branch of Tiles.collectToTiles:
     // the buffer flag implies containment for in-range neighbours, and the
@@ -844,6 +875,34 @@ nbr AS (
   UNION ALL SELECT map_key, occ_count, CASE WHEN tx + 1 > 127 THEN 0 ELSE tx + 1 END, ty + 1 FROM reps WHERE lx >= 448 AND ly >= 448 AND ty + 1 <= 63)
 SELECT map_key, tx, ty, count(*) AS n_pixels, CAST(sum(occ_count) AS BIGINT) AS total, 6 AS z
 FROM nbr GROUP BY map_key, tx, ty"""),
+
+    // Mercator replica mirror: z0 collapses to the single world tile (wrap
+    // self-dedupes); z1 wraps west/east into the opposite tile's 64px buffer
+    "q59_tile_replicas_3857" -> (Ex + s""",
+px16m AS (SELECT map_key, ${px3857("lng")} AS px, ${py3857("lat")} AS py, count(*) AS occ_count
+  FROM ex WHERE lat >= -$MercMaxLat AND lat <= $MercMaxLat AND lng >= -180 AND lng <= 180
+  GROUP BY ALL),
+z1p AS (SELECT map_key, px >> 15 AS px, py >> 15 AS py, CAST(sum(occ_count) AS BIGINT) AS occ
+  FROM px16m GROUP BY ALL),
+z0p AS (SELECT map_key, px >> 1 AS px, py >> 1 AS py, CAST(sum(occ) AS BIGINT) AS occ
+  FROM z1p GROUP BY ALL),
+z0t AS (SELECT map_key, 0 AS tx, 0 AS ty, count(*) AS n_pixels,
+  CAST(sum(occ) AS BIGINT) AS total, 0 AS z FROM z0p GROUP BY map_key),
+reps AS (SELECT map_key, occ, px // 512 AS tx, py // 512 AS ty,
+  px % 512 AS lx, py % 512 AS ly FROM z1p),
+nbr AS (
+  SELECT map_key, occ, tx, ty FROM reps
+  UNION ALL SELECT map_key, occ, CASE WHEN tx - 1 < 0 THEN 1 ELSE tx - 1 END, ty FROM reps WHERE lx < 64
+  UNION ALL SELECT map_key, occ, CASE WHEN tx + 1 > 1 THEN 0 ELSE tx + 1 END, ty FROM reps WHERE lx >= 448
+  UNION ALL SELECT map_key, occ, tx, ty - 1 FROM reps WHERE ly < 64 AND ty - 1 >= 0
+  UNION ALL SELECT map_key, occ, tx, ty + 1 FROM reps WHERE ly >= 448 AND ty + 1 <= 1
+  UNION ALL SELECT map_key, occ, CASE WHEN tx - 1 < 0 THEN 1 ELSE tx - 1 END, ty - 1 FROM reps WHERE lx < 64 AND ly < 64 AND ty - 1 >= 0
+  UNION ALL SELECT map_key, occ, CASE WHEN tx + 1 > 1 THEN 0 ELSE tx + 1 END, ty - 1 FROM reps WHERE lx >= 448 AND ly < 64 AND ty - 1 >= 0
+  UNION ALL SELECT map_key, occ, CASE WHEN tx - 1 < 0 THEN 1 ELSE tx - 1 END, ty + 1 FROM reps WHERE lx < 64 AND ly >= 448 AND ty + 1 <= 1
+  UNION ALL SELECT map_key, occ, CASE WHEN tx + 1 > 1 THEN 0 ELSE tx + 1 END, ty + 1 FROM reps WHERE lx >= 448 AND ly >= 448 AND ty + 1 <= 1),
+z1t AS (SELECT map_key, tx, ty, count(*) AS n_pixels,
+  CAST(sum(occ) AS BIGINT) AS total, 1 AS z FROM nbr GROUP BY map_key, tx, ty)
+SELECT * FROM z0t UNION ALL SELECT * FROM z1t"""),
 
     "q37_dict_encode" -> (Ex + """
 SELECT map_key, row_number() OVER (ORDER BY map_key) - 1 AS key_id, occ_count

@@ -79,6 +79,28 @@ object TileServe {
       .toSeq.sortBy(t => (t._1, t._2))
   }
 
+  /** S7 full serving path over the BUILT blob store: fetch a small view's
+    * PointFeatures blob by salted key, decode, and apply year/bor filters to
+    * the decoded features — the reference's PointResource →
+    * HBaseMaps.getPoints → PointFeatureFilters chain
+    * (PointFeatureFilters.java:65-114). Returns
+    * (lat10, lng10, bor_year, occ_count) rows.
+    */
+  def servePoints(spark: org.apache.spark.sql.SparkSession, workDir: String,
+      mapKey: String, years: YearRange, borIds: Seq[Int]): Seq[(Long, Long, Long, Long)] = {
+    val m = graft.sources.Workflow.readManifest(workDir)
+      .getOrElse(throw new IllegalStateException(s"no manifest in $workDir"))
+    graft.sources.KeyedSink.lookup(spark, s"${m.points}_blobs", 10, mapKey)
+      .select("blob").collect().toSeq
+      .flatMap(r => graft.functions.PointBlob.decode(r.getAs[Array[Byte]](0)))
+      .filter { p =>
+        val yr = (p.borYear / 100).toInt
+        (borIds.isEmpty || borIds.contains((p.borYear % 100).toInt)) &&
+          years.contains(if (yr == 0) None else Some(yr))
+      }
+      .map(p => (p.lat10, p.lng10, p.borYear, p.count))
+  }
+
   /** J1: country-mask semi-join — density pixels kept only where the mask
     * view also has a pixel (VectorTileFilters.java:83-99). A broadcast-able
     * semi-join on the pixel key at any scale (the mask is one view's tile).

@@ -37,7 +37,7 @@ object Workflow {
     * manifest. Returns the new manifest.
     */
   def build(spark: SparkSession, sfDir: String, workDir: String): Manifest = {
-    import graft.operators.{MapBuild, OccurrenceView, TileEncode}
+    import graft.operators.{MapBuild, OccurrenceView, PointEncode, TileEncode}
     val version = readManifest(workDir).map(_.version + 1).getOrElse(1L)
     val pointsPath = s"$workDir/v$version/points"
     val tilesPath = s"$workDir/v$version/tiles"
@@ -57,6 +57,15 @@ object Workflow {
     // points store: per-view feature rows keyed by map_key (salt 10,
     // MapBuilder.java:92)
     KeyedSink.writeSalted(MapBuild.pointAgg(exploded), col("map_key"), 10, pointsPath)
+    // binary point-blob store for SMALL views — one deterministic
+    // PointFeatures blob per view, the reference's large/small bifurcation
+    // (MapBuilder.java:92-104): big views are served from the tile pyramid,
+    // small views from a single blob GET
+    val small = MapBuild.filterToViews(exploded,
+      MapBuild.largeViews(occSnapshot, OccurrenceView.Threshold), keep = false)
+    KeyedSink.writeSalted(
+      PointEncode.pointBlobs(spark, MapBuild.pointAgg(small)),
+      col("map_key"), 10, s"${pointsPath}_blobs")
     // tiles store: MVT blobs for every zoom 0..6, keyed srs:mapKey:z:x:y
     // (salt 100, MapBuilder.java:104) — one sub-store per (projection, zoom)
     // like the reference's per-zoom HFile directories under four column

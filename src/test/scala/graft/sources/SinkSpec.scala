@@ -114,6 +114,31 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z0total === expected0)
   }
 
+  test("point blobs roundtrip: served small view equals the fresh point aggregate") {
+    import graft.operators.{MapBuild, OccurrenceView, TileServe}
+    import graft.core.YearRange
+    val occ = OccurrenceView.occ(spark, Dir)
+    val ex = MapBuild.explodeMapKeys(occ)
+    val small = MapBuild.filterToViews(ex,
+      MapBuild.largeViews(occ, OccurrenceView.Threshold), keep = false)
+    val pts = MapBuild.pointAgg(small).cache()
+    val key = pts.select("map_key").orderBy("map_key").head.getString(0)
+
+    val served = TileServe.servePoints(spark, work.toString, key,
+      YearRange.Unbounded, Nil).toSet
+    val fresh = pts.filter(col("map_key") === key)
+      .select("lat10", "lng10", "bor_year", "occ_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(served === fresh)
+    assert(served.nonEmpty)
+
+    // bor-filtered serve is the exact bor slice
+    val borOnly = TileServe.servePoints(spark, work.toString, key,
+      YearRange.Unbounded, Seq(0)).toSet
+    assert(borOnly === fresh.filter(_._3 % 100 == 0))
+    pts.unpersist()
+  }
+
   test("rows within each salt partition are sorted by salted key") {
     val m = Workflow.readManifest(work.toString).get
     import scala.jdk.CollectionConverters._
