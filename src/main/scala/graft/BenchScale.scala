@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe benchmark: sf0.1 timings are overhead-dominated (per-query
+  * floor ~0.2s), so regressions in the heavy operators hide. This main
+  * materializes a REPS×-replicated copy of the sf0.1 inputs under /tmp
+  * (keys perturbed per replica so views/pixels/docs stay distinct — nothing
+  * is written to the driver-owned testdata), times the heaviest queries on
+  * it, and prints one JSON line with per-query seconds plus the per-row
+  * throughput ratio vs the unscaled run. A ratio near REPS means linear
+  * scaling; well above REPS means a super-linear bottleneck.
+  */
+object BenchScale {
+
+  private val Heavy = Seq("q45_pyramid", "q42_mvt_tiles", "q36_tile_replicas",
+    "q17_salted_keys", "q47_dup_clusters", "q29_lsh_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleDir = s"/tmp/graft-scale-x$reps"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- materialize the replicated inputs (replica keys shifted so rows
+    // stay distinct through every derivation)
+    def replicated(table: String, perturb: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$baseDir/$table.parquet")
+      (0 until reps).map(i => perturb(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$scaleDir/$table.parquet")
+    }
+    replicated("lineitem", (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+    replicated("documents", (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+
+    Heavy.foreach(time(baseDir, _)) // warmup + JIT on the unscaled data
+    val baseTimes = Heavy.map(n => n -> time(baseDir, n)).toMap
+    val scaleTimes = Heavy.map(n => n -> time(scaleDir, n)).toMap
+
+    val qs = Heavy.map { n =>
+      val ratio = scaleTimes(n) / math.max(baseTimes(n), 1e-9)
+      f""""$n":{"base_sec":${baseTimes(n)}%.3f,"x${reps}_sec":${scaleTimes(n)}%.3f,"ratio":$ratio%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","reps":$reps,"queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -126,9 +126,18 @@ object SparkEntry {
       val (hq, hr) = hexCell(col("px"), col("py"), Hex.radius)
       val cells = base.select(col("year"), col("l_partkey"),
         hq.as("hex_q"), hr.as("hex_r"))
-      val group = cells.groupBy("hex_q", "hex_r", "year").agg(count(lit(1)).as("n"))
-      val species = cells.filter(col("l_partkey") % 50 === 7)
-        .groupBy("hex_q", "hex_r", "year").agg(count(lit(1)).as("n"))
+      // one scan + one shuffle: both layers come from a single conditional
+      // aggregation (values identical to separately-aggregated layers; the
+      // species layer is the sn>0 slice), then the layer join is a
+      // broadcast over the already-aggregated rows
+      val yearly = cells.groupBy("hex_q", "hex_r", "year")
+        .agg(count(lit(1)).as("gn"),
+          count(when(col("l_partkey") % 50 === 7, 1)).as("sn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      yearly.count() // barrier: both layer branches read the materialized agg
+      val group = yearly.select(col("hex_q"), col("hex_r"), col("year"), col("gn").as("n"))
+      val species = yearly.filter(col("sn") > 0)
+        .select(col("hex_q"), col("hex_r"), col("year"), col("sn").as("n"))
       TileServe.regressionFull(species, group, Seq("hex_q", "hex_r"))
     }),
 
@@ -263,6 +272,8 @@ object SparkEntry {
     "q59_tile_replicas_3857" -> ((s, dir) => {
       val z1px = MapBuild.rollupToZoom(
         MapBuild.pixelAgg(occ(s, dir), "EPSG:3857"), MaxZoom, 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      z1px.count() // barrier: both union branches read the materialized level
       val z0 = MapBuild.tileReplicaAssembly(
         MapBuild.rollupToZoom(z1px, 1, 0), "EPSG:3857", 0)
       val z1 = MapBuild.tileReplicaAssembly(z1px, "EPSG:3857", 1)
@@ -505,6 +516,13 @@ object SparkEntry {
       val emb = embeddings(s, dir)
       val qv = emb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
       Similarity.lshTopK(emb, qv, 10)
+    }),
+
+    // Similarity: IVF ANN — deterministic coarse quantizer, nprobe=2 cells
+    "q60_ivf_ann" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+      Similarity.ivfTopK(emb, qv, 10)
     }),
 
     // Events: hourly tumbling-window aggregate (batch analog of the stream path)
@@ -1152,6 +1170,29 @@ FROM b, qb
 WHERE bucket = qbucket OR xor(bucket, qbucket) IN (${(0 until Similarity.NumPlanes)
       .map(d => 1L << d).mkString(", ")})
 ORDER BY sim DESC, vec_id LIMIT 10"""),
+
+    // IVF mirror: same codebook (vec_id < 16), same ascending-index L2 fold,
+    // same (dist, cid) argmin tiebreak, probe the 2 cells nearest the query
+    "q60_ivf_ann" -> {
+      def l2Sql(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) for i in range(1, 65)]), " +
+          s"(a, b) -> a + b)"
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < ${Similarity.IvfK}),
+d AS (SELECT e.vec_id, e.label, e.embedding, c.cid, ${l2Sql("e.embedding", "c.cemb")} AS dist
+  FROM embeddings e, c),
+cells AS (SELECT vec_id, label, embedding, cid AS cell FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (SELECT c.cid, ${l2Sql("q.qv", "c.cemb")} AS dist FROM c, q),
+probes AS (SELECT cid FROM (SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= 2)
+SELECT vec_id, label, cell,
+  round(${dotSql("embedding", "qv")}
+    / (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})), 6) AS sim
+FROM cells, q WHERE cell IN (SELECT cid FROM probes)
+ORDER BY sim DESC, vec_id LIMIT 10"""
+    },
 
     "q24_event_hourly" -> """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
   count(*) AS n, round(sum(value), 4) AS sum_value

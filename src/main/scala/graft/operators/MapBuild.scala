@@ -57,10 +57,14 @@ object MapBuild {
     * the build through one task at scale — never use it here.
     */
   def dictionaryEncode(spark: org.apache.spark.sql.SparkSession, viewCounts: DataFrame): DataFrame = {
-    val keys = viewCounts.select("map_key").collect().map(_.getString(0)).sorted
+    // persist before the driver collect: the key collect AND the returned
+    // lineage both consume the counts, which would otherwise re-run the
+    // full upstream aggregation twice
+    val vc = viewCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = vc.select("map_key").collect().map(_.getString(0)).sorted
     val dict = spark.sparkContext.broadcast(keys.zipWithIndex.toMap)
     val keyId = udf { (k: String) => dict.value(k) }
-    viewCounts.select(col("map_key"), keyId(col("map_key")).as("key_id"), col("occ_count"))
+    vc.select(col("map_key"), keyId(col("map_key")).as("key_id"), col("occ_count"))
   }
 
   /** A2: point-map aggregate — distinct locations per (view, borYear). */

@@ -109,6 +109,71 @@ object Similarity {
       if (dot > 0.0) acc + (1L << d) else acc
     }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  val IvfK = 16
+
+  /** Deterministic coarse quantizer: the embeddings of vec_id 0..IvfK-1 act
+    * as centroids (production IVF trains k-means offline and ships the
+    * codebook; the engine mechanics — assign to nearest centroid, partition
+    * by cell, probe few cells — are identical, and a fixed sampled codebook
+    * keeps the oracle reproducible).
+    */
+  def ivfCentroids(emb: DataFrame): Array[Array[Double]] =
+    emb.filter(col("vec_id") < IvfK).orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Squared L2 to each centroid, accumulated in ascending index order so
+    * the oracle's list_reduce fold is bit-identical; argmin with lowest-id
+    * tiebreak.
+    */
+  private def nearestCells(v: IndexedSeq[Double], cents: Array[Array[Double]], n: Int): Seq[Int] =
+    cents.indices.map { c =>
+      var d = 0.0; var i = 0
+      val ct = cents(c)
+      while (i < ct.length) { val t = v(i) - ct(i); d += t * t; i += 1 }
+      (d, c)
+    }.sorted.take(n).map(_._2)
+
+  /** Cell-id column via a JIT UDF over the broadcast codebook. */
+  def ivfCellCol(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): Column = {
+    val bc = spark.sparkContext.broadcast(cents)
+    udf { (emb: Seq[Float]) =>
+      val v = emb.map(_.toDouble).toIndexedSeq
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < cs(c).length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }.apply(col("embedding"))
+  }
+
+  /** IVF ANN: top-k by cosine scanning only the `nprobe` cells nearest the
+    * query — the classic inverted-file scale path (cell is the natural
+    * partition/bucketing key for a 100 TB vector table; nprobe trades recall
+    * for scan fraction, here 2/16 of the data in expectation).
+    */
+  def ivfTopK(emb: DataFrame, qv: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb)
+    val probes = nearestCells(qv.map(_.toDouble).toIndexedSeq, cents, nprobe)
+    val sqQ = qv.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
+    val dot = aggregate(
+      zip_with(col("embedding"), typedlit(qv), (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val sim = round(dot / (sqrt(sqNorm(col("embedding"))) * lit(math.sqrt(sqQ))), 6)
+    emb.withColumn("cell", ivfCellCol(spark, cents))
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), col("label"), col("cell"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
   /** LSH-bucketed ANN with multi-probe: top-k by cosine within the query's
     * bucket PLUS the NumPlanes buckets at Hamming distance 1 (one hyperplane
     * sign flipped). A query vector near a hyperplane otherwise loses its
