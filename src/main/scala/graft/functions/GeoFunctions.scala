@@ -128,12 +128,21 @@ object GeoFunctions {
   def tileLocal(px: Column, tileSize: Int): Column = pmod(px, lit(tileSize)).cast("long")
 
   /** `hash & 0x0fffffff % modulus` salt from Java String.hashCode parity
-    * (ModulusSalt.java:61-65). Needs a UDF only because Spark's `hash()` is
-    * Murmur3, not `String.hashCode`.
+    * (ModulusSalt.java:61-65). Spark's `hash()` is Murmur3, so this needs
+    * custom code: a native Catalyst expression with codegen
+    * ([[JavaHashExpr]]) registered on the active session, so the salted-key
+    * path stays inside WholeStageCodegen; a JIT'd UDF is the fallback when
+    * no session is active at plan-build time.
     */
   private val javaHashUdf = udf { (s: String) => s.hashCode }
 
-  def javaHash(key: Column): Column = javaHashUdf(key)
+  def javaHash(key: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        JavaHashExpr.register(s)
+        call_function(JavaHashExpr.name, key)
+      case None => javaHashUdf(key)
+    }
 
   def saltOf(key: Column, modulus: Int): Column =
     pmod(javaHash(key).bitwiseAND(lit(0xfffffff)), lit(modulus))

@@ -23,6 +23,23 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("JavaHashExpr: codegen expression matches String.hashCode exactly") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(5)
+    val keys = Seq("", "0:0", "4326:0:0:6:12:34", "ünïcode-ключ", "a") ++
+      Seq.fill(500)(rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString) ++
+      Seq.fill(100)(s"${rnd.nextInt(100)}:${rnd.nextInt(7)}:${rnd.nextInt(64)}")
+    val got = keys.toDF("k")
+      .select(col("k"), GeoFunctions.javaHash(col("k")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    keys.foreach(k => assert(got(k) === k.hashCode, s"key '$k'"))
+    // and the plan stays codegen (native expression, not a UDF)
+    val plan = keys.toDF("k").select(GeoFunctions.javaHash(col("k")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("Column pixelAtMaxZoom matches core toGlobalPixelXY for all 4 SRS") {
     val ss = spark
     import ss.implicits._
