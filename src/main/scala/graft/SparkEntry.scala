@@ -294,6 +294,21 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.decodeMeta(s, Multimodal.withPayload(documents(s, dir))).toDF(), 5)),
 
+    // Multimodal: aspect-preserving resize geometry (integer scale-fit,
+    // never upscale) with the pixel re-encode stubbed to an RGB size formula
+    "q61_media_resize" -> ((s, dir) =>
+      Multimodal.resizeFit(s,
+        Multimodal.decodeMeta(s, Multimodal.withPayload(documents(s, dir))).toDF(),
+        32, 24).toDF()),
+
+    // Multimodal: per-partition feature extraction (stub model) — 8-dim
+    // code-point signature, flattened to columns for the oracle
+    "q62_media_features" -> ((s, dir) => {
+      val f = Multimodal.extractFeatures(s, Multimodal.withPayload(documents(s, dir)))
+      f.select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i")): _*)
+    }),
+
     // A6/S8 serving combo: year-filtered render of the busiest z6 tile of the ALL view
     "q40_tile_render" -> ((s, dir) => {
       val p = TileServe.yearRangeFilter(pointsLL(s, dir), YearRange(Some(1995), Some(2005)))
@@ -936,6 +951,30 @@ FROM documents""",
     "q39_frame_sample" -> """WITH meta AS (
   SELECT doc_id, CAST(1 + octet_length(encode(text)) % 24 AS INT) AS n_frames FROM documents)
 SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_id FROM meta""",
+
+    // resize mirror: fit (w,h) into 32x24 — num/den chosen by the tighter
+    // axis, integer floor division, floor at 1px, never upscale
+    "q61_media_resize" -> """WITH meta AS (SELECT doc_id,
+  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+  CAST(1 + (octet_length(encode(text)) * 7) % 48 AS INT) AS height
+  FROM documents),
+s AS (SELECT doc_id, width, height,
+  CASE WHEN width * 24 <= height * 32 THEN 24 ELSE 32 END AS num,
+  CASE WHEN width * 24 <= height * 32 THEN height ELSE width END AS den
+  FROM meta),
+o AS (SELECT doc_id, width, height,
+  CASE WHEN den <= num THEN width ELSE CAST(GREATEST(1, width * num // den) AS INT) END AS out_w,
+  CASE WHEN den <= num THEN height ELSE CAST(GREATEST(1, height * num // den) AS INT) END AS out_h
+  FROM s)
+SELECT doc_id, width, height, out_w, out_h, 3 * out_w * out_h AS out_bytes FROM o""",
+
+    // feature mirror: code-point sums per (index mod 8) bucket, mod 2^31-1
+    "q62_media_features" -> ("""WITH cs AS (SELECT doc_id, string_split(text, '') AS c FROM documents)
+SELECT doc_id,
+  """ + (0 until 8).map { j =>
+      s"CAST(coalesce(list_sum([unicode(c[i]) for i in range(1, len(c) + 1) " +
+        s"if (i - 1) % 8 = $j]), 0) % 2147483647 AS BIGINT) AS f$j"
+    }.mkString(",\n  ") + "\nFROM cs"),
 
     "q40_tile_render" -> (Pts + s""",
 fpts AS (SELECT * FROM pts WHERE map_key = '0:0'

@@ -70,6 +70,18 @@ object EventStream {
       .agg(count(lit(1)).as("occ_count"))
   }
 
+  /** Streaming exact deduplication: emit each content hash's FIRST document
+    * only, across micro-batches — the ingest-time twin of the batch exact
+    * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per
+    * distinct hash; with an event-time column + watermark the state would be
+    * pruned, here the corpus-dedup case wants full history (state size =
+    * distinct docs, the same cardinality the batch groupBy shuffles).
+    */
+  def dedupStream(docStream: DataFrame): DataFrame =
+    docStream
+      .withColumn("text_hash", md5(col("text")))
+      .dropDuplicates("text_hash")
+
   final case class SessState(lastTsec: Long, nSessions: Long, nEvents: Long)
 
   /** Stateful gap-based sessionization (30-min gap) via mapGroupsWithState —

@@ -176,6 +176,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.duplicateClusters(emptyDocs, 0.5).count() === 0)
   }
 
+  test("streaming exact dedup emits one doc per content hash across micro-batches") {
+    import java.nio.file.Files
+    val docs = OccurrenceView.documents(spark, Dir)
+    val tmp = Files.createTempDirectory("docdedup")
+    // split so duplicate texts land in DIFFERENT micro-batches — state must
+    // suppress the re-arrival
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.dedupStream(stream)
+      .select("text_hash").writeStream.format("memory")
+      .queryName("doc_dedup").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("doc_dedup").count()
+    val batchDistinct = docs.select(md5(col("text"))).distinct().count()
+    assert(streamed === batchDistinct)
+    // and each hash appears exactly once
+    assert(spark.table("doc_dedup").distinct().count() === streamed)
+  }
+
   test("stateful streaming sessionization equals batch across micro-batches") {
     import java.nio.file.Files
     val ev = OccurrenceView.events(spark, Dir)
