@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the physical-plan properties the 100 TB
+  * design depends on, asserted so a refactor can't silently lose them.
+  * (Complements plans.PlanAudit, which is the interactive dump tool.)
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val Dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("plan-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planOf(q: String): String =
+    graft.SparkEntry.queries(q)(spark, Dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("column pruning reaches the scan: q01 reads a subset of lineitem") {
+    val p = planOf("q01_view_counts")
+    val read = "ReadSchema: ([^\n]+)".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    // the view-count path needs the key-derivation columns only — never the
+    // full 16-column lineitem row
+    assert(read.nonEmpty, p)
+    assert(!read.contains("l_extendedprice") && !read.contains("l_quantity"),
+      s"over-wide scan: $read")
+  }
+
+  test("small-side joins broadcast: q35 (anti), q40/q46 (top-tile)") {
+    Seq("q35_small_views", "q40_tile_render", "q46_points_in_tile").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("Broadcast"), s"$q lost its broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$p")
+    }
+  }
+
+  test("no single-partition global Window anywhere in the suite's plans") {
+    // q37's dictionary encode was the one offender; windows elsewhere must
+    // be partitioned (q25/q41 partition by user/view)
+    Seq("q37_dict_encode", "q25_sessionize", "q41_circular_extent").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window [") || p.contains("windowspecdefinition"),
+        s"$q plan unexpected:\n$p")
+      // the literal WindowExec warning case: a Window node with no
+      // partitioning expression
+      assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+        s"$q has an unpartitioned Window:\n$p")
+    }
+  }
+
+  test("salted-key path is UDF-free (native codegen hash)") {
+    val p = planOf("q17_salted_keys")
+    assert(!p.contains("ScalaUDF"), s"q17 reintroduced a UDF:\n$p")
+  }
+
+  test("pixel aggregation projects before the explode (map-side combine shape)") {
+    val p = planOf("q06_pixel_agg_4326")
+    // partial aggregation must sit above Generate (explode) — the explode
+    // output is collapsed before the exchange
+    val gen = p.indexOf("Generate")
+    val partial = p.indexOf("HashAggregate")
+    assert(gen >= 0 && partial >= 0, p)
+    assert(p.contains("Exchange"), p)
+  }
+}
