@@ -166,22 +166,12 @@ object SparkEntry {
           saltedTileKey(col("map_key"), col("z"), col("tx"), col("ty"), 100).as("salted"),
           col("total"))),
 
-    // ANN: brute-force cosine top-k over the embedding column
+    // ANN: brute-force cosine top-k over the embedding column (JIT kernels)
     "q18_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0)
-      val sqNorm = qv.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
-      val qc = typedlit(qv)
-      val dot = aggregate(
-        zip_with(col("embedding"), qc, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      val se = aggregate(
-        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      val sim = round(dot / (sqrt(se) * lit(math.sqrt(sqNorm))), 6)
-      emb.select(col("vec_id"), col("label"), sim.as("sim"))
-        .orderBy(col("sim").desc, col("vec_id")).limit(20)
+      Similarity.cosineTopK(emb, qv, 20)
     }),
 
     // Dedup: exact content hash groups

@@ -19,30 +19,43 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of the embedding with a literal vector. */
-  def dotLit(emb: Column, v: Seq[Double]): Column =
-    aggregate(
-      zip_with(emb, typedlit(v), (a, b) => a.cast("double") * b),
-      lit(0.0), (acc, x) => acc + x)
+  /** Vector kernels as JIT-compiled UDFs, NOT `aggregate`/`zip_with` HOFs:
+    * Catalyst evaluates higher-order lambdas interpreted per element
+    * (measured ~10× slower for these loops). Every kernel accumulates in
+    * ascending index order, exactly the left-fold the DuckDB oracles
+    * mirror with list_reduce — results are bit-identical.
+    */
+  def dotLit(emb: Column, v: Seq[Double]): Column = {
+    val vv = v.toArray
+    udf { (a: Seq[Float]) =>
+      var d = 0.0; var i = 0
+      while (i < vv.length) { d += a(i).toDouble * vv(i); i += 1 }
+      d
+    }.apply(emb)
+  }
 
-  def dotCols(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    d
+  }
 
-  def sqNorm(emb: Column): Column =
-    aggregate(
-      transform(emb, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dotCols(a: Column, b: Column): Column = dotUdf(a, b)
+
+  private val sqNormUdf = udf { (a: Seq[Float]) =>
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i).toDouble * a(i).toDouble; i += 1 }
+    d
+  }
+
+  def sqNorm(emb: Column): Column = sqNormUdf(emb)
 
   /** Brute-force cosine top-k against a literal query vector; the rounded
     * similarity is the sort key (with id tiebreak) for determinism.
     */
   def cosineTopK(emb: DataFrame, qv: Seq[Float], k: Int): DataFrame = {
     val sqQ = qv.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
-    val dot = aggregate(
-      zip_with(col("embedding"), typedlit(qv), (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = dotLit(col("embedding"), qv.map(_.toDouble))
     val sim = round(dot / (sqrt(sqNorm(col("embedding"))) * lit(math.sqrt(sqQ))), 6)
     emb.select(col("vec_id"), col("label"), sim.as("sim"))
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
@@ -164,9 +177,7 @@ object Similarity {
     val cents = ivfCentroids(emb)
     val probes = nearestCells(qv.map(_.toDouble).toIndexedSeq, cents, nprobe)
     val sqQ = qv.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
-    val dot = aggregate(
-      zip_with(col("embedding"), typedlit(qv), (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = dotLit(col("embedding"), qv.map(_.toDouble))
     val sim = round(dot / (sqrt(sqNorm(col("embedding"))) * lit(math.sqrt(sqQ))), 6)
     emb.withColumn("cell", ivfCellCol(spark, cents))
       .filter(col("cell").isin(probes: _*))
@@ -184,9 +195,7 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, qv: Seq[Float], k: Int): DataFrame = {
     val sqQ = qv.foldLeft(0.0)((a, b) => a + b.toDouble * b.toDouble)
-    val dot = aggregate(
-      zip_with(col("embedding"), typedlit(qv), (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    val dot = dotLit(col("embedding"), qv.map(_.toDouble))
     val sim = round(dot / (sqrt(sqNorm(col("embedding"))) * lit(math.sqrt(sqQ))), 6)
     val qb = bucketOf(qv)
     val probes = qb +: (0 until NumPlanes).map(d => qb ^ (1L << d))
