@@ -56,6 +56,25 @@ object SparkEntry {
     "q02_large_views" -> ((s, dir) =>
       MapBuild.largeViews(occ(s, dir), Threshold)),
 
+    // §2.6 grouping-sets alternative to the G1 explode: per-dimension view
+    // counts in one pass — Catalyst's Expand carries only the grouping
+    // columns, leaner than exploding a string array through every column
+    // (equals q01 exactly)
+    "q63_grouping_sets" -> ((s, dir) => {
+      val o = occ(s, dir)
+        .withColumn("k1", concat(lit("1:"), col("l_partkey") % 50))
+        .withColumn("k2", concat(lit("2:"), col("l_suppkey")))
+        .withColumn("k3", concat(lit("3:"), col("l_returnflag")))
+        .withColumn("k4", concat(lit("4:"), col("l_orderkey") % 7))
+      o.groupingSets(
+          Seq(Seq.empty, Seq(col("k1")), Seq(col("k2")), Seq(col("k3")), Seq(col("k4"))),
+          col("k1"), col("k2"), col("k3"), col("k4"))
+        .agg(count(lit(1)).as("occ_count"))
+        .select(
+          coalesce(col("k1"), col("k2"), col("k3"), col("k4"), lit("0:0")).as("map_key"),
+          col("occ_count"))
+    }),
+
     // A2: point-map aggregate (PointMapBuilder.java:53-70)
     "q03_point_agg" -> ((s, dir) => points(s, dir)),
 
@@ -639,6 +658,9 @@ hs AS (SELECT doc_id, source,
 
     "q02_large_views" -> (Ex +
       s"\nSELECT map_key, count(*) AS occ_count FROM ex GROUP BY map_key HAVING count(*) >= $Threshold"),
+
+    "q63_grouping_sets" -> (Ex +
+      "\nSELECT map_key, count(*) AS occ_count FROM ex GROUP BY map_key"),
 
     "q03_point_agg" -> (Pts + "\nSELECT * FROM pts"),
 
