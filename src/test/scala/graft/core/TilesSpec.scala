@@ -29,6 +29,25 @@ class TilesSpec extends AnyFunSuite with Matchers {
     lx3 shouldBe 510L
   }
 
+  test("collectToTiles: Mercator z0 wrap self-dedupes; z1 wraps into the opposite tile") {
+    // z0: one world tile — the dateline "neighbour" is the tile itself, so
+    // an edge pixel must yield exactly ONE replica (the q59 z0 case)
+    val z0 = Tiles.collectToTiles(500, 100, TileSchema.WebMercator, 0, TS, BUF)
+    z0.map(t => (t._1, t._2)) shouldBe Seq((0L, 0L))
+    val z0w = Tiles.collectToTiles(10, 100, TileSchema.WebMercator, 0, TS, BUF)
+    z0w.map(t => (t._1, t._2)) shouldBe Seq((0L, 0L))
+    // z1: a world-east pixel lands on tile 1 and replicates into tile 0's
+    // buffer with a negative local x (the real dateline copy)
+    val z1 = Tiles.collectToTiles(1000, 100, TileSchema.WebMercator, 1, TS, BUF)
+    z1.map(t => (t._1, t._2)).toSet shouldBe Set((1L, 0L), (0L, 0L))
+    val wrapped = z1.find(_._1 == 0L).get
+    wrapped._3 shouldBe (1000 - 1024).toLong
+    // and symmetric: a world-west pixel replicates into tile 1's east buffer
+    val z1w = Tiles.collectToTiles(20, 100, TileSchema.WebMercator, 1, TS, BUF)
+    z1w.map(t => (t._1, t._2)).toSet shouldBe Set((0L, 0L), (1L, 0L))
+    z1w.find(_._1 == 1L).get._3 shouldBe (20 + 1024 - 512).toLong
+  }
+
   test("tileContains with buffer and dateline") {
     // inside tile
     Tiles.tileContains(1, 0, 0, TS, TileSchema.WebMercator, 100, 100, BUF) shouldBe true
