@@ -38,10 +38,8 @@ object SparkEntry {
       .withColumn("lat", col("lat10") / 10.0)
       .withColumn("lng", col("lng10") / 10.0)
 
-  private def tilesZ6(s: SparkSession, dir: String): DataFrame = {
-    val px16 = MapBuild.pixelAgg(occ(s, dir), "EPSG:4326")
-    MapBuild.tileAssembly(MapBuild.rollupToZoom(px16, MaxZoom, 6), 6)
-  }
+  private def tilesZ6(s: SparkSession, dir: String): DataFrame =
+    MapBuild.tileAssembly(MapBuild.pixelAggAt(occ(s, dir), "EPSG:4326", 6), 6)
 
   private val Hex = HexGrid(TileSize, 8)
 
@@ -269,18 +267,16 @@ object SparkEntry {
     }),
 
     // G2: buffer-replica tile explode at z6 (dateline wrap + 8-neighbour buffers)
-    "q36_tile_replicas" -> ((s, dir) => {
-      val px16 = MapBuild.pixelAgg(occ(s, dir), "EPSG:4326")
-      MapBuild.tileReplicaAssembly(MapBuild.rollupToZoom(px16, MaxZoom, 6), "EPSG:4326", 6)
-    }),
+    "q36_tile_replicas" -> ((s, dir) =>
+      MapBuild.tileReplicaAssembly(
+        MapBuild.pixelAggAt(occ(s, dir), "EPSG:4326", 6), "EPSG:4326", 6)),
 
     // G2/G3 at EPSG:3857: the Mercator replica gate — z0 (1-tile world,
     // where the dateline wrap degenerates to the tile itself and must
     // dedupe) stacked with z1 (2-tile world, real wrap into the opposite
     // tile's buffer), the hardest TileXYUDF.java:202-223 cases
     "q59_tile_replicas_3857" -> ((s, dir) => {
-      val z1px = MapBuild.rollupToZoom(
-        MapBuild.pixelAgg(occ(s, dir), "EPSG:3857"), MaxZoom, 1)
+      val z1px = MapBuild.pixelAggAt(occ(s, dir), "EPSG:3857", 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       z1px.count() // barrier: both union branches read the materialized level
       val z0 = MapBuild.tileReplicaAssembly(
@@ -361,8 +357,7 @@ object SparkEntry {
 
     // A5 encode: MVT binary tiles (rows-only check — protobuf not SQL-expressible)
     "q42_mvt_tiles" -> ((s, dir) => {
-      val z6 = MapBuild.rollupToZoom(
-        MapBuild.pixelAgg(occ(s, dir), "EPSG:4326"), MaxZoom, 6)
+      val z6 = MapBuild.pixelAggAt(occ(s, dir), "EPSG:4326", 6)
       graft.operators.TileEncode.mvtTiles(s, z6, 6)
         .select(col("map_key"), col("z"), col("tx"), col("ty"),
           length(col("mvt")).as("mvt_len"))
@@ -373,8 +368,7 @@ object SparkEntry {
     // SQL-expressible; their decoded content is)
     "q54_mvt_decoded" -> ((s, dir) => {
       import s.implicits._
-      val z6 = MapBuild.rollupToZoom(
-        MapBuild.pixelAgg(occ(s, dir), "EPSG:4326"), MaxZoom, 6)
+      val z6 = MapBuild.pixelAggAt(occ(s, dir), "EPSG:4326", 6)
       graft.operators.TileEncode.mvtTiles(s, z6, 6)
         .select("map_key", "tx", "ty", "mvt")
         .as[(String, Long, Long, Array[Byte])]

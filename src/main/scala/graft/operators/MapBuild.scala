@@ -117,6 +117,24 @@ object MapBuild {
       .groupBy("map_key", "px", "py", "bor_year")
       .agg(count(lit(1)).as("occ_count"))
 
+  /** A4 at an arbitrary zoom: aggregate DIRECTLY at zoom `z` — shift the
+    * max-zoom pixel address BEFORE the first shuffle. When a consumer's top
+    * zoom is below MaxZoom there is no reason to materialize the z16
+    * grouping first: at z16 nearly every row is its own group (no map-side
+    * combine), so the two-step pixelAgg→rollup runs two full shuffles where
+    * one aggregation at the target zoom — with real combine — suffices.
+    * Totals are identical (count grouped coarser ≡ summed fine counts);
+    * the z16 q05/q06/q26/q27 gates still exercise [[pixelAgg]] itself.
+    */
+  def pixelAggAt(occ: DataFrame, epsg: String, z: Int): DataFrame =
+    explodeMapKeys(withPixels(occ, epsg))
+      .groupBy(
+        col("map_key"),
+        shiftright(col("px"), MaxZoom - z).as("px"),
+        shiftright(col("py"), MaxZoom - z).as("py"),
+        col("bor_year"))
+      .agg(count(lit(1)).as("occ_count"))
+
   /** A5 level 1: re-aggregate a finer-zoom pixel table to zoom `z`.
     * `fromZoom` is the zoom of `pixels`' px/py addressing.
     */
@@ -198,19 +216,18 @@ object MapBuild {
 
   def pyramid(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // The pyramid's tile stats never use bor_year — collapse it once at max
-    // zoom so every level's rows shrink and each zoom needs a single
-    // groupBy instead of two (the bor-keyed variant exists for the MVT
-    // encode path, tileAssembly/TileEncode).
-    var level = pixelAgg(occ, epsg)
-      .groupBy("map_key", "px", "py")
-      .agg(sum("occ_count").as("total"))
-    if (maxZoom < MaxZoom)
-      level = level.groupBy(
+    // The pyramid's tile stats never use bor_year, and the top level sits
+    // below MaxZoom — aggregate ONCE, directly at (maxZoom, no-bor)
+    // granularity: the shift runs before the only shuffle, so map-side
+    // combine collapses the explode output straight to ~4^maxZoom groups
+    // (the old pixelAgg→collapse→rollup chain shuffled three times, the
+    // first at z16 where almost nothing combines).
+    var level = explodeMapKeys(withPixels(occ, epsg))
+      .groupBy(
         col("map_key"),
         shiftright(col("px"), MaxZoom - maxZoom).as("px"),
         shiftright(col("py"), MaxZoom - maxZoom).as("py"))
-        .agg(sum("total").as("total"))
+      .agg(count(lit(1)).as("total"))
     // Persist each level: every zoom's assembly AND the next rollup consume
     // it, and without a materialization barrier each union branch would
     // recompute the whole chain from the scan (the reference writes each

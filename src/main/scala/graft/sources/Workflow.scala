@@ -73,8 +73,7 @@ object Workflow {
     // Each zoom's pixels derive from the previous zoom's persisted level
     // (O3 compute-once pyramid).
     Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031").foreach { epsg =>
-      var level = MapBuild.rollupToZoom(
-        MapBuild.pixelAgg(occSnapshot, epsg), 16, 6)
+      var level = MapBuild.pixelAggAt(occSnapshot, epsg, 6)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var z = 6
       while (z >= 0) {
