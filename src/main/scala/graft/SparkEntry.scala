@@ -708,8 +708,10 @@ FROM px16 GROUP BY ALL"""),
 
     "q08_tiles_z6" -> (TilesZ6Sql + "\nSELECT * FROM tl"),
 
+    // cell_key = (x<<32)|y ≡ x*2^32 + y (cells are non-negative, disjoint bits)
     "q09_square_bin" -> (RpZ10Sql + """
-SELECT *, cell_x * 64 AS x0, cell_y * 64 AS y0,
+SELECT *, cell_x * 4294967296 + cell_y AS cell_key,
+  cell_x * 64 AS x0, cell_y * 64 AS y0,
   (cell_x + 1) * 64 AS x1, (cell_y + 1) * 64 AS y1
 FROM (SELECT map_key, px // 64 AS cell_x, py // 64 AS cell_y,
   CAST(sum(total) AS BIGINT) AS total FROM rp GROUP BY ALL)"""),

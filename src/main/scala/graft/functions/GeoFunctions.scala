@@ -63,7 +63,9 @@ object GeoFunctions {
     }
   }
 
-  /** Floored integer pixel at max zoom; lower zooms derive via [[zoomPixel]]. */
+  /** Floored integer pixel at max zoom; lower zooms derive via `shiftright`
+    * (TileMapBuilder.java:129-138, the O3 compute-once pyramid trick).
+    */
   def pixelAtMaxZoom(epsg: String, lat: Column, lng: Column, maxZoom: Int, tileSize: Int)
       : (Column, Column) = epsg match {
     case "EPSG:3857" =>
@@ -110,12 +112,6 @@ object GeoFunctions {
       case other => throw new IllegalArgumentException(other)
     }
   }
-
-  /** Derive the pixel address at zoom z from the max-zoom address by bit shift
-    * (TileMapBuilder.java:129-138) — the "compute-once pyramid" trick (O3).
-    */
-  def zoomPixel(pixelAtMax: Column, maxZoom: Int, z: Int): Column =
-    shiftright(pixelAtMax, maxZoom - z)
 
   /** Tile address of a global pixel: `px div tileSize` (clamped by construction
     * since pixels are in-range).
@@ -175,7 +171,4 @@ object GeoFunctions {
     (fq.cast("long"), fr.cast("long"))
   }
 
-  /** Square-bin cell key `(x/cell)<<32 | y/cell` (SquareBin.java:114-120). */
-  def squareCell(px: Column, py: Column, cellSize: Int): Column =
-    shiftleft((px / cellSize).cast("long"), 32).bitwiseOR((py / cellSize).cast("long"))
 }

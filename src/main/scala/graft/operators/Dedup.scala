@@ -133,6 +133,13 @@ object Dedup {
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
+    // labels only ever DECREASE (least of self and neighbours), so the
+    // label sum is strictly monotone until the fixpoint — an aggregate on
+    // the new labels detects convergence without the join-back-and-count
+    // the naive check needs (one shuffle per round saved)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -144,11 +151,10 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      val changed = next.withColumnRenamed("cluster_id", "new_id")
-        .join(labels, Seq("doc_id"))
-        .filter(col("new_id") =!= col("cluster_id")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       rounds += 1
     }
     labels

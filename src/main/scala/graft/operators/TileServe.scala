@@ -120,6 +120,9 @@ object TileServe {
         (col("px") / cellSize).cast("long").as("cell_x"),
         (col("py") / cellSize).cast("long").as("cell_y"))
       .agg(sum("total").as("total"))
+      // the reference's packed cell identity `(x<<32)|y` (SquareBin.java:114-120)
+      .withColumn("cell_key",
+        shiftleft(col("cell_x"), 32).bitwiseOR(col("cell_y")))
       .withColumn("x0", col("cell_x") * cellSize)
       .withColumn("y0", col("cell_y") * cellSize)
       .withColumn("x1", (col("cell_x") + 1) * cellSize)
