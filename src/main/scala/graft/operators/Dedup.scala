@@ -137,8 +137,10 @@ object Dedup {
     // label sum is strictly monotone until the fixpoint — an aggregate on
     // the new labels detects convergence without the join-back-and-count
     // the naive check needs (one shuffle per round saved)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty input: fixpoint
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
