@@ -464,6 +464,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))),
 
+    // Pipeline: deterministic sequence packing — documents assigned to
+    // fixed 4096-token training bins by running-offset within each source
+    // (longest-first for tight packing; the window partitions by source, the
+    // natural parallel unit — at larger scale the partition key gains a salt)
+    "q64_sequence_packing" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      documents(s, dir)
+        .withColumn("n_tokens",
+          when(length(trim(col("text"))) === 0, 0)
+            .otherwise(size(split(trim(col("text")), "\\s+"))))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("bin_id", expr("(cum - n_tokens) div 4096"))
+        .groupBy("source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
     // S10: year facet over the occurrence view (RegressionResource.java:226-252)
     "q43_year_facet" -> ((s, dir) =>
       occ(s, dir).filter(col("year").isNotNull)
@@ -1118,6 +1135,16 @@ FROM documents GROUP BY ALL""",
 SELECT (n_tokens // 16) * 16 AS bucket, count(*) AS n_docs,
   min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
 FROM tk GROUP BY bucket""",
+
+    "q64_sequence_packing" -> """WITH tk AS (SELECT doc_id, source,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+  ORDER BY n_tokens DESC, doc_id) AS cum FROM tk)
+SELECT source, (cum - n_tokens) // 4096 AS bin_id,
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY source, bin_id""",
 
     "q43_year_facet" -> (OccSql + """
 SELECT year, count(*) AS n FROM occ2 WHERE year IS NOT NULL GROUP BY year"""),
