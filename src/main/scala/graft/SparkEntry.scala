@@ -560,6 +560,10 @@ object SparkEntry {
       Similarity.ivfTopK(emb, qv, 10)
     }),
 
+    // Similarity: int8 quantization (scale + index-weighted checksum)
+    "q65_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(embeddings(s, dir))),
+
     // Events: hourly tumbling-window aggregate (batch analog of the stream path)
     "q24_event_hourly" -> ((s, dir) =>
       events(s, dir)
@@ -1267,6 +1271,17 @@ SELECT vec_id, label, cell,
 FROM cells, q WHERE cell IN (SELECT cid FROM probes)
 ORDER BY sim DESC, vec_id LIMIT 10"""
     },
+
+    "q65_embed_quantize" -> """WITH m AS (
+  SELECT vec_id, embedding,
+    list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in range(1, 65)]) AS mx
+  FROM embeddings)
+SELECT vec_id,
+  round(CASE WHEN mx = 0.0 THEN 0.0 ELSE 127.0 / mx END, 6) AS scale,
+  CAST(CASE WHEN mx = 0.0 THEN 0 ELSE list_sum(
+    [floor(CAST(embedding[i] AS DOUBLE) * (127.0 / mx) + 0.5) * i for i in range(1, 65)])
+  END AS BIGINT) AS qsum
+FROM m""",
 
     "q24_event_hourly" -> """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
   count(*) AS n, round(sum(value), 4) AS sum_value

@@ -122,6 +122,31 @@ object Similarity {
       if (dot > 0.0) acc + (1L << d) else acc
     }
 
+  /** Symmetric int8 quantization of an embedding: scale = 127/max|x|,
+    * q_i = floor(x_i·scale + 0.5) — the storage/serving-side compression
+    * every large ANN index applies before sharding. Emits the per-vector
+    * scale and an index-weighted checksum of the quantized values (order-
+    * sensitive, integer-exact) instead of 64 columns. All arithmetic is the
+    * same IEEE sequence the oracle's list comprehension runs.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val qsum = udf { (a: Seq[Float], m: Double) =>
+      if (m == 0.0) 0L
+      else {
+        val scale = 127.0 / m
+        var s = 0L; var i = 0
+        while (i < a.length) {
+          s += math.floor(a(i).toDouble * scale + 0.5).toLong * (i + 1); i += 1
+        }
+        s
+      }
+    }
+    emb.select(col("vec_id"),
+      round(when(mx === 0.0, 0.0).otherwise(lit(127.0) / mx), 6).as("scale"),
+      qsum(col("embedding"), mx).as("qsum"))
+  }
+
   // ------------------------------------------------------------- IVF ANN
 
   val IvfK = 16
