@@ -40,6 +40,23 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("graft_java_hash resolves in SQL text and constant-folds literals") {
+    // the injection hook wires without error (a config-installed session
+    // cannot be created here — the test JVM shares one SparkContext, and
+    // extensions only apply at context creation)
+    new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    // lazily-registered path: resolvable from SQL text
+    GeoFunctions.javaHash(org.apache.spark.sql.functions.lit("x")) // registers
+    val r = spark.sql("SELECT graft_java_hash('0:0') AS h").head.getInt(0)
+    assert(r === "0:0".hashCode)
+    // native + deterministic ⇒ Catalyst folds literal inputs at plan time
+    // (a UDF never would)
+    val opt = spark.sql("SELECT graft_java_hash('0:0') AS h")
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("0:0".hashCode.toString), opt)
+    assert(!opt.contains("graft_java_hash"), opt)
+  }
+
   test("Column pixelAtMaxZoom matches core toGlobalPixelXY for all 4 SRS") {
     val ss = spark
     import ss.implicits._
