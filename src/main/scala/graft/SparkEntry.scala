@@ -406,6 +406,18 @@ object SparkEntry {
     "q47_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(documents(s, dir), 0.5)),
 
+    // Dedup end-to-end: keep each near-dup cluster's representative (the
+    // min-id member) and aggregate the surviving corpus — the consumption
+    // step after q47's labeling
+    "q66_cluster_canonical" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val canon = Dedup.duplicateClusters(docs, 0.5)
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      docs.join(canon, Seq("doc_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
     // Composite: training-corpus filter (canonical ∩ lang ∩ quality ∩ token bounds)
     "q48_corpus_filter" -> ((s, dir) => {
       val docs = documents(s, dir)
@@ -666,6 +678,27 @@ hs AS (SELECT doc_id, source,
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"[CAST(unicode(c) AS BIGINT) for c in string_split($k, '')]), " +
       s"(a, b) -> (a*31 + b) % 4294967296)"
+
+  /** Recursive-CTE connected components over LSH near-dup edges, ending in
+    * `lbl(doc_id, cluster_id)` — shared by q47 (the labels) and q66 (the
+    * canonical-corpus consumption).
+    */
+  private val ClustersSql = SigSql.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+bands AS (${(0 until Dedup.NumBands).map(b =>
+    s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
+    .mkString("\n  UNION ALL ")}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+ed0 AS (SELECT doc_a, doc_b FROM (
+  SELECT doc_a, doc_b,
+    (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+  WHERE est_sim >= 0.5),
+ed AS (SELECT doc_a AS a, doc_b AS b FROM ed0 UNION SELECT doc_b, doc_a FROM ed0),
+cl AS (SELECT a, b FROM ed UNION SELECT cl.a, ed.b FROM cl JOIN ed ON cl.b = ed.a),
+lbl AS (SELECT d.doc_id, LEAST(d.doc_id, coalesce(min(cl.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.a = d.doc_id
+  GROUP BY d.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_view_counts" -> (Ex +
@@ -1081,22 +1114,13 @@ WHERE f.py >= t.tty*512 - 64 AND f.py <= t.tty*512 + 512 + 64
   AND ((f.px >= t.ttx*512 - 64 AND f.px <= t.ttx*512 + 512 + 64)
     OR (t.ttx = 0 AND f.px >= 65536 - 64) OR (t.ttx = 127 AND f.px < 64))"""),
 
-    "q47_dup_clusters" -> (SigSql.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
-bands AS (${(0 until Dedup.NumBands).map(b =>
-      s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
-      .mkString("\n  UNION ALL ")}),
-cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-ed0 AS (SELECT doc_a, doc_b FROM (
-  SELECT doc_a, doc_b,
-    (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
-  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
-  WHERE est_sim >= 0.5),
-ed AS (SELECT doc_a AS a, doc_b AS b FROM ed0 UNION SELECT doc_b, doc_a FROM ed0),
-cl AS (SELECT a, b FROM ed UNION SELECT cl.a, ed.b FROM cl JOIN ed ON cl.b = ed.a)
-SELECT d.doc_id, LEAST(d.doc_id, coalesce(min(cl.b), d.doc_id)) AS cluster_id
-FROM documents d LEFT JOIN cl ON cl.a = d.doc_id
-GROUP BY d.doc_id"""),
+    "q47_dup_clusters" -> (ClustersSql + """
+SELECT doc_id, cluster_id FROM lbl"""),
+
+    "q66_cluster_canonical" -> (ClustersSql + """
+SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d JOIN lbl ON d.doc_id = lbl.doc_id AND lbl.cluster_id = d.doc_id
+GROUP BY d.source"""),
 
     "q48_corpus_filter" -> """WITH canon AS (
   SELECT md5(text) AS h, min(doc_id) AS cid FROM documents GROUP BY md5(text)),
