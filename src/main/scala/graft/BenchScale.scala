@@ -39,8 +39,13 @@ object BenchScale {
       (0 until reps).map(i => perturb(base, i)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$scaleDir/$table.parquet")
     }
+    // every key feeding a derivation shifts by a stride that is NOT a
+    // multiple of the derivation moduli (50/7/3600/1700), so view keys,
+    // pixels and order ids all genuinely multiply — not just densify
     replicated("lineitem", (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000007L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 100000007L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100000007L)))
     replicated("documents", (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
         .withColumn("text", concat(col("text"), lit(s" replica$i"))))

@@ -3,7 +3,7 @@ package graft
 import graft.functions.JavaHashExpr
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session-extension installer for the library's custom Catalyst surface —
   * add `.config("spark.sql.extensions", "graft.GraftExtensions")` to the
@@ -17,5 +17,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier(JavaHashExpr.name),
       new ExpressionInfo(classOf[JavaHashExpr].getName, JavaHashExpr.name),
-      (children: Seq[Expression]) => JavaHashExpr(children.head)))
+      JavaHashExpr.builder))
 }

@@ -59,17 +59,15 @@ object SparkEntry {
     // columns, leaner than exploding a string array through every column
     // (equals q01 exactly)
     "q63_grouping_sets" -> ((s, dir) => {
-      val o = occ(s, dir)
-        .withColumn("k1", concat(lit("1:"), col("l_partkey") % 50))
-        .withColumn("k2", concat(lit("2:"), col("l_suppkey")))
-        .withColumn("k3", concat(lit("3:"), col("l_returnflag")))
-        .withColumn("k4", concat(lit("4:"), col("l_orderkey") % 7))
+      val dims = OccurrenceView.viewKeyDims.indices.map(i => s"k${i + 1}")
+      val o = OccurrenceView.viewKeyDims.zip(dims)
+        .foldLeft(occ(s, dir)) { case (df, (c, n)) => df.withColumn(n, c) }
       o.groupingSets(
-          Seq(Seq.empty, Seq(col("k1")), Seq(col("k2")), Seq(col("k3")), Seq(col("k4"))),
-          col("k1"), col("k2"), col("k3"), col("k4"))
+          Seq.empty +: dims.map(n => Seq(col(n))),
+          dims.map(col): _*)
         .agg(count(lit(1)).as("occ_count"))
         .select(
-          coalesce(col("k1"), col("k2"), col("k3"), col("k4"), lit("0:0")).as("map_key"),
+          coalesce(dims.map(col) :+ lit("0:0"): _*).as("map_key"),
           col("occ_count"))
     }),
 

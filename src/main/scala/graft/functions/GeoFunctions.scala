@@ -130,15 +130,23 @@ object GeoFunctions {
     * path stays inside WholeStageCodegen; a JIT'd UDF is the fallback when
     * no session is active at plan-build time.
     */
-  private val javaHashUdf = udf { (s: String) => s.hashCode }
+  private val javaHashUdf = udf { (s: String) =>
+    if (s == null) null else Integer.valueOf(s.hashCode)
+  }
 
-  def javaHash(key: Column): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(s) =>
-        JavaHashExpr.register(s)
-        call_function(JavaHashExpr.name, key)
-      case None => javaHashUdf(key)
-    }
+  /** Registration is per-session: the Column must be ANALYZED by a session
+    * that has the function (register on the active + default sessions here;
+    * `GraftExtensions` installs it at session build; sinks register on
+    * their DataFrame's own session). Cross-session plan reuse without any
+    * of those falls back to the UDF only when no session is active.
+    */
+  def javaHash(key: Column): Column = {
+    val ss = org.apache.spark.sql.SparkSession
+    (ss.getActiveSession.toSeq ++ ss.getDefaultSession.toSeq)
+      .distinct.foreach(JavaHashExpr.register)
+    if (ss.getActiveSession.isEmpty && ss.getDefaultSession.isEmpty) javaHashUdf(key)
+    else call_function(JavaHashExpr.name, key)
+  }
 
   def saltOf(key: Column, modulus: Int): Column =
     pmod(javaHash(key).bitwiseAND(lit(0xfffffff)), lit(modulus))

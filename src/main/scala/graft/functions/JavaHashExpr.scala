@@ -42,6 +42,15 @@ case class JavaHashExpr(child: Expression) extends UnaryExpression {
 object JavaHashExpr {
   val name = "graft_java_hash"
 
+  /** Registry builder with arity validation (the analyzer surfaces the
+    * message) — `children.head` alone would silently drop extra arguments.
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(child) => JavaHashExpr(child)
+    case other => throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${other.size}")
+  }
+
   /** Idempotent per-session registration — the public route to a custom
     * Expression is the function registry (the SparkSessionExtensions
     * `injectFunction` hook does exactly this at session build; registering
@@ -49,5 +58,5 @@ object JavaHashExpr {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, (children: Seq[Expression]) => JavaHashExpr(children.head), "internal")
+      name, builder, "internal")
 }

@@ -42,7 +42,7 @@ object Dedup {
     * slower; the arithmetic here is identical and engine-portable).
     */
   private val minhashSigUdf = udf { (t: String) =>
-    val n = t.length - 4
+    val n = if (t == null) 0 else t.length - 4
     if (n <= 0) null
     else {
       val hs = new Array[Long](n)
@@ -164,12 +164,15 @@ object Dedup {
 
   /** 32-bit SimHash over shingle hashes (integer-only, engine-portable). */
   val simhash32 = udf { (t: String) =>
-    val hs = (1 to t.length - 4).map { i =>
-      t.substring(i - 1, i + 4).foldLeft(0L)((a, c) => (a * 31 + c.toInt) % M)
-    }
-    (0 until 32).foldLeft(0L) { (acc, j) =>
-      val w = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
-      if (w > 0) acc + (1L << j) else acc
+    if (t == null) null
+    else {
+      val hs = (1 to t.length - 4).map { i =>
+        t.substring(i - 1, i + 4).foldLeft(0L)((a, c) => (a * 31 + c.toInt) % M)
+      }
+      java.lang.Long.valueOf((0 until 32).foldLeft(0L) { (acc, j) =>
+        val w = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+        if (w > 0) acc + (1L << j) else acc
+      })
     }
   }
 
@@ -178,7 +181,7 @@ object Dedup {
     * n-grams keep the sets ~5× smaller than char shingles.
     */
   private val trigramHashSetUdf = udf { (t: String) =>
-    val toks = t.trim.split("\\s+")
+    val toks = if (t == null) Array.empty[String] else t.trim.split("\\s+")
     if (toks.length < 3) Array.empty[Long]
     else {
       val seen = scala.collection.mutable.LinkedHashSet.empty[Long]

@@ -59,7 +59,10 @@ object MapBuild {
   def dictionaryEncode(spark: org.apache.spark.sql.SparkSession, viewCounts: DataFrame): DataFrame = {
     // persist before the driver collect: the key collect AND the returned
     // lineage both consume the counts, which would otherwise re-run the
-    // full upstream aggregation twice
+    // full upstream aggregation twice. Cache lifetime is caller-owned
+    // (Verify/Bench clearCache between queries; a long-lived service
+    // unpersists after consuming the result), as with the other
+    // barrier-persisting operators (pyramid, q55, q59)
     val vc = viewCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = vc.select("map_key").collect().map(_.getString(0)).sorted
     val dict = spark.sparkContext.broadcast(keys.zipWithIndex.toMap)

@@ -91,14 +91,17 @@ object OccurrenceView {
       .withColumn("map_keys", mapKeysArray)
   }
 
-  /** G1: the per-record array of map-view keys (MapKeysUDF.java:99-147). */
-  def mapKeysArray: Column = array(
-    lit("0:0"),
+  /** The non-ALL view key dimensions — single source of truth shared by the
+    * exploded array (G1) and the grouping-sets formulation (q63).
+    */
+  def viewKeyDims: Seq[Column] = Seq(
     concat(lit("1:"), col("l_partkey") % 50),
     concat(lit("2:"), col("l_suppkey")),
     concat(lit("3:"), col("l_returnflag")),
-    concat(lit("4:"), col("l_orderkey") % 7)
-  )
+    concat(lit("4:"), col("l_orderkey") % 7))
+
+  /** G1: the per-record array of map-view keys (MapKeysUDF.java:99-147). */
+  def mapKeysArray: Column = array(lit("0:0") +: viewKeyDims: _*)
 
   /** The same view as a DuckDB CTE, textually shared by every oracle query. */
   val OccSql: String =

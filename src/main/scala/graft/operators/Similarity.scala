@@ -25,27 +25,39 @@ object Similarity {
     * ascending index order, exactly the left-fold the DuckDB oracles
     * mirror with list_reduce — results are bit-identical.
     */
+  // Null/length semantics match the Catalyst HOF formulations these
+  // replaced: a null array — or a length mismatch, which zip_with would
+  // null-pad into a null sum — yields null, never an exception.
   def dotLit(emb: Column, v: Seq[Double]): Column = {
     val vv = v.toArray
     udf { (a: Seq[Float]) =>
-      var d = 0.0; var i = 0
-      while (i < vv.length) { d += a(i).toDouble * vv(i); i += 1 }
-      d
+      if (a == null || a.length != vv.length) null
+      else {
+        var d = 0.0; var i = 0
+        while (i < vv.length) { d += a(i).toDouble * vv(i); i += 1 }
+        d
+      }: java.lang.Double
     }.apply(emb)
   }
 
   private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var d = 0.0; var i = 0
-    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
-    d
+    if (a == null || b == null || a.length != b.length) null
+    else {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d
+    }: java.lang.Double
   }
 
   def dotCols(a: Column, b: Column): Column = dotUdf(a, b)
 
   private val sqNormUdf = udf { (a: Seq[Float]) =>
-    var d = 0.0; var i = 0
-    while (i < a.length) { d += a(i).toDouble * a(i).toDouble; i += 1 }
-    d
+    if (a == null) null
+    else {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * a(i).toDouble; i += 1 }
+      d
+    }: java.lang.Double
   }
 
   def sqNorm(emb: Column): Column = sqNormUdf(emb)
@@ -97,19 +109,22 @@ object Similarity {
     * HOF formulation and to the oracle's list_reduce mirror.
     */
   private val bucketUdf = udf { (emb: Seq[Float]) =>
-    var bucket = 0L
-    var d = 0
-    while (d < NumPlanes) {
-      var dot = 0.0
-      var i = 0
-      while (i < Dim) {
-        dot += emb(i).toDouble * (((d * 67 + i * 31) % 19) - 9).toDouble
-        i += 1
+    if (emb == null || emb.length < Dim) null
+    else {
+      var bucket = 0L
+      var d = 0
+      while (d < NumPlanes) {
+        var dot = 0.0
+        var i = 0
+        while (i < Dim) {
+          dot += emb(i).toDouble * (((d * 67 + i * 31) % 19) - 9).toDouble
+          i += 1
+        }
+        if (dot > 0.0) bucket |= 1L << d
+        d += 1
       }
-      if (dot > 0.0) bucket |= 1L << d
-      d += 1
-    }
-    bucket
+      bucket
+    }: java.lang.Long
   }
 
   def bucketCol(emb: Column): Column = bucketUdf(emb)
@@ -131,15 +146,16 @@ object Similarity {
     */
   def quantizeInt8(emb: DataFrame): DataFrame = {
     val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-    val qsum = udf { (a: Seq[Float], m: Double) =>
-      if (m == 0.0) 0L
+    val qsum = udf { (a: Seq[Float], m: java.lang.Double) =>
+      if (a == null || m == null) null
+      else if (m == 0.0) java.lang.Long.valueOf(0L)
       else {
         val scale = 127.0 / m
         var s = 0L; var i = 0
         while (i < a.length) {
           s += math.floor(a(i).toDouble * scale + 0.5).toLong * (i + 1); i += 1
         }
-        s
+        java.lang.Long.valueOf(s)
       }
     }
     emb.select(col("vec_id"),
@@ -178,17 +194,20 @@ object Similarity {
       cents: Array[Array[Double]]): Column = {
     val bc = spark.sparkContext.broadcast(cents)
     udf { (emb: Seq[Float]) =>
-      val v = emb.map(_.toDouble).toIndexedSeq
-      val cs = bc.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < cs(c).length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
+      if (emb == null) null
+      else {
+        val v = emb.map(_.toDouble).toIndexedSeq
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < cs(c).length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }: Integer
     }.apply(col("embedding"))
   }
 

@@ -21,6 +21,9 @@ object KeyedSink {
 
   /** Write `df` keyed by `keyCol`, salted into `modulus` sorted partitions. */
   def writeSalted(df: DataFrame, keyCol: Column, modulus: Int, path: String): Unit = {
+    // the salt expression resolves on THIS frame's session, whatever thread
+    // or session is active
+    graft.functions.JavaHashExpr.register(df.sparkSession)
     val digits = Salt(modulus).digitCount
     df.withColumn("key", keyCol)
       .withColumn("salt", saltOf(col("key"), modulus))

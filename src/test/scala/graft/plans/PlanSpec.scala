@@ -67,13 +67,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("ScalaUDF"), s"q17 reintroduced a UDF:\n$p")
   }
 
-  test("pixel aggregation projects before the explode (map-side combine shape)") {
+  test("pixel aggregation partial-aggregates directly above the explode " +
+    "(map-side combine before any shuffle)") {
     val p = planOf("q06_pixel_agg_4326")
-    // partial aggregation must sit above Generate (explode) — the explode
-    // output is collapsed before the exchange
     val gen = p.indexOf("Generate")
-    val partial = p.indexOf("HashAggregate")
-    assert(gen >= 0 && partial >= 0, p)
-    assert(p.contains("Exchange"), p)
+    assert(gen >= 0, p)
+    // the nearest aggregate ABOVE the explode (printed before it, top-down)
+    // must reach it without an intervening Exchange — i.e. the partial
+    // aggregation consumes the explode output pre-shuffle
+    val before = p.substring(0, gen)
+    val lastAgg = before.lastIndexOf("HashAggregate")
+    assert(lastAgg >= 0, s"no aggregate above the explode:\n$p")
+    assert(!before.substring(lastAgg).contains("Exchange"),
+      s"shuffle between explode and partial aggregate:\n$p")
   }
 }
