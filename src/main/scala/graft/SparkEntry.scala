@@ -605,6 +605,14 @@ object SparkEntry {
     ",\npts AS (SELECT map_key, lat10, lng10, bor_year, count(*) AS occ_count" +
     " FROM ex GROUP BY map_key, lat10, lng10, bor_year)"
 
+  /** A Scala Double as a DuckDB DOUBLE literal with identical bits. Bare
+    * decimal literals ("1.5") parse as DECIMAL in DuckDB and silently switch
+    * the whole expression to exact decimal arithmetic, which drifts from
+    * Spark's IEEE doubles past ~9 significant digits; the quoted cast keeps
+    * both engines on the same double (shortest-roundtrip repr both ways).
+    */
+  private def dbl(x: Double) = s"CAST('$x' AS DOUBLE)"
+
   /** 4326 z16 global pixel exprs — token-mirrors GeoFunctions.wgs84XY. */
   private def px4326(lng: String) = s"CAST(floor(($lng + 180.0)*(33554432.0/180.0)) AS BIGINT)"
   private def py4326(lat: String) = s"CAST(floor((90.0 - $lat)*(33554432.0/180.0)) AS BIGINT)"
@@ -770,8 +778,8 @@ FROM (SELECT map_key, px // 64 AS cell_x, py // 64 AS cell_y,
 
     "q10_hex_bin" -> (RpZ10Sql + s""",
 ax AS (SELECT map_key, total,
-  (px * (2.0/3.0)) / ${Hex.radius} AS q,
-  (px * (-1.0/3.0) + py * (sqrt(3.0)/3.0)) / ${Hex.radius} AS r FROM rp),
+  (px * ${dbl(2.0 / 3.0)}) / ${dbl(Hex.radius)} AS q,
+  (px * ${dbl(-1.0 / 3.0)} + py * ${dbl(math.sqrt(3) / 3.0)}) / ${dbl(Hex.radius)} AS r FROM rp),
 rnd AS (SELECT map_key, total, q, r, -q - r AS s,
   round(q) AS rq, round(r) AS rr, round(-q - r) AS rs FROM ax),
 dd AS (SELECT *, abs(rq - q) AS dq, abs(rr - r) AS dr, abs(rs - s) AS ds FROM rnd),
@@ -780,13 +788,13 @@ cells AS (SELECT map_key, total,
   CAST(CASE WHEN dq > dr AND dq > ds THEN rr
             WHEN dr > ds THEN -rq - rs ELSE rr END AS BIGINT) AS hex_r FROM dd)
 SELECT map_key, hex_q, hex_r, CAST(sum(total) AS BIGINT) AS total,
-  round((hex_q * 1.5) * ${Hex.radius}, 6) AS cx,
-  round((hex_q * ${math.sqrt(3) / 2} + hex_r * ${math.sqrt(3)}) * ${Hex.radius}, 6) AS cy,
+  (hex_q * ${dbl(1.5)}) * ${dbl(Hex.radius)} AS cx,
+  (hex_q * ${dbl(math.sqrt(3) / 2)} + hex_r * ${dbl(math.sqrt(3))}) * ${dbl(Hex.radius)} AS cy,
   ${(0 until 6).map { i =>
         val dx = Hex.radius * math.cos(math.toRadians(60.0 * i))
         val dy = Hex.radius * math.sin(math.toRadians(60.0 * i))
-        s"round(((hex_q * 1.5) * ${Hex.radius}) + $dx, 6) AS v${i}x,\n  " +
-          s"round(((hex_q * ${math.sqrt(3) / 2} + hex_r * ${math.sqrt(3)}) * ${Hex.radius}) + $dy, 6) AS v${i}y"
+        s"((hex_q * ${dbl(1.5)}) * ${dbl(Hex.radius)}) + ${dbl(dx)} AS v${i}x,\n  " +
+          s"((hex_q * ${dbl(math.sqrt(3) / 2)} + hex_r * ${dbl(math.sqrt(3))}) * ${dbl(Hex.radius)}) + ${dbl(dy)} AS v${i}y"
       }.mkString(",\n  ")}
 FROM cells GROUP BY map_key, hex_q, hex_r"""),
 
@@ -815,8 +823,8 @@ base AS (SELECT year, l_partkey, ${px4326("lng")} >> 6 AS px, ${py4326("lat")} >
   FROM occ2 WHERE year IS NOT NULL
     AND lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180),
 ax AS (SELECT year, l_partkey,
-  (px * (2.0/3.0)) / ${Hex.radius} AS q,
-  (px * (-1.0/3.0) + py * (sqrt(3.0)/3.0)) / ${Hex.radius} AS r FROM base),
+  (px * ${dbl(2.0 / 3.0)}) / ${dbl(Hex.radius)} AS q,
+  (px * ${dbl(-1.0 / 3.0)} + py * ${dbl(math.sqrt(3) / 3.0)}) / ${dbl(Hex.radius)} AS r FROM base),
 rnd AS (SELECT year, l_partkey, q, r, -q - r AS s,
   round(q) AS rq, round(r) AS rr, round(-q - r) AS rs FROM ax),
 dd AS (SELECT *, abs(rq - q) AS dq, abs(rr - r) AS dr, abs(rs - s) AS ds FROM rnd),
@@ -1168,7 +1176,7 @@ FROM tk GROUP BY bucket""",
   FROM documents),
 c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
   ORDER BY n_tokens DESC, doc_id) AS cum FROM tk)
-SELECT source, (cum - n_tokens) // 4096 AS bin_id,
+SELECT source, CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin_id,
   count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM c GROUP BY source, bin_id""",
 

@@ -145,20 +145,22 @@ object TileServe {
     * global pixel space. The trig offsets are precomputed driver-side and
     * injected as double literals, so the oracle SQL shares the exact IEEE
     * values and op order (graft.core.HexGrid.polygonOf re-expressed as
-    * Column math).
+    * Column math). Values are raw doubles — with bit-identical constants and
+    * op order both engines produce bit-identical results, whereas a
+    * round(_, 6) pass re-introduces engine-specific decimal rounding.
     */
   def withHexPolygon(cells: DataFrame, radius: Double): DataFrame = {
     val cx = (col("hex_q") * lit(1.5)) * lit(radius)
     val cy = (col("hex_q") * lit(math.sqrt(3) / 2) +
       col("hex_r") * lit(math.sqrt(3))) * lit(radius)
     val base = cells
-      .withColumn("cx", round(cx, 6))
-      .withColumn("cy", round(cy, 6))
+      .withColumn("cx", cx)
+      .withColumn("cy", cy)
     (0 until 6).foldLeft(base) { (df, i) =>
       val dx = radius * math.cos(math.toRadians(60.0 * i))
       val dy = radius * math.sin(math.toRadians(60.0 * i))
-      df.withColumn(s"v${i}x", round(cx + lit(dx), 6))
-        .withColumn(s"v${i}y", round(cy + lit(dy), 6))
+      df.withColumn(s"v${i}x", cx + lit(dx))
+        .withColumn(s"v${i}y", cy + lit(dy))
     }
   }
 

@@ -11,18 +11,25 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(df: pd.DataFrame) -> str:
+def canon(df: pd.DataFrame, digits=None) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize ints/floats: floats → repr with 9 sig digits, ints as int
+    # floats: exact repr by default (strictest possible driver formatter) —
+    # the Spark and oracle expressions are written to be bit-identical, so
+    # exact float equality is the contract, not a precision window.
     def cell(v):
         if v is None or v != v:
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.9g}"
+            return f"{v:.9g}" if digits else repr(v)
         return str(v)
     rows = ["\x1f".join(cell(v) for v in row) for row in df.itertuples(index=False)]
     rows.sort()
     return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
+def dtype_class(dt) -> str:
+    k = dt.kind  # numpy kind: i/u = int, f = float, O = object, b = bool
+    return {"i": "int", "u": "int", "f": "float"}.get(k, "other")
 
 def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -47,6 +54,16 @@ def main(sf_dir, out_dir):
             continue
         if len(spark_df) != len(duck_df):
             results[name] = f"ROWCOUNT spark={len(spark_df)} duck={len(duck_df)}"
+            continue
+        # int-vs-float dtype divergence (e.g. DuckDB HUGEINT/DECIMAL → pandas
+        # float64) prints differently under str()-style formatters even when
+        # values are equal — treat as failure like the driver does
+        dt_bad = [c for c in spark_df.columns
+                  if dtype_class(spark_df[c].dtype) != dtype_class(duck_df[c].dtype)]
+        if dt_bad:
+            results[name] = ("DTYPE_MISMATCH " + ", ".join(
+                f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+                for c in dt_bad))
             continue
         h1, h2 = canon(spark_df), canon(duck_df)
         results[name] = "OK" if h1 == h2 else f"HASH_MISMATCH rows={len(spark_df)}"
