@@ -36,7 +36,9 @@ object Bench {
       dt
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = subset of query names (targeted timing during tuning)
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     names.foreach(run(warmDir, _)) // warmup: compile/JIT every plan shape
     // two timed runs, keep the min — single runs swing ±40% from GC debt
     // accumulated by earlier queries; System.gc() flattens the baseline
@@ -47,9 +49,12 @@ object Bench {
       val b = run(sfDir, n)
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal seconds keep the whole JSON line short enough to survive
+    // tail-truncating log capture downstream
+    def f(v: Double) = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

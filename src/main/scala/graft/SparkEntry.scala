@@ -267,14 +267,15 @@ object SparkEntry {
     // G2: buffer-replica tile explode at z6 (dateline wrap + 8-neighbour buffers)
     "q36_tile_replicas" -> ((s, dir) =>
       MapBuild.tileReplicaAssembly(
-        MapBuild.pixelAggAt(occ(s, dir), "EPSG:4326", 6), "EPSG:4326", 6)),
+        MapBuild.pixelAggAt(occ(s, dir), "EPSG:4326", 6, withBor = false),
+        "EPSG:4326", 6)),
 
     // G2/G3 at EPSG:3857: the Mercator replica gate — z0 (1-tile world,
     // where the dateline wrap degenerates to the tile itself and must
     // dedupe) stacked with z1 (2-tile world, real wrap into the opposite
     // tile's buffer), the hardest TileXYUDF.java:202-223 cases
     "q59_tile_replicas_3857" -> ((s, dir) => {
-      val z1px = MapBuild.pixelAggAt(occ(s, dir), "EPSG:3857", 1)
+      val z1px = MapBuild.pixelAggAt(occ(s, dir), "EPSG:3857", 1, withBor = false)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       z1px.count() // barrier: both union branches read the materialized level
       val z0 = MapBuild.tileReplicaAssembly(

@@ -149,9 +149,16 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst_id"), col("dst") === col("dst_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("nb_min"))
-      val next = labels.join(nbMin, Seq("doc_id"), "left")
+      val stepped = labels.join(nbMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
+      // pointer jumping: label[x] ← label[label[x]] — every label is a real
+      // doc_id, so the self-join composes the pointer chain and convergence
+      // needs O(log diameter) rounds instead of O(diameter)
+      val next = stepped.as("a")
+        .join(stepped.select(col("doc_id").as("pj_id"), col("cluster_id").as("pj_cl")).as("b"),
+          col("a.cluster_id") === col("pj_id"), "left")
+        .select(col("a.doc_id"), coalesce(col("pj_cl"), col("a.cluster_id")).as("cluster_id"))
         .localCheckpoint()
       val nextSum = labelSum(next)
       labels = next

@@ -130,25 +130,38 @@ object MapBuild {
     * the z16 q05/q06/q26/q27 gates still exercise [[pixelAgg]] itself.
     */
   def pixelAggAt(occ: DataFrame, epsg: String, z: Int): DataFrame =
+    pixelAggAt(occ, epsg, z, withBor = true)
+
+  /** As [[pixelAggAt]]; `withBor = false` collapses the bor_year dimension
+    * in the SAME (only) shuffle for consumers that never read it (the
+    * buffer-replica tile stats) — a trailing collapse re-aggregation would
+    * be a second full shuffle of the pixel table.
+    */
+  def pixelAggAt(occ: DataFrame, epsg: String, z: Int, withBor: Boolean): DataFrame = {
+    val base = Seq(
+      col("map_key"),
+      shiftright(col("px"), MaxZoom - z).as("px"),
+      shiftright(col("py"), MaxZoom - z).as("py"))
+    val keys = if (withBor) base :+ col("bor_year") else base
     explodeMapKeys(withPixels(occ, epsg))
-      .groupBy(
-        col("map_key"),
-        shiftright(col("px"), MaxZoom - z).as("px"),
-        shiftright(col("py"), MaxZoom - z).as("py"),
-        col("bor_year"))
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("occ_count"))
+  }
 
   /** A5 level 1: re-aggregate a finer-zoom pixel table to zoom `z`.
-    * `fromZoom` is the zoom of `pixels`' px/py addressing.
+    * `fromZoom` is the zoom of `pixels`' px/py addressing. Keeps the
+    * bor_year dimension iff the input carries it.
     */
   def rollupToZoom(pixels: DataFrame, fromZoom: Int, z: Int): DataFrame = {
     require(z <= fromZoom)
+    val base = Seq(
+      col("map_key"),
+      shiftright(col("px"), fromZoom - z).as("px"),
+      shiftright(col("py"), fromZoom - z).as("py"))
+    val keys =
+      if (pixels.columns.contains("bor_year")) base :+ col("bor_year") else base
     pixels
-      .groupBy(
-        col("map_key"),
-        shiftright(col("px"), fromZoom - z).as("px"),
-        shiftright(col("py"), fromZoom - z).as("py"),
-        col("bor_year"))
+      .groupBy(keys: _*)
       .agg(sum("occ_count").as("occ_count"))
   }
 
@@ -190,9 +203,13 @@ object MapBuild {
       graft.core.Tiles.collectToTiles(px.toDouble, py.toDouble, schema, z, TileSize, buffer)
         .map { case (tx, ty, _, _) => (tx, ty) }
     }
-    pixelsAtZ
-      .groupBy("map_key", "px", "py")
-      .agg(sum("occ_count").as("occ_count"))
+    // input already collapsed to one row per (map_key, px, py)? then the
+    // bor-collapse re-aggregation (a full shuffle) is unnecessary
+    val collapsed =
+      if (pixelsAtZ.columns.contains("bor_year"))
+        pixelsAtZ.groupBy("map_key", "px", "py").agg(sum("occ_count").as("occ_count"))
+      else pixelsAtZ.select("map_key", "px", "py", "occ_count")
+    collapsed
       .withColumn("t", explode(replicas(col("px"), col("py"))))
       .groupBy(col("map_key"), col("t._1").as("tx"), col("t._2").as("ty"))
       .agg(count(lit(1)).as("n_pixels"), sum("occ_count").as("total"))
@@ -217,7 +234,52 @@ object MapBuild {
       .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
       .withColumn("z", lit(z))
 
-  def pyramid(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
+  /** Full pyramid in ONE aggregation pass: each top-level pixel row is
+    * exploded to every requested zoom (z, px >> (maxZoom-z), py >> ...) and
+    * a single groupBy produces all levels at once. The ×nLevels row
+    * amplification happens AFTER the top-level aggregate (input is already
+    * ~4^maxZoom groups, not raw records) and collapses by map-side combine,
+    * so the cost is one shuffle of ~1.33× the top table vs the iterative
+    * chain's per-level shuffle + persist + materialization-barrier jobs.
+    * The crossover: amplification grows linearly with nLevels while the
+    * iterative chain's total shuffle volume is bounded by ~1.33× regardless
+    * of depth — one-pass wins for shallow pyramids (≤8 levels, the serving
+    * z0–z6 case), iterative for deep ones (z16 builds). [[pyramid]]
+    * dispatches on that. Levels are identical either way: sum grouped
+    * coarser ≡ summed fine sums.
+    */
+  def pyramidOnePass(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
+    val top = explodeMapKeys(withPixels(occ, epsg))
+      .groupBy(
+        col("map_key"),
+        shiftright(col("px"), MaxZoom - maxZoom).as("px"),
+        shiftright(col("py"), MaxZoom - maxZoom).as("py"))
+      .agg(count(lit(1)).as("total"))
+    val zs = array((minZoom to maxZoom).map(lit): _*)
+    top
+      .withColumn("z", explode(zs))
+      .groupBy(
+        col("map_key"), col("z"),
+        expr(s"shiftright(px, $maxZoom - z)").as("px"),
+        expr(s"shiftright(py, $maxZoom - z)").as("py"))
+      .agg(sum("total").as("total"))
+      .groupBy(
+        col("map_key"), col("z"),
+        (col("px") / TileSize).cast("long").as("tx"),
+        (col("py") / TileSize).cast("long").as("ty"))
+      .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
+      .select("map_key", "tx", "ty", "n_pixels", "total", "z")
+  }
+
+  /** Pyramid strategy dispatch: one-pass for shallow pyramids, iterative
+    * halving (with per-level materialization barriers) for deep ones — see
+    * [[pyramidOnePass]] for the crossover argument.
+    */
+  def pyramid(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame =
+    if (maxZoom - minZoom <= 8) pyramidOnePass(occ, epsg, minZoom, maxZoom)
+    else pyramidIterative(occ, epsg, minZoom, maxZoom)
+
+  def pyramidIterative(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // The pyramid's tile stats never use bor_year, and the top level sits
     // below MaxZoom — aggregate ONCE, directly at (maxZoom, no-bor)
