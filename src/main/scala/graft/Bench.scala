@@ -49,9 +49,10 @@ object Bench {
       val b = run(sfDir, n)
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    // 3-decimal seconds keep the whole JSON line short enough to survive
-    // tail-truncating log capture downstream
-    def f(v: Double) = "%.3f".format(v)
+    // 2-decimal seconds keep the whole JSON line short enough to survive
+    // tail-truncating log capture downstream (~2 KiB window) as the query
+    // count grows
+    def f(v: Double) = "%.2f".format(v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

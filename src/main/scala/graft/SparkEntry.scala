@@ -594,7 +594,31 @@ object SparkEntry {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       sess.groupBy("user_id")
         .agg(max("sid").as("n_sessions"), count(lit(1)).as("n_events"))
-    })
+    }),
+
+    // Pipeline: benchmark decontamination — corpus docs flagged by word-5gram
+    // overlap against the eval source (broadcast semi-join, corpus never
+    // shuffles raw text)
+    "q67_decontam" -> ((s, dir) =>
+      graft.operators.Corpus.decontaminate(documents(s, dir), "src0", 5, 0.5)),
+
+    // Pipeline: Gopher-style repetition quality signals per document
+    "q68_repetition" -> ((s, dir) =>
+      graft.operators.Corpus.repetitionStats(documents(s, dir))),
+
+    // Pipeline: temperature-scaled (alpha=0.5) domain mixing — per-source
+    // keep-counts from a tiny broadcast aggregate, deterministic LCG pick
+    "q69_domain_mix" -> ((s, dir) =>
+      graft.operators.Corpus.temperatureMix(documents(s, dir), 3.0)),
+
+    // As-of join: each click matched to the user's most recent prior error —
+    // single-shuffle union + window carry-forward (no range join)
+    "q70_asof_join" -> ((s, dir) =>
+      graft.operators.AsOfJoin.eventAsOf(events(s, dir), "click", "error")),
+
+    // Pipeline: TF-IDF top-5 terms per source (deterministic tiebreaks)
+    "q71_tfidf_terms" -> ((s, dir) =>
+      graft.operators.Corpus.tfidfTopTerms(documents(s, dir), 5))
   )
 
   // ---------------------------------------------------------- the oracles
@@ -1324,6 +1348,84 @@ l AS (SELECT user_id, tsec,
   lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS pt FROM ev),
 n AS (SELECT user_id, CASE WHEN pt IS NULL OR tsec - pt > 1800 THEN 1 ELSE 0 END AS new_s FROM l)
 SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
-FROM n GROUP BY user_id"""
+FROM n GROUP BY user_id""",
+
+    "q67_decontam" -> """WITH tk AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+g AS (SELECT doc_id, source,
+  list_distinct([array_to_string(toks[i:i+4], ' ')
+                 for i in range(1, len(toks) - 3)]) AS grams FROM tk),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'),
+corpus AS (SELECT * FROM g WHERE source <> 'src0'),
+sh AS (SELECT doc_id, count(*) AS n_shared
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
+  WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id)
+SELECT c.doc_id, c.source, len(c.grams) AS n_grams,
+  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+  CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / greatest(len(c.grams), 1) AS overlap,
+  CASE WHEN CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / greatest(len(c.grams), 1)
+       >= CAST('0.5' AS DOUBLE) THEN 1 ELSE 0 END AS contaminated
+FROM corpus c LEFT JOIN sh USING (doc_id)""",
+
+    "q68_repetition" -> """WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+base AS (SELECT doc_id, toks,
+  [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] AS bgs
+  FROM tk WHERE len(toks) > 0),
+wc AS (SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY doc_id, w),
+wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, count(*) AS n_distinct,
+  CAST(max(c) AS BIGINT) AS top_word FROM wc GROUP BY doc_id),
+bc AS (SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) GROUP BY doc_id, bg),
+ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram FROM bc GROUP BY doc_id)
+SELECT wa.doc_id, wa.n_words,
+  CAST(wa.n_words - wa.n_distinct AS DOUBLE) / wa.n_words AS dup_word_frac,
+  CAST(wa.top_word AS DOUBLE) / wa.n_words AS top_word_frac,
+  CAST(coalesce(ba.top_bigram, 0) AS DOUBLE) / greatest(wa.n_words - 1, 1) AS top_bigram_frac
+FROM wa LEFT JOIN ba USING (doc_id)""",
+
+    "q69_domain_mix" -> """WITH keep AS (
+  SELECT source,
+    least(count(*), CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)) * CAST('3.0' AS DOUBLE)) AS BIGINT)) AS n_keep
+  FROM documents GROUP BY source),
+rk AS (SELECT d.*, keep.n_keep,
+  row_number() OVER (PARTITION BY d.source
+    ORDER BY (d.doc_id * 1103515245 + 12345) % 2147483648 ASC, d.doc_id ASC) AS rn
+  FROM documents d JOIN keep USING (source))
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM rk WHERE rn <= n_keep GROUP BY source""",
+
+    "q70_asof_join" -> """WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tmicro FROM events),
+c AS (SELECT * FROM ev WHERE event_type = 'click'),
+e AS (SELECT * FROM ev WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, e.event_id AS err_event_id,
+  c.tmicro - e.tmicro AS lag_micros, e.value AS err_value
+FROM c ASOF JOIN e ON c.user_id = e.user_id AND c.tmicro >= e.tmicro""",
+
+    "q71_tfidf_terms" -> """WITH tk AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+base AS (SELECT * FROM tk WHERE len(toks) > 0),
+words AS (SELECT doc_id, source, unnest(toks) AS w FROM base),
+dfreq AS (SELECT w, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM base),
+tf AS (SELECT source, w, count(*) AS tf FROM words GROUP BY source, w),
+scored AS (SELECT tf.source, tf.w, tf.tf, dfreq.df,
+  round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+rk AS (SELECT *, row_number() OVER (PARTITION BY source
+  ORDER BY score DESC, w ASC) AS rn FROM scored)
+SELECT source, w, tf, df, score, CAST(rn AS INT) AS rn FROM rk WHERE rn <= 5"""
   )
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus hygiene operators beyond the reference's map scope:
+  * benchmark decontamination, repetition-based quality signals, and
+  * temperature-scaled domain mixing. All are shuffle-lean formulations of
+  * the standard LLM data-pipeline passes.
+  *
+  * Tokenization matches the repo-wide convention (whitespace split of the
+  * trimmed text, q20/q52) so every operator shares one token definition.
+  */
+object Corpus {
+
+  /** Whitespace tokens of `text`; empty text → empty array (not [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Distinct word n-grams of `toksCol` (a token-array column), space-joined.
+    * Guarded so fewer-than-n tokens yield an empty array — `sequence(1, k)`
+    * with k < 1 would COUNT DOWN, not produce an empty range.
+    */
+  def distinctNgrams(toksCol: String, n: Int): Column =
+    when(size(col(toksCol)) >= n,
+      expr(s"array_distinct(transform(sequence(1, size($toksCol) - ${n - 1}), " +
+        s"i -> array_join(slice($toksCol, i, $n), ' ')))"))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination: for every corpus doc (not in the eval
+    * source), the count and fraction of its distinct word `n`-grams that
+    * also appear in ANY eval-source doc.
+    *
+    * Scale shape: the eval set is tiny relative to the corpus (a benchmark,
+    * not the crawl), so its distinct-gram set is collected into a broadcast
+    * and the corpus side is a broadcast LEFT SEMI join — the 100 TB corpus
+    * never shuffles; the only wide op is the per-doc count, which re-uses
+    * the gram explode's partitioning via partial aggregation.
+    */
+  def decontaminate(docs: DataFrame, evalSource: String, n: Int,
+      threshold: Double): DataFrame = {
+    val withG = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("grams", distinctNgrams("toks", n))
+    val evalGrams = withG.filter(col("source") === evalSource)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val corpus = withG.filter(col("source") =!= evalSource)
+    val shared = corpus
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    corpus
+      .select(col("doc_id"), col("source"), size(col("grams")).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("overlap",
+        col("n_shared").cast("double") / greatest(col("n_grams"), lit(1)))
+      .withColumn("contaminated", (col("overlap") >= threshold).cast("int"))
+  }
+
+  /** Gopher-style repetition signals per document: duplicate-word fraction,
+    * top-single-word fraction, top-bigram fraction. Empty docs are dropped
+    * (no denominator).
+    *
+    * Scale shape: one explode + two keyed aggregations, all partitioned by
+    * doc_id — partial aggregation collapses each doc's words map-side, so
+    * the shuffle carries (doc, word) counts, not raw tokens.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("bgs",
+        when(size(col("toks")) >= 2,
+          expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> array_join(slice(toks, i, 2), ' '))"))
+          .otherwise(array().cast("array<string>")))
+      .filter(size(col("toks")) > 0)
+    val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_word"))
+    val bigrams = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        (col("top_word").cast("double") / col("n_words")).as("top_word_frac"),
+        (coalesce(col("top_bigram"), lit(0L)).cast("double") /
+          greatest(col("n_words") - 1, lit(1))).as("top_bigram_frac"))
+  }
+
+  /** The q50/q51 LCG id hash — deterministic, engine-portable sampling key. */
+  def lcg(id: Column): Column = (id * 1103515245L + 12345L) % 2147483648L
+
+  /** Temperature-scaled domain mixing: each source keeps
+    * `min(count, ceil(sqrt(count) * boost))` docs — the alpha=0.5 sampling
+    * temperature that up-weights small domains relative to proportional
+    * sampling. Doc selection is the lowest LCG hashes (deterministic), via a
+    * per-source window.
+    *
+    * Scale shape: per-source keep-counts come from a tiny aggregate (bounded
+    * by #domains) broadcast back; the pick is a window partitioned BY SOURCE
+    * — the natural parallel unit, never global. The formula is per-source
+    * (no cross-source normalization), so no order-dependent double sum
+    * exists anywhere.
+    */
+  def temperatureMix(docs: DataFrame, boost: Double): DataFrame = {
+    val keep = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .select(col("source"),
+        least(col("c"), ceil(sqrt(col("c").cast("double")) * boost).cast("long"))
+          .as("n_keep"))
+    val w = Window.partitionBy("source")
+      .orderBy(lcg(col("doc_id")).asc, col("doc_id").asc)
+    docs.join(broadcast(keep), Seq("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
+  /** TF-IDF top-`k` terms per source: term frequency within the source,
+    * inverse document frequency over the whole corpus,
+    * `score = tf * ln(N / df)` rounded to 6 places (ln is the one
+    * non-portable float op). Deterministic tiebreak (score desc, term asc).
+    *
+    * Scale shape: two aggregations over the exploded words (both keyed, both
+    * partially aggregated map-side), a broadcast of the corpus size scalar,
+    * and a top-k window partitioned by source. The df table is |vocab|-sized
+    * — the join keeps (source, word) keyed so AQE can pick the join side.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+    val words = base.select(col("doc_id"), col("source"),
+      explode(col("toks")).as("w"))
+    val df_ = words.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val n = base.select(countDistinct(col("doc_id")).as("n_docs"))
+    val tf = words.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(df_, Seq("w")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w6 = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("w").asc)
+    scored.withColumn("rn", row_number().over(w6))
+      .filter(col("rn") <= k)
+      .select("source", "w", "tf", "df", "score", "rn")
+  }
+}

@@ -52,9 +52,11 @@ object OccurrenceView {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("tsec", expr("ts div 1000000000"))
+          .withColumn("tmicro", expr("ts div 1000"))
           .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
       case _ =>
         raw.withColumn("tsec", unix_timestamp(col("ts")))
+          .withColumn("tmicro", unix_micros(col("ts")))
           .withColumn("tstamp", col("ts"))
     }
   }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit invariants for the corpus-hygiene operators (Corpus) and the as-of
+  * join (AsOfJoin) on tiny hand-checkable inputs.
+  */
+class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("corpus-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf(rows: (Long, String, String)*) = {
+    val ss = spark; import ss.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  test("tokens: empty and whitespace-only text yield an empty array") {
+    val ss = spark; import ss.implicits._
+    val out = Seq("", "   ", "a b").toDF("text")
+      .select(size(Corpus.tokens(col("text"))).as("n")).as[Int].collect()
+    assert(out.toSeq === Seq(0, 0, 2))
+  }
+
+  test("distinctNgrams: fewer than n tokens yields empty, not a countdown") {
+    val ss = spark; import ss.implicits._
+    val out = Seq("a b c", "a b c d e f", "a a a a a a").toDF("text")
+      .withColumn("toks", Corpus.tokens(col("text")))
+      .select(Corpus.distinctNgrams("toks", 5).as("g"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq.empty)
+    assert(out(1) === Seq("a b c d e", "b c d e f"))
+    assert(out(2) === Seq("a a a a a")) // distinct collapses repeats
+  }
+
+  test("decontaminate: overlap counts distinct shared 5-grams") {
+    val docs = docsDf(
+      (0L, "w1 w2 w3 w4 w5 w6", "eval"), // eval grams: {w1..w5, w2..w6}
+      (1L, "w1 w2 w3 w4 w5 x", "web"),   // shares exactly {w1..w5}
+      (2L, "z1 z2 z3 z4 z5 z6", "web"),  // shares none
+      (3L, "w1 w2", "web"))              // too short: 0 grams
+    val out = Corpus.decontaminate(docs, "eval", 5, 0.5)
+      .select("doc_id", "n_grams", "n_shared", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2, 1L, 1), (2L, 2, 0L, 0), (3L, 0, 0L, 0)))
+  }
+
+  test("repetitionStats: known fractions, empty docs dropped") {
+    val docs = docsDf(
+      (0L, "", "s"),
+      (1L, "a a a b", "s"),  // 4 words, 2 distinct, top word a=3, top bigram "a a"=2
+      (2L, "x", "s"))        // 1 word, no bigrams
+    val out = Corpus.repetitionStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // doc 0 dropped
+    val d1 = out(0)
+    assert(d1._2 === 4L && d1._3 === 0.5 && d1._4 === 0.75)
+    assert(d1._5 === 2.0 / 3.0) // 2 of 3 bigrams are "a a"
+    val d2 = out(1)
+    assert(d2._2 === 1L && d2._3 === 0.0 && d2._5 === 0.0)
+  }
+
+  test("temperatureMix: keeps min(count, ceil(sqrt(count)*boost)) per source") {
+    val docs = docsDf((0L until 16L).map(i => (i, "t", "big")) ++
+      Seq((100L, "t", "small"), (101L, "t", "small")): _*)
+    val out = Corpus.temperatureMix(docs, 1.0).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out("big") === 4L)   // ceil(sqrt(16)*1) = 4
+    assert(out("small") === 2L) // min(2, ceil(sqrt(2)*1)=2)
+  }
+
+  test("eventAsOf matches a brute-force as-of on random events") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        if (rnd.nextBoolean()) "click" else "error",
+        rnd.nextInt(100).toDouble, rnd.nextInt(1000).toLong)
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "value", "tmicro")
+    val got = AsOfJoin.eventAsOf(ev, "click", "error").collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // brute force: for each click, the max-(tmicro, event_id) error with
+    // tmicro <= click.tmicro for the same user
+    val errors = rows.filter(_._3 == "error")
+    val expected = rows.filter(_._3 == "click").flatMap { c =>
+      val cands = errors.filter(e => e._2 == c._2 && e._5 <= c._5)
+      if (cands.isEmpty) None
+      else {
+        val e = cands.maxBy(x => (x._5, x._1))
+        Some(c._1 -> ((e._1, c._5 - e._5, e._4)))
+      }
+    }.toMap
+    assert(got === expected)
+  }
+}
