@@ -130,14 +130,17 @@ object SparkEntry {
 
     // A12 full parity: per-hexagon regression — species layer ⋈ higher-taxon
     // layer on hex id, emitting slope/intercept/r²/SSE/significance
-    // (RegressionResource.java:258-314). Hex cells are the q10 world grid at
-    // z10; "species" ≙ the 1:7 taxon view's records, "higher taxon" ≙ all.
+    // (RegressionResource.java:258-314). Hex cells are the world grid at z2
+    // (coarse enough that every hex holds hundreds of records at test scale,
+    // so the ≥3-species-years gate emits real rows — at z10 the grid out-
+    // resolves the testdata and the result set is vacuously empty);
+    // "species" ≙ the 1:7 taxon view's records, "higher taxon" ≙ all.
     "q55_hex_regression" -> ((s, dir) => {
       val base = MapBuild
         .withPixels(occ(s, dir).filter(col("year").isNotNull), "EPSG:4326")
         .select(col("year"), col("l_partkey"),
-          shiftright(col("px"), MaxZoom - 10).as("px"),
-          shiftright(col("py"), MaxZoom - 10).as("py"))
+          shiftright(col("px"), MaxZoom - 2).as("px"),
+          shiftright(col("py"), MaxZoom - 2).as("py"))
       val (hq, hr) = hexCell(col("px"), col("py"), Hex.radius)
       val cells = base.select(col("year"), col("l_partkey"),
         hq.as("hex_q"), hr.as("hex_r"))
@@ -618,7 +621,12 @@ object SparkEntry {
 
     // Pipeline: TF-IDF top-5 terms per source (deterministic tiebreaks)
     "q71_tfidf_terms" -> ((s, dir) =>
-      graft.operators.Corpus.tfidfTopTerms(documents(s, dir), 5))
+      graft.operators.Corpus.tfidfTopTerms(documents(s, dir), 5)),
+
+    // IVF training: one Lloyd (k-means) iteration over the deterministic
+    // codebook — assignment + integer-exact per-cell update evidence
+    "q72_kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(embeddings(s, dir)))
   )
 
   // ---------------------------------------------------------- the oracles
@@ -718,8 +726,11 @@ hs AS (SELECT doc_id, source,
 bands AS (${(0 until Dedup.NumBands).map(b =>
     s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
     .mkString("\n  UNION ALL ")}),
+ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+  HAVING count(*) <= ${Dedup.DefaultBucketCap}),
+bk AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
 ed0 AS (SELECT doc_a, doc_b FROM (
   SELECT doc_a, doc_b,
     (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
@@ -844,7 +855,7 @@ SELECT cell, round(regr_slope(ratio, year), 6) AS slope,
 FROM j GROUP BY cell"""),
 
     "q55_hex_regression" -> (OccSql + s""",
-base AS (SELECT year, l_partkey, ${px4326("lng")} >> 6 AS px, ${py4326("lat")} >> 6 AS py
+base AS (SELECT year, l_partkey, ${px4326("lng")} >> 14 AS px, ${py4326("lat")} >> 14 AS py
   FROM occ2 WHERE year IS NOT NULL
     AND lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180),
 ax AS (SELECT year, l_partkey,
@@ -1256,8 +1267,11 @@ GROUP BY ALL"""
 bands AS (${(0 until Dedup.NumBands).map(b =>
       s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
       .mkString("\n  UNION ALL ")}),
+ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+  HAVING count(*) <= ${Dedup.DefaultBucketCap}),
+bk AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
 cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
 SELECT * FROM (
   SELECT doc_a, doc_b,
     (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
@@ -1426,6 +1440,29 @@ scored AS (SELECT tf.source, tf.w, tf.tf, dfreq.df,
   FROM tf JOIN dfreq USING (w) CROSS JOIN n),
 rk AS (SELECT *, row_number() OVER (PARTITION BY source
   ORDER BY score DESC, w ASC) AS rn FROM scored)
-SELECT source, w, tf, df, score, CAST(rn AS INT) AS rn FROM rk WHERE rn <= 5"""
+SELECT source, w, tf, df, score, CAST(rn AS INT) AS rn FROM rk WHERE rn <= 5""",
+
+    "q72_kmeans_step" -> """WITH c AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+d AS (SELECT e.vec_id, c.cid,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    [(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+     * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)) for i in range(1, 65)]),
+    (a, b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN c),
+asn AS (SELECT vec_id, cid AS cell FROM (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM d) WHERE rn = 1),
+q AS (SELECT vec_id,
+  list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+            for i in range(1, 65)]) AS q1,
+  list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) * i
+            for i in range(1, 65)]) AS qw
+  FROM embeddings)
+SELECT cell, count(*) AS n_vecs, CAST(sum(q1) AS BIGINT) AS s1,
+  CAST(sum(qw) AS BIGINT) AS sw,
+  CAST(sum(qw) AS DOUBLE) / (CAST('1000.0' AS DOUBLE) * count(*)) AS mean_w
+FROM asn JOIN q USING (vec_id) GROUP BY cell"""
   )
 }

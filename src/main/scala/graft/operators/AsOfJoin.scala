@@ -41,10 +41,12 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def carry(c: org.apache.spark.sql.Column) =
       last(when(col("tag") === 0, c), ignoreNulls = true).over(w)
+    // one select, not three withColumns: stacked withColumns leave three
+    // Window operators (three in-partition passes); a single projection
+    // collapses them into one Window over one sort
     tagged
-      .withColumn("err_event_id", carry(col("event_id")))
-      .withColumn("err_tmicro", carry(col("tmicro")))
-      .withColumn("err_value", carry(col("value")))
+      .select(col("*"), carry(col("event_id")).as("err_event_id"),
+        carry(col("tmicro")).as("err_tmicro"), carry(col("value")).as("err_value"))
       .filter(col("tag") === 1 && col("err_event_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("err_event_id"),
         (col("tmicro") - col("err_tmicro")).as("lag_micros"), col("err_value"))

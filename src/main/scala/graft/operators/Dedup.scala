@@ -68,21 +68,29 @@ object Dedup {
     }.drop("sig")
   }
 
+  /** Skew guard, ON BY DEFAULT: buckets above this size are dropped from
+    * candidate generation. The candidate join's work is Σ bucket² — one hot
+    * (band, bh) bucket (boilerplate hashing identically across millions of
+    * docs) otherwise turns the whole pass quadratic; measured on this repo's
+    * own scale probe, a 51%-of-corpus degenerate bucket made a 10× corpus
+    * cost 80× before the cap. A bucket this size is a degenerate collision
+    * class, not near-dup evidence (the q29/q47 oracles mirror the same
+    * HAVING filter).
+    */
+  val DefaultBucketCap = 1024
+
   /** LSH banding: candidate pairs sharing any (band, bandHash) bucket, with
     * the estimated similarity (fraction of agreeing minhashes) ≥ minEst.
     * The self-join key is the band hash — bucket-local pairs only.
     *
-    * `maxBucketSize` is the skew guard for real corpora: a hot (band, bh)
-    * bucket — boilerplate text hashing identically across millions of docs —
-    * makes the bucket-local self-join quadratic. Buckets above the cap are
-    * dropped entirely (the standard MinHash-dedup discipline: a bucket that
-    * size is a degenerate collision class, not near-dup evidence; its
-    * members still meet through their other NumBands-1 bands unless those
-    * are equally degenerate). The overflow list is tiny, so the anti-join
+    * `maxBucketSize` (default [[DefaultBucketCap]]) is the skew guard for
+    * real corpora — see the cap doc above. Members of a dropped bucket
+    * still meet through their other NumBands-1 bands unless those are
+    * equally degenerate. The overflow list is tiny, so the anti-join
     * broadcasts.
     */
   def lshCandidatePairs(docs: DataFrame, minEst: Double,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     val sig = withMinhashSignature(docs).select("doc_id", As.indices.map(k => s"mh$k"): _*)
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),

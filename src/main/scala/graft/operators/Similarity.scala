@@ -229,6 +229,44 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
   }
 
+  /** One Lloyd (k-means) iteration over the IVF codebook — the training step
+    * production IVF runs offline to produce the coarse quantizer the serving
+    * path (ivfTopK) probes. Assignment is the same JIT nearest-centroid
+    * kernel as serving; the per-cell update is emitted as INTEGER evidence:
+    * vector dims quantized to thousandths (floor(x·1000 + 0.5)), then
+    * per-cell count + plain and index-weighted sums. Integer sums are
+    * commutative-exact, so the output is independent of row order and
+    * engine — the usual mean-of-doubles would be order-dependent across
+    * partitions. The new centroid for a cell is (per-dim sum)/1000/n; the
+    * emitted mean_w pins that arithmetic via one exact division.
+    *
+    * Scale shape: one broadcast codebook, one row-local kernel pass, one
+    * groupBy over IvfK cells with map-side partial aggregation — the
+    * canonical distributed-Lloyd round at any corpus size.
+    */
+  def kmeansStep(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb)
+    val qsums = udf { (a: Seq[Float]) =>
+      if (a == null) null
+      else {
+        var s1 = 0L; var sw = 0L; var i = 0
+        while (i < a.length) {
+          val q = math.floor(a(i).toDouble * 1000.0 + 0.5).toLong
+          s1 += q; sw += q * (i + 1); i += 1
+        }
+        Array(s1, sw)
+      }
+    }
+    emb.withColumn("cell", ivfCellCol(spark, cents))
+      .withColumn("qs", qsums(col("embedding")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(element_at(col("qs"), 1)).as("s1"),
+        sum(element_at(col("qs"), 2)).as("sw"))
+      .withColumn("mean_w", col("sw").cast("double") / (lit(1000.0) * col("n_vecs")))
+  }
+
   /** LSH-bucketed ANN with multi-probe: top-k by cosine within the query's
     * bucket PLUS the NumPlanes buckets at Hamming distance 1 (one hyperplane
     * sign flipped). A query vector near a hyperplane otherwise loses its

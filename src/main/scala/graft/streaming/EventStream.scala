@@ -109,6 +109,30 @@ object EventStream {
       }.toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** Stream-stream interval join: each click paired with every error from
+    * the same user in the preceding hour. Both sides carry watermarks, so
+    * the join state is pruned — Spark retains error rows only for the
+    * 1-hour interval plus the watermark delay, never the whole stream
+    * (inner-join matches emit immediately; the watermark bounds state, not
+    * output latency). The batch twin is a plain inner join with the same
+    * time-range predicate.
+    */
+  def clickErrorJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("tstamp").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("tstamp").as("err_ts"))
+      .withWatermark("err_ts", "10 minutes")
+    clicks.join(errors,
+        col("user_id") === col("err_user") &&
+          col("err_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+          col("err_ts") <= col("click_ts"))
+      .select(col("click_id"), col("err_id"), col("user_id"))
+  }
+
   /** Watermarked hourly tumbling-window counts per event type. */
   def hourlyCounts(stream: DataFrame): DataFrame =
     stream

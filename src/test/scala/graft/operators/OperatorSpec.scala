@@ -289,4 +289,44 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(streamed === batch)
   }
+
+  test("stream-stream interval join equals the batch time-range join") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("evjoin")
+    Files.copy(Paths.get(s"$Dir/events.parquet"),
+      tmp.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$Dir/events.parquet").schema
+    val stream = graft.streaming.EventStream.clickErrorJoin(
+      graft.streaming.EventStream.readEvents(spark, tmp.toString, schema))
+    val q = stream.writeStream.format("memory")
+      .queryName("ev_join").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("ev_join").collect().map(_.toSeq).toSet
+    val ev = OccurrenceView.events(spark, Dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("tsec").as("ct"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("eu"), col("tsec").as("et"))
+    val batch = clicks.join(errors,
+        col("user_id") === col("eu") &&
+          col("et") >= col("ct") - 3600 && col("et") <= col("ct"))
+      .select("click_id", "err_id", "user_id")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
+  test("kmeansStep conserves vectors and integer mass across cells") {
+    val emb = OccurrenceView.embeddings(spark, Dir)
+    val step = Similarity.kmeansStep(emb).cache()
+    assert(step.agg(sum("n_vecs")).head.getLong(0) === emb.count())
+    // Σ per-cell s1 must equal the corpus-wide quantized mass (assignment
+    // moves rows between cells, never changes their contribution)
+    val total = emb.select(
+      sum(expr("aggregate(transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS LONG)), " +
+        "0L, (a, b) -> a + b)"))).head.getLong(0)
+    assert(step.agg(sum("s1")).head.getLong(0) === total)
+    step.unpersist()
+  }
 }

@@ -67,6 +67,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("ScalaUDF"), s"q17 reintroduced a UDF:\n$p")
   }
 
+  test("decontamination broadcasts the eval-gram set (corpus never shuffles " +
+    "for the membership test)") {
+    val p = planOf("q67_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"q67 lost its broadcast semi-join:\n$p")
+  }
+
+  // formatted mode prints the op tree bare ("Exchange (6)") and the spec in
+  // the details ("Arguments: hashpartitioning(...)") — count the latter; the
+  // testdata adapter's fan-out repartition is roundrobin, not counted
+  private def keyedShuffles(p: String): Int =
+    "Arguments: hashpartitioning".r.findAllIn(p).length
+
+  test("as-of join is one keyed shuffle + ONE window pass, no join at all") {
+    val p = planOf("q70_asof_join")
+    assert(!p.contains("Join"), s"q70 reintroduced a join:\n$p")
+    assert(keyedShuffles(p) === 1, s"q70 should shuffle exactly once:\n$p")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
+    assert(windows === 1, s"q70 carry columns split into $windows Window passes:\n$p")
+  }
+
+  test("k-means step is broadcast-codebook + one aggregation exchange") {
+    val p = planOf("q72_kmeans_step")
+    assert(!p.contains("Join"), s"q72 should have no join (codebook is a closure):\n$p")
+    assert(keyedShuffles(p) === 1, s"q72 should shuffle exactly once:\n$p")
+  }
+
   test("pixel aggregation partial-aggregates directly above the explode " +
     "(map-side combine before any shuffle)") {
     val p = planOf("q06_pixel_agg_4326")
