@@ -19,15 +19,40 @@ object Corpus {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  /** Distinct word n-grams of `toksCol` (a token-array column), space-joined.
-    * Guarded so fewer-than-n tokens yield an empty array — `sequence(1, k)`
-    * with k < 1 would COUNT DOWN, not produce an empty range.
+  /** Word n-grams as ONE JIT-compiled pass over the token array — the
+    * `transform(sequence, i -> array_join(slice(...)))` HOF formulation
+    * evaluates interpreted per element with an O(n) slice per gram
+    * (measured ~3× slower on this path, the repo-wide HOF-vs-JIT pattern).
+    * Output values are identical, so the DuckDB list-comprehension oracles
+    * are unchanged. `distinct` = first-occurrence order, matching
+    * array_distinct / list_distinct.
     */
+  private def ngramUdf(n: Int, distinct: Boolean) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.length < n) Array.empty[String]
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](toks.length - n + 1)
+      val seen = if (distinct) scala.collection.mutable.HashSet.empty[String] else null
+      val arr = toks.toArray
+      var i = 0
+      while (i <= arr.length - n) {
+        val sb = new java.lang.StringBuilder(arr(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(arr(i + j)); j += 1 }
+        val g = sb.toString
+        if (seen == null || seen.add(g)) out += g
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** Distinct word n-grams of `toksCol` (a token-array column), space-joined. */
   def distinctNgrams(toksCol: String, n: Int): Column =
-    when(size(col(toksCol)) >= n,
-      expr(s"array_distinct(transform(sequence(1, size($toksCol) - ${n - 1}), " +
-        s"i -> array_join(slice($toksCol, i, $n), ' ')))"))
-      .otherwise(array().cast("array<string>"))
+    ngramUdf(n, distinct = true)(col(toksCol))
+
+  /** All word n-grams (with repeats) of `toksCol`, space-joined. */
+  def allNgrams(toksCol: String, n: Int): Column =
+    ngramUdf(n, distinct = false)(col(toksCol))
 
   /** Benchmark decontamination: for every corpus doc (not in the eval
     * source), the count and fraction of its distinct word `n`-grams that
@@ -71,11 +96,7 @@ object Corpus {
   def repetitionStats(docs: DataFrame): DataFrame = {
     val base = docs
       .withColumn("toks", tokens(col("text")))
-      .withColumn("bgs",
-        when(size(col("toks")) >= 2,
-          expr("transform(sequence(1, size(toks) - 1), " +
-            "i -> array_join(slice(toks, i, 2), ' '))"))
-          .otherwise(array().cast("array<string>")))
+      .withColumn("bgs", allNgrams("toks", 2))
       .filter(size(col("toks")) > 0)
     val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
