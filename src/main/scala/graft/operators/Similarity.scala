@@ -49,7 +49,18 @@ object Similarity {
     }: java.lang.Double
   }
 
-  def dotCols(a: Column, b: Column): Column = dotUdf(a, b)
+  /** Pairwise dot product — the native codegen Expression
+    * ([[graft.functions.DotProductExpr]]) when a session is active (stays
+    * inside WholeStageCodegen, no per-row Seq[Float] boxing), the JIT UDF
+    * as the sessionless fallback; both accumulate ascending, bit-identical.
+    */
+  def dotCols(a: Column, b: Column): Column = {
+    val ss = org.apache.spark.sql.SparkSession
+    (ss.getActiveSession.toSeq ++ ss.getDefaultSession.toSeq)
+      .distinct.foreach(graft.functions.DotProductExpr.register)
+    if (ss.getActiveSession.isEmpty && ss.getDefaultSession.isEmpty) dotUdf(a, b)
+    else call_function(graft.functions.DotProductExpr.name, a, b)
+  }
 
   private val sqNormUdf = udf { (a: Seq[Float]) =>
     if (a == null) null

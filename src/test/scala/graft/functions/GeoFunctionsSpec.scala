@@ -57,6 +57,37 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!opt.contains("graft_java_hash"), opt)
   }
 
+  test("graft_dot codegen expression is bit-identical to the driver fold " +
+    "and null-safe") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(n: Int) = Seq.fill(n)(rnd.nextFloat() * 2 - 1)
+    val pairs = Seq.fill(300)((vec(64), vec(64))) ++
+      Seq((vec(64), vec(32)), (null, vec(64)), (vec(64), null)) // malformed
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+      graft.operators.Similarity.dotCols(col("a"), col("b")).as("d")).collect()
+    pairs.zip(got).foreach { case ((a, b), row) =>
+      if (a == null || b == null || a.length != b.length) assert(row.isNullAt(0))
+      else {
+        var d = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+        assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(d))
+      }
+    }
+    // native expression — no UDF in the plan
+    val plan = df.select(graft.operators.Similarity.dotCols(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // and it resolves from SQL text via the registry
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").head.getDouble(0)
+    assert(r === 5.5)
+  }
+
   test("Column pixelAtMaxZoom matches core toGlobalPixelXY for all 4 SRS") {
     val ss = spark
     import ss.implicits._

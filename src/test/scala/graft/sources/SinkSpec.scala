@@ -139,6 +139,38 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     pts.unpersist()
   }
 
+  test("bucketed pixel tables co-locate: groupBy and self-join run with " +
+    "ZERO keyed shuffle (S6 at cluster scale — bucket layout replaces the " +
+    "exchange)") {
+    import graft.operators.{MapBuild, OccurrenceView}
+    val pix = MapBuild.pixelAggAt(OccurrenceView.occ(spark, Dir), "EPSG:4326", 6)
+    val loc = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    pix.write.mode("overwrite")
+      .bucketBy(8, "map_key").sortBy("map_key")
+      .option("path", s"$loc/pix").saveAsTable("pix_bucketed")
+    val t = spark.table("pix_bucketed")
+
+    // aggregation on the bucket key: the scan's hash layout satisfies the
+    // required distribution — no Exchange before the final aggregate
+    val agg = t.groupBy("map_key").agg(sum("occ_count").as("total"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange hashpartitioning"), aggPlan)
+    // and the result equals the unbucketed computation
+    val direct = pix.groupBy("map_key").agg(sum("occ_count").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap === direct)
+
+    // bucket-key equi-join of two co-bucketed tables: shuffle-free on BOTH
+    // sides (sort-merge over the bucket layout)
+    val viewTotals = agg.filter(col("total") > 100)
+    val j = t.join(t.groupBy("map_key").agg(count(lit(1)).as("n")), Seq("map_key"))
+    val jPlan = j.queryExecution.executedPlan.toString
+    assert(!jPlan.contains("Exchange hashpartitioning"), jPlan)
+    assert(j.count() === t.count())
+    assert(viewTotals.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS pix_bucketed")
+  }
+
   test("rows within each salt partition are sorted by salted key") {
     val m = Workflow.readManifest(work.toString).get
     import scala.jdk.CollectionConverters._
