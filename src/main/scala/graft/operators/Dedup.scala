@@ -91,6 +91,13 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, minEst: Double,
       maxBucketSize: Int = DefaultBucketCap): DataFrame = {
+    // the signature table feeds three plan branches (band explode + both
+    // sides of the estimate join), so the minhash UDF runs ~3× per action.
+    // A persist here measured SLOWER at bench scale (materialization
+    // barrier + cached-stats join replanning outweigh the recompute); at
+    // true corpus scale, persist/write the signature table ONCE upstream
+    // (as Workflow.build does for the occurrence snapshot) rather than
+    // caching inside this operator.
     val sig = withMinhashSignature(docs).select("doc_id", As.indices.map(k => s"mh$k"): _*)
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
