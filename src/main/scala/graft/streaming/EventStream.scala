@@ -57,6 +57,13 @@ object EventStream {
     * swap a pointer (FinaliseBackfill.java:64-106), a stream of appends
     * updates exactly the touched pixel rows. State is the live pixel
     * aggregate; downstream tile encode/serve reads the update stream.
+    *
+    * State sizing: one entry per live (view, pixel, bor_year) — bounded by
+    * 4^z × #views × #bor-years, fine through z6 (the reference's own tile
+    * store depth, ≤4096 tiles/view). At z16 the live pixel set approaches
+    * the full A4 table: run the incremental stream at serving zooms and
+    * leave max-zoom to the batch rebuild, or shard the query by view
+    * ranges so each stream's state store holds its slice only.
     */
   def incrementalPixelCounts(occStream: DataFrame, epsg: String, z: Int): DataFrame = {
     val projected = graft.operators.MapBuild.withPixels(occStream, epsg)
@@ -132,6 +139,28 @@ object EventStream {
           col("err_ts") <= col("click_ts"))
       .select(col("click_id"), col("err_id"), col("user_id"))
   }
+
+  /** Continuous rebuild-and-swap: every micro-batch of occurrence appends
+    * is accumulated and the FULL store is rebuilt and atomically
+    * re-pointed — the reference's backfill lifecycle (Backfill →
+    * FinaliseBackfill table swap) driven by a Structured Streaming trigger
+    * instead of a scheduler. Readers resolve through the manifest, so each
+    * rebuild lands atomically and the previous version stays for rollback.
+    * This is the max-zoom/batch path; the bounded-state incremental
+    * alternative for serving zooms is [[incrementalPixelCounts]].
+    */
+  def continuousRebuild(spark: SparkSession, inDir: String, schema: StructType,
+      accumDir: String, workDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(s"$accumDir/lineitem.parquet")
+        graft.sources.Workflow.build(batch.sparkSession, accumDir, workDir)
+        ()
+      }
+      .start()
 
   /** Watermarked hourly tumbling-window counts per event type. */
   def hourlyCounts(stream: DataFrame): DataFrame =

@@ -171,6 +171,30 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS pix_bucketed")
   }
 
+  test("streaming continuous rebuild: each micro-batch of appends rebuilds " +
+    "the store and swaps the manifest atomically") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    val accum = java.nio.file.Files.createTempDirectory("graft-stream-accum")
+    val work2 = java.nio.file.Files.createTempDirectory("graft-stream-work")
+    val li = spark.read.parquet(s"$Dir/lineitem.parquet")
+    li.repartition(2).write.mode("overwrite").parquet(inDir.toString)
+    val q = graft.streaming.EventStream.continuousRebuild(
+      spark, inDir.toString, li.schema, accum.toString, work2.toString)
+    try q.processAllAvailable()
+    finally q.stop()
+    // two part files, maxFilesPerTrigger=1 → two batches → two swaps
+    val m = Workflow.readManifest(work2.toString).get
+    assert(m.version === 2L)
+    // the final store covers ALL appended rows: the points store's total
+    // equals the exploded count of the full input (5 view keys per record)
+    val total = spark.read.parquet(m.points)
+      .agg(sum("occ_count")).head.getLong(0)
+    assert(total === li.count() * 5)
+    // rollback version still on disk
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(work2.toString, "v1", "points")))
+  }
+
   test("rows within each salt partition are sorted by salted key") {
     val m = Workflow.readManifest(work.toString).get
     import scala.jdk.CollectionConverters._
