@@ -49,11 +49,12 @@ object Bench {
       val b = run(sfDir, n)
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
-    // 2-decimal seconds keep the whole JSON line short enough to survive
-    // tail-truncating log capture downstream (~2 KiB window) as the query
-    // count grows
+    // 2-decimal seconds + short `qNN` keys keep the whole JSON line well
+    // under the ~2 KiB tail-truncating log capture downstream; full query
+    // names (with the same qNN prefix) live in the correctness report
     def f(v: Double) = "%.2f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -123,8 +123,8 @@ object SparkEntry {
       val j = sp.join(g, Seq("cell", "year"))
         .select(col("cell"), col("year"), (col("sn").cast("double") / col("gn")).as("ratio"))
       j.groupBy("cell").agg(
-        round(regr_slope(col("ratio"), col("year")), 6).as("slope"),
-        round(regr_intercept(col("ratio"), col("year")), 6).as("intercept"),
+        (round(regr_slope(col("ratio"), col("year")), 6) + 0.0).as("slope"),
+        (round(regr_intercept(col("ratio"), col("year")), 6) + 0.0).as("intercept"),
         regr_count(col("ratio"), col("year")).as("n_years"))
     }),
 
@@ -849,8 +849,8 @@ g AS (SELECT cell, year, count(*) AS gn FROM base GROUP BY cell, year),
 sp AS (SELECT cell, year, count(*) AS sn FROM base WHERE bor_id = 0 GROUP BY cell, year),
 j AS (SELECT sp.cell, sp.year, CAST(sp.sn AS DOUBLE) / g.gn AS ratio
       FROM sp JOIN g ON sp.cell = g.cell AND sp.year = g.year)
-SELECT cell, round(regr_slope(ratio, year), 6) AS slope,
-       round(regr_intercept(ratio, year), 6) AS intercept,
+SELECT cell, round(regr_slope(ratio, year), 6) + 0.0 AS slope,
+       round(regr_intercept(ratio, year), 6) + 0.0 AS intercept,
        regr_count(ratio, year) AS n_years
 FROM j GROUP BY cell"""),
 
@@ -878,10 +878,10 @@ r AS (SELECT hex_q, hex_r,
   regr_r2(ratio, year) AS r2_raw, regr_syy(ratio, year) AS syy,
   regr_sxx(ratio, year) AS sxx, regr_count(ratio, year) AS ny
   FROM j GROUP BY hex_q, hex_r HAVING regr_count(ratio, year) >= 3)
-SELECT hex_q, hex_r, round(slope_raw, 6) AS slope, round(icept_raw, 6) AS intercept,
-  round(r2_raw, 6) AS r2, ny AS n_years,
-  round(${graft.operators.TileServe.RegrSse}, 6) AS sse,
-  round(${graft.operators.TileServe.RegrP}, 6) AS p_value
+SELECT hex_q, hex_r, round(slope_raw, 6) + 0.0 AS slope, round(icept_raw, 6) + 0.0 AS intercept,
+  round(r2_raw, 6) + 0.0 AS r2, ny AS n_years,
+  round(${graft.operators.TileServe.RegrSse}, 6) + 0.0 AS sse,
+  round(${graft.operators.TileServe.RegrP}, 6) + 0.0 AS p_value
 FROM r"""),
 
     "q13_geotile_bounds" -> (EventsGeoSql + """

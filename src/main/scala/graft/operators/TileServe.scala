@@ -298,13 +298,15 @@ object TileServe {
         regr_sxx(col("ratio"), col("year")).as("sxx"),
         regr_count(col("ratio"), col("year")).as("ny"))
       .filter(col("ny") >= 3)
+      // `+ 0.0` collapses IEEE −0.0 to +0.0 (engines disagree on the sign
+      // a round() of a tiny negative keeps; the value is identical)
       .select(keyCols.map(col) ++ Seq(
-        round(col("slope_raw"), 6).as("slope"),
-        round(col("icept_raw"), 6).as("intercept"),
-        round(col("r2_raw"), 6).as("r2"),
+        (round(col("slope_raw"), 6) + 0.0).as("slope"),
+        (round(col("icept_raw"), 6) + 0.0).as("intercept"),
+        (round(col("r2_raw"), 6) + 0.0).as("r2"),
         col("ny").as("n_years"),
-        round(expr(RegrSse), 6).as("sse"),
-        round(expr(RegrP), 6).as("p_value")): _*)
+        (round(expr(RegrSse), 6) + 0.0).as("sse"),
+        (round(expr(RegrP), 6) + 0.0).as("p_value")): _*)
   }
 
   /** S9/A10: ad-hoc geo-grid aggregation — the ES geotile replacement.
