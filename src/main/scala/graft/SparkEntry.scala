@@ -41,6 +41,20 @@ object SparkEntry {
   private def tilesZ6(s: SparkSession, dir: String): DataFrame =
     MapBuild.tileAssembly(MapBuild.pixelAggAt(occ(s, dir), "EPSG:4326", 6), 6)
 
+  /** Raw (unaggregated) z10 pixels feeding the bin operators. The bins
+    * re-aggregate on their own cell key, and sums compose, so going straight
+    * from the exploded records to ONE bin-keyed shuffle yields values
+    * identical to the point-store → pixel-agg → bin chain while dropping two
+    * shuffles (occ's lat/lng ARE the point store's lat10-derived coords, so
+    * the pixel math is bit-identical).
+    */
+  private def binPixelsZ10(s: SparkSession, dir: String): DataFrame =
+    MapBuild.withPixels(exploded(s, dir), "EPSG:4326")
+      .select(col("map_key"),
+        shiftright(col("px"), MaxZoom - 10).as("px"),
+        shiftright(col("py"), MaxZoom - 10).as("py"),
+        lit(1L).as("total"))
+
   private val Hex = HexGrid(TileSize, 8)
 
   // ------------------------------------------------------------ the queries
@@ -103,11 +117,11 @@ object SparkEntry {
 
     // A9: square binning (SquareBin.java:60-141)
     "q09_square_bin" -> ((s, dir) =>
-      TileServe.squareBin(TileServe.renderPixels(pointsLL(s, dir), "EPSG:4326", 10), 64)),
+      TileServe.squareBin(binPixelsZ10(s, dir), 64)),
 
     // A8: hex binning on the global flat-top grid (HexBin.java:85-199)
     "q10_hex_bin" -> ((s, dir) =>
-      TileServe.hexBin(TileServe.renderPixels(pointsLL(s, dir), "EPSG:4326", 10), Hex.radius)),
+      TileServe.hexBin(binPixelsZ10(s, dir), Hex.radius)),
 
     // A11: capabilities extent/year/total (Capabilities.java:194-248)
     "q11_capabilities" -> ((s, dir) =>

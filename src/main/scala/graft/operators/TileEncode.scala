@@ -41,7 +41,7 @@ object TileEncode {
         val (k, tx, ty) = key
         val fs = it.map { case (_, _, _, lpx, lpy, borYear, n) =>
           Mvt.PixelFeature(lpx, lpy, (borYear % 100).toInt, (borYear / 100).toInt, n)
-        }.toSeq
+        }.toArray
         (k, z, tx, ty, Mvt.encodeTile(fs, TileSize))
       }
       .toDF("map_key", "z", "tx", "ty", "mvt")
