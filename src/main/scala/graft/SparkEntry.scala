@@ -39,7 +39,7 @@ object SparkEntry {
       .withColumn("lng", col("lng10") / 10.0)
 
   private def tilesZ6(s: SparkSession, dir: String): DataFrame =
-    MapBuild.tileAssembly(MapBuild.pixelAggAt(occ(s, dir), "EPSG:4326", 6), 6)
+    MapBuild.tileAssembly(MapBuild.rawPixelsAt(occ(s, dir), "EPSG:4326", 6), 6)
 
   /** Raw (unaggregated) z10 pixels feeding the bin operators. The bins
     * re-aggregate on their own cell key, and sums compose, so going straight
@@ -49,11 +49,8 @@ object SparkEntry {
     * the pixel math is bit-identical).
     */
   private def binPixelsZ10(s: SparkSession, dir: String): DataFrame =
-    MapBuild.withPixels(exploded(s, dir), "EPSG:4326")
-      .select(col("map_key"),
-        shiftright(col("px"), MaxZoom - 10).as("px"),
-        shiftright(col("py"), MaxZoom - 10).as("py"),
-        lit(1L).as("total"))
+    MapBuild.rawPixelsAt(occ(s, dir), "EPSG:4326", 10)
+      .withColumnRenamed("occ_count", "total")
 
   private val Hex = HexGrid(TileSize, 8)
 

@@ -165,28 +165,37 @@ object MapBuild {
       .agg(sum("occ_count").as("occ_count"))
   }
 
-  /** A5 levels 2–3: group pixels of one zoom into tiles with per-pixel feature
-    * lists, one row per (map_key, z, tx, ty). Features are canonicalized to a
-    * sorted string (≙ the MVT payload) plus stats.
+  /** A5 levels 2–3: group pixels of one zoom into tiles, one row per
+    * (map_key, z, tx, ty) with the tile's distinct-pixel count and total.
+    * The distinct aggregate makes this ONE exchange: Catalyst's
+    * distinct-agg planning partial-aggregates on (tile, px, py) map-side —
+    * collapsing any per-record or per-bor duplication before the wire —
+    * then shuffles once on the tile key, where the old per-pixel-groupBy →
+    * per-tile-groupBy formulation paid two keyed exchanges for the same
+    * values.
     */
-  def tileAssembly(pixelsAtZ: DataFrame, z: Int): DataFrame = {
-    val perPixel = pixelsAtZ
+  def tileAssembly(pixelsAtZ: DataFrame, z: Int): DataFrame =
+    pixelsAtZ
       .groupBy(
         col("map_key"),
         tileAddr(col("px"), TileSize).as("tx"),
-        tileAddr(col("py"), TileSize).as("ty"),
-        tileLocal(col("px"), TileSize).as("lpx"),
-        tileLocal(col("py"), TileSize).as("lpy"))
+        tileAddr(col("py"), TileSize).as("ty"))
       .agg(
-        sum("occ_count").as("pixel_total"),
-        count(lit(1)).as("n_features"))
-    perPixel
-      .groupBy("map_key", "tx", "ty")
-      .agg(
-        count(lit(1)).as("n_pixels"),
-        sum("pixel_total").as("total"))
+        countDistinct(col("px"), col("py")).as("n_pixels"),
+        sum("occ_count").as("total"))
       .withColumn("z", lit(z))
-  }
+
+  /** Raw (unaggregated) per-record pixels at zoom `z` with occ_count = 1:
+    * feeds aggregations that re-group on their own key anyway (tile
+    * assembly, binning), where a prior pixel-level groupBy would only add a
+    * shuffle that partial aggregation makes redundant.
+    */
+  def rawPixelsAt(occ: DataFrame, epsg: String, z: Int): DataFrame =
+    explodeMapKeys(withPixels(occ, epsg))
+      .select(col("map_key"),
+        shiftright(col("px"), MaxZoom - z).as("px"),
+        shiftright(col("py"), MaxZoom - z).as("py"),
+        lit(1L).as("occ_count"))
 
   /** G2: buffer-replica tile explode — each zoom-z global pixel lands on its
     * containing tile plus any neighbour (incl. dateline-wrapped) whose 64 px
