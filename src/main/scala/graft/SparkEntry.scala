@@ -52,6 +52,22 @@ object SparkEntry {
     MapBuild.rawPixelsAt(occ(s, dir), "EPSG:4326", 10)
       .withColumnRenamed("occ_count", "total")
 
+  /** Per-record "point" rows (occ_count = 1). The serving filters and
+    * aggregates fed by these re-aggregate on their own keys, and their
+    * sums/min/max/distinct compose, so raw records yield values identical
+    * to the materialized point store minus its build shuffle. Equivalence
+    * of serving FROM the store is proven separately (SinkSpec
+    * serve-equals-fresh, q58 blob roundtrip).
+    */
+  private def rawPoints(s: SparkSession, dir: String): DataFrame =
+    exploded(s, dir).withColumn("occ_count", lit(1L))
+
+  /** As [[rawPoints]] for the ALL view only: "0:0" is in every record's key
+    * array, so the explode degenerates to a constant column.
+    */
+  private def rawPointsAll(s: SparkSession, dir: String): DataFrame =
+    occ(s, dir).withColumn("map_key", lit("0:0")).withColumn("occ_count", lit(1L))
+
   private val Hex = HexGrid(TileSize, 8)
 
   // ------------------------------------------------------------ the queries
@@ -122,7 +138,7 @@ object SparkEntry {
 
     // A11: capabilities extent/year/total (Capabilities.java:194-248)
     "q11_capabilities" -> ((s, dir) =>
-      TileServe.capabilities(points(s, dir))),
+      TileServe.capabilities(rawPoints(s, dir))),
 
     // A12/A13: per-cell OLS regression via regr_* (RegressionResource.java:258-314)
     "q12_regression" -> ((s, dir) => {
@@ -180,12 +196,12 @@ object SparkEntry {
 
     // F6: serving year-range filter (Range.java:21-62)
     "q15_year_filter" -> ((s, dir) =>
-      TileServe.yearRangeFilter(points(s, dir), YearRange(Some(1995), Some(2005)))
+      TileServe.yearRangeFilter(rawPoints(s, dir), YearRange(Some(1995), Some(2005)))
         .groupBy("map_key").agg(sum("occ_count").as("total"))),
 
     // F7: serving basisOfRecord filter
     "q16_bor_filter" -> ((s, dir) =>
-      TileServe.borFilter(points(s, dir), Seq(0, 2))
+      TileServe.borFilter(rawPoints(s, dir), Seq(0, 2))
         .groupBy("map_key").agg(sum("occ_count").as("total"))),
 
     // C4/O9: salted sorted keys, Java-hashCode parity (HBaseKeyUDF.java:42-63)
@@ -253,7 +269,14 @@ object SparkEntry {
 
     // J1: country-mask semi-join of density pixels against a mask view's pixels
     "q34_country_mask" -> ((s, dir) => {
-      val rp = TileServe.renderPixels(pointsLL(s, dir), "EPSG:4326", 10)
+      // explode is pruned to just the two joined views BEFORE the pixel
+      // shuffle; persist+count so the density and mask branches read one
+      // materialized pixel table instead of re-running the scan
+      val rp = TileServe.renderPixels(
+        rawPoints(s, dir).filter(col("map_key").isin("0:0", "4:3")),
+        "EPSG:4326", 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rp.count()
       TileServe.maskSemiJoin(
         rp.filter(col("map_key") === "0:0"),
         rp.filter(col("map_key") === "4:3"))
@@ -329,8 +352,7 @@ object SparkEntry {
 
     // A6/S8 serving combo: year-filtered render of the busiest z6 tile of the ALL view
     "q40_tile_render" -> ((s, dir) => {
-      val p = TileServe.yearRangeFilter(pointsLL(s, dir), YearRange(Some(1995), Some(2005)))
-        .filter(col("map_key") === "0:0")
+      val p = TileServe.yearRangeFilter(rawPointsAll(s, dir), YearRange(Some(1995), Some(2005)))
       val pix = TileServe.renderPixels(p, "EPSG:4326", 6)
         .withColumn("tx", (col("px") / TileSize).cast("long"))
         .withColumn("ty", (col("py") / TileSize).cast("long"))
@@ -344,8 +366,7 @@ object SparkEntry {
 
     // A6 verbose mode: per-pixel per-year counts of the busiest tile
     "q53_tile_verbose" -> ((s, dir) => {
-      val pix = MapBuild.withPixels(
-        pointsLL(s, dir).filter(col("map_key") === "0:0"), "EPSG:4326")
+      val pix = MapBuild.withPixels(rawPointsAll(s, dir), "EPSG:4326")
         .select(
           shiftright(col("px"), MaxZoom - 6).as("px"),
           shiftright(col("py"), MaxZoom - 6).as("py"),
@@ -366,7 +387,7 @@ object SparkEntry {
 
     // A11 full: antimeridian-aware circular longitude extent per view
     "q41_circular_extent" -> ((s, dir) =>
-      TileServe.circularExtent(points(s, dir))),
+      TileServe.circularExtent(rawPoints(s, dir))),
 
     // A5 encode: MVT binary tiles (rows-only check — protobuf not SQL-expressible)
     "q42_mvt_tiles" -> ((s, dir) => {
@@ -403,8 +424,7 @@ object SparkEntry {
 
     // F8/A7: buffered tile-containment filter with dateline wrap, tile-local coords
     "q46_points_in_tile" -> ((s, dir) => {
-      val pix = TileServe.renderPixels(
-        pointsLL(s, dir).filter(col("map_key") === "0:0"), "EPSG:4326", 6)
+      val pix = TileServe.renderPixels(rawPointsAll(s, dir), "EPSG:4326", 6)
       val top = pix
         .groupBy((col("px") / TileSize).cast("long").as("ttx"),
           (col("py") / TileSize).cast("long").as("tty"))
@@ -637,7 +657,25 @@ object SparkEntry {
     // IVF training: one Lloyd (k-means) iteration over the deterministic
     // codebook — assignment + integer-exact per-cell update evidence
     "q72_kmeans_step" -> ((s, dir) =>
-      Similarity.kmeansStep(embeddings(s, dir)))
+      Similarity.kmeansStep(embeddings(s, dir))),
+
+    // Pipeline: context-window chunking — overlapping 32-token spans at
+    // stride 24 per document (pure span arithmetic, no shuffle)
+    "q73_doc_chunking" -> ((s, dir) =>
+      graft.operators.Corpus.chunkSpans(documents(s, dir), 32, 24)),
+
+    // Pipeline: regex redaction (the PII-scrub shape) over a Java∩RE2-safe
+    // pattern; the synthetic corpus has no emails/phones, so a lexicon
+    // pattern with real hits exercises the identical plumbing
+    "q74_pii_scrub" -> ((s, dir) =>
+      graft.operators.Corpus.regexScrub(documents(s, dir),
+        "\\b(customer|supplier|part)\\b", "<ENT>")),
+
+    // Pipeline: exact discrete token-count quantiles per source (rank
+    // statistic — bit-exact in any engine, unlike interpolated percentiles)
+    "q75_token_quantiles" -> ((s, dir) =>
+      graft.operators.Corpus.tokenQuantilesDisc(documents(s, dir),
+        Seq(0.5, 0.9, 0.99)))
   )
 
   // ---------------------------------------------------------- the oracles
@@ -1474,6 +1512,38 @@ q AS (SELECT vec_id,
 SELECT cell, count(*) AS n_vecs, CAST(sum(q1) AS BIGINT) AS s1,
   CAST(sum(qw) AS BIGINT) AS sw,
   CAST(sum(qw) AS DOUBLE) / (CAST('1000.0' AS DOUBLE) * count(*)) AS mean_w
-FROM asn JOIN q USING (vec_id) GROUP BY cell"""
+FROM asn JOIN q USING (vec_id) GROUP BY cell""",
+
+    "q73_doc_chunking" -> """WITH tk AS (
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+  FROM documents),
+st AS (SELECT doc_id, n, unnest(generate_series(0, n - 1, 24)) AS tok_start
+  FROM tk WHERE n > 0)
+SELECT doc_id, CAST(tok_start // 24 AS BIGINT) AS chunk_idx,
+  CAST(tok_start AS BIGINT) AS tok_start,
+  CAST(least(tok_start + 32, n) AS BIGINT) AS tok_end,
+  CAST(least(tok_start + 32, n) - tok_start AS BIGINT) AS n_chunk_tokens
+FROM st""",
+
+    "q74_pii_scrub" -> """SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\b(customer|supplier|part)\b')) AS BIGINT)
+    AS n_hits,
+  CAST(length(regexp_replace(text, '\b(customer|supplier|part)\b', '<ENT>', 'g'))
+    AS BIGINT) AS scrubbed_len
+FROM documents""",
+
+    "q75_token_quantiles" -> """WITH tk AS (
+  SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+r AS (SELECT source, n_tokens,
+  row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+  count(*) OVER (PARTITION BY source) AS n FROM tk)
+SELECT source,
+  CAST(max(CASE WHEN rn = ceil(0.5 * n) THEN n_tokens END) AS BIGINT) AS p50,
+  CAST(max(CASE WHEN rn = ceil(0.9 * n) THEN n_tokens END) AS BIGINT) AS p90,
+  CAST(max(CASE WHEN rn = ceil(0.99 * n) THEN n_tokens END) AS BIGINT) AS p99
+FROM r GROUP BY source"""
   )
 }

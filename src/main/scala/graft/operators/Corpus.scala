@@ -174,4 +174,75 @@ object Corpus {
       .filter(col("rn") <= k)
       .select("source", "w", "tf", "df", "score", "rn")
   }
+
+  /** Context-window chunking: each document becomes overlapping token-span
+    * chunks of `window` tokens advancing by `stride` (< window ⇒ overlap of
+    * window−stride tokens, the standard LM packing prelude). Emits pure
+    * span arithmetic (start/end token offsets) — deterministic in any
+    * engine; materializing chunk text is a trailing `slice` on the token
+    * array, row-local.
+    *
+    * Scale shape: one generator explode per doc with ≤ ⌈n/stride⌉ rows —
+    * no shuffle at all; chunking is embarrassingly row-parallel.
+    */
+  def chunkSpans(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(0 < stride && stride <= window, "need 0 < stride <= window")
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tok_start",
+        explode(sequence(lit(0), col("n_tokens") - 1, lit(stride))))
+      .select(
+        col("doc_id"),
+        (col("tok_start") / stride).cast("long").as("chunk_idx"),
+        col("tok_start").cast("long"),
+        least(col("tok_start") + window, col("n_tokens")).cast("long")
+          .as("tok_end"),
+        (least(col("tok_start") + window, col("n_tokens")) - col("tok_start"))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Regex redaction (the PII-scrub shape): every match of `pattern` is
+    * replaced by `mask`; emits per-doc hit counts and the scrubbed length.
+    * The pattern must stay in the Java∩RE2 common regex subset (no
+    * backrefs/lookaround) so one pattern text runs identically in Spark and
+    * any RE2-based engine.
+    *
+    * Scale shape: row-local regex, no shuffle — the cost model is regex
+    * engine throughput, which is why the scrub runs ONCE per doc emitting
+    * both count and replacement from the same pattern.
+    */
+  def regexScrub(docs: DataFrame, pattern: String, mask: String): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(pattern)).cast("long").as("n_hits"),
+      length(regexp_replace(col("text"), pattern, mask)).cast("long")
+        .as("scrubbed_len"))
+
+  /** Exact discrete quantiles of the per-doc token count, per source: the
+    * value at 1-based rank ⌈p·n⌉ of the counts sorted ascending — the
+    * rank formula shared verbatim with the oracle (interpolating
+    * `percentile_cont` definitions differ subtly between engines; the
+    * discrete rank statistic is bit-exact everywhere).
+    *
+    * Scale shape: the window is partitioned by source (the natural parallel
+    * unit). For sources too large to sort in one task, the same statistic
+    * decomposes into a two-pass count-then-select over a token-count
+    * histogram (token counts are small ints); this formulation keeps the
+    * single-pass shape the test scale wants.
+    */
+  def tokenQuantilesDisc(docs: DataFrame, ps: Seq[Double]): DataFrame = {
+    val tk = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy(col("n_tokens"), col("doc_id"))
+    val whole = Window.partitionBy("source")
+    val ranked = tk
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(whole))
+    val aggs = ps.map { p =>
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("n_tokens")))
+        .cast("long").as(s"p${(p * 100).round}")
+    }
+    ranked.groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
 }

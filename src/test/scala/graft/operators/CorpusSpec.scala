@@ -110,4 +110,36 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toMap
     assert(got === expected)
   }
+
+  test("chunkSpans: overlapping spans cover every token, last chunk short") {
+    val docs = docsDf(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" "), "s"), // 10 tokens
+      (1L, "", "s"), // empty: no chunks
+      (2L, "a b", "s")) // shorter than one window
+    val out = Corpus.chunkSpans(docs, window = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 0L, 4L, 4L), (0L, 1L, 3L, 7L, 4L),
+      (0L, 2L, 6L, 10L, 4L), (0L, 3L, 9L, 10L, 1L),
+      (2L, 0L, 0L, 2L, 2L)))
+  }
+
+  test("regexScrub counts all matches and lengths reflect the mask") {
+    val docs = docsDf((0L, "customer x customer", "s"), (1L, "nothing here", "s"))
+    val out = Corpus.regexScrub(docs, "\\bcustomer\\b", "<E>")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // "customer"(8) -> "<E>"(3): 19 - 2*8 + 2*3 = 9
+    assert(out.toSeq === Seq((0L, 2L, 9L), (1L, 0L, 12L)))
+  }
+
+  test("tokenQuantilesDisc picks the value at rank ceil(p*n)") {
+    val docs = docsDf(
+      (0L, "a", "s"), (1L, "a b", "s"), (2L, "a b c", "s"), (3L, "a b c d", "s"))
+    val out = Corpus.tokenQuantilesDisc(docs, Seq(0.5, 0.9, 0.99))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // n=4: p50 rank ceil(2)=2 -> 2 tokens; p90 rank ceil(3.6)=4 -> 4; p99 -> 4
+    assert(out.toSeq === Seq(("s", 2L, 4L, 4L)))
+  }
 }
