@@ -186,22 +186,29 @@ object Mvt {
         var name = ""
         val keys = mutable.ArrayBuffer.empty[String]
         val values = mutable.ArrayBuffer.empty[Long]
-        val feats = mutable.ArrayBuffer.empty[(Seq[Long], Int, Int)]
+        // features as (packed tag array, tag count, x, y) — a primitive
+        // Long array per feature instead of a boxed Seq: the decode runs
+        // once per tile across whole pyramids, like the encoder
+        val feats = mutable.ArrayBuffer.empty[(Array[Long], Int, Int, Int)]
         while (layer.hasMore) {
           val lt = layer.varint(); val lf = (lt >> 3).toInt
           lf match {
             case 1 => val r = layer.sub()
-              name = new String(bytes.slice(r.pos, r.end), "UTF-8")
+              name = new String(bytes, r.pos, r.end - r.pos, "UTF-8")
             case 2 =>
               val fr = layer.sub()
-              var tags = Seq.empty[Long]; var x = 0; var y = 0
+              var tags: Array[Long] = null; var ntags = 0
+              var x = 0; var y = 0
               while (fr.hasMore) {
                 val ft = fr.varint(); val ff = (ft >> 3).toInt
                 ff match {
                   case 2 => val tr = fr.sub()
-                    val tb = mutable.ArrayBuffer.empty[Long]
-                    while (tr.hasMore) tb += tr.varint()
-                    tags = tb.toSeq
+                    var tb = new Array[Long](8)
+                    while (tr.hasMore) {
+                      if (ntags == tb.length) tb = java.util.Arrays.copyOf(tb, ntags << 1)
+                      tb(ntags) = tr.varint(); ntags += 1
+                    }
+                    tags = tb
                   case 3 => fr.varint()
                   case 4 => val gr = fr.sub()
                     gr.varint() // MoveTo
@@ -210,9 +217,9 @@ object Mvt {
                   case _ => fr.sub()
                 }
               }
-              feats += ((tags, x, y))
+              feats += ((tags, ntags, x, y))
             case 3 => val r = layer.sub()
-              keys += new String(bytes.slice(r.pos, r.end), "UTF-8")
+              keys += new String(bytes, r.pos, r.end - r.pos, "UTF-8")
             case 4 => val vr = layer.sub()
               var v = 0L
               while (vr.hasMore) { val vt = vr.varint(); if ((vt >> 3).toInt == 4) v = vr.varint() else vr.sub() }
@@ -220,10 +227,23 @@ object Mvt {
             case _ => if ((lt & 7) == 2) layer.sub() else layer.varint()
           }
         }
-        feats.foreach { case (tags, x, y) =>
-          val attrs = tags.grouped(2).map { p => keys(p(0).toInt) -> values(p(1).toInt) }.toMap
-          val years = attrs.collect { case (k, v) if k != "total" => k.toInt -> v }
-          out += DecodedFeature(name, x, y, years, attrs("total"))
+        // per-layer key table parsed once: year int, or -1 for "total"
+        val keyYear = new Array[Int](keys.length)
+        var ki = 0
+        while (ki < keys.length) {
+          keyYear(ki) = if (keys(ki) == "total") -1 else keys(ki).toInt
+          ki += 1
+        }
+        feats.foreach { case (tags, ntags, x, y) =>
+          var total = 0L
+          val years = Map.newBuilder[Int, Long]
+          var p = 0
+          while (p + 1 < ntags) {
+            val yk = keyYear(tags(p).toInt); val v = values(tags(p + 1).toInt)
+            if (yk == -1) total = v else years += (yk -> v)
+            p += 2
+          }
+          out += DecodedFeature(name, x, y, years.result(), total)
         }
       } else if ((t & 7) == 2) top.sub() else top.varint()
     }
