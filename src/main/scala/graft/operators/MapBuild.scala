@@ -280,6 +280,13 @@ object MapBuild {
         shiftright(col("py"), MaxZoom - maxZoom).as("py"))
       .agg(count(lit(1)).as("total"))
     val zs = array((minZoom to maxZoom).map(lit): _*)
+    // NOTE (measured): fusing the pair below into one distinct aggregate
+    // (countDistinct(px, py) + sum at the tile key) ran 1.6× SLOWER at
+    // sf0.1 — mixing distinct and plain aggregates plans an Expand that
+    // doubles every input row before the exchange. Two lean keyed
+    // aggregations beat one Expand-doubled one; the q08 tileAssembly case
+    // wins with countDistinct only because it starts from raw records and
+    // drops TWO exchanges, not one.
     top
       .withColumn("z", explode(zs))
       .groupBy(
