@@ -76,8 +76,11 @@ object MapBuild {
       .groupBy("map_key", "lat10", "lng10", "bor_year")
       .agg(count(lit(1)).as("occ_count"))
 
+  // while-loop (foldLeft boxes a char per step); arithmetic unchanged
   private val hash32 = udf { (s: String) =>
-    s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 4294967296L)
+    var a = 0L; var i = 0
+    while (i < s.length) { a = (a * 31 + s.charAt(i)) % 4294967296L; i += 1 }
+    a
   }
 
   /** A3: per-view feature rollup with an order-insensitive content

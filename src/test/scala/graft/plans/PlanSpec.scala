@@ -94,6 +94,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keyedShuffles(p) === 1, s"q72 should shuffle exactly once:\n$p")
   }
 
+  test("fused bin queries shuffle exactly once (record → bin cell, no " +
+    "intermediate point/pixel materialization)") {
+    Seq("q09_square_bin", "q10_hex_bin").foreach { q =>
+      val p = planOf(q)
+      assert(keyedShuffles(p) === 1, s"$q regressed to chained exchanges:\n$p")
+    }
+  }
+
+  test("serving filter gates shuffle exactly once (filter before the only " +
+    "keyed aggregation)") {
+    Seq("q11_capabilities", "q15_year_filter", "q16_bor_filter").foreach { q =>
+      val p = planOf(q)
+      assert(keyedShuffles(p) === 1, s"$q regressed to chained exchanges:\n$p")
+    }
+  }
+
   test("pixel aggregation partial-aggregates directly above the explode " +
     "(map-side combine before any shuffle)") {
     val p = planOf("q06_pixel_agg_4326")
