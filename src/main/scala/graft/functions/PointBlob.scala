@@ -20,33 +20,60 @@ object PointBlob {
 
   final case class PointRow(lat10: Long, lng10: Long, borYear: Long, count: Long)
 
-  private def writeVarint(out: ArrayBuffer[Byte], v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
-    out += v.toByte
-  }
-
-  private def writeFixed64(out: ArrayBuffer[Byte], bits: Long): Unit = {
-    var i = 0
-    while (i < 8) { out += ((bits >>> (8 * i)) & 0xff).toByte; i += 1 }
-  }
-
-  def encode(rows: Seq[PointRow]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte](rows.size * 28)
-    rows.sortBy(r => (r.lat10, r.lng10, r.borYear)).foreach { r =>
-      val f = new ArrayBuffer[Byte](26)
-      writeVarint(f, (1 << 3) | 1) // latitude, 64-bit
-      writeFixed64(f, java.lang.Double.doubleToLongBits(r.lat10 / 10.0))
-      writeVarint(f, (2 << 3) | 1) // longitude, 64-bit
-      writeFixed64(f, java.lang.Double.doubleToLongBits(r.lng10 / 10.0))
-      writeVarint(f, (3 << 3) | 0); writeVarint(f, r.borYear % 100) // bor
-      writeVarint(f, (4 << 3) | 0); writeVarint(f, r.borYear / 100) // year
-      writeVarint(f, (5 << 3) | 0); writeVarint(f, r.count)
-      writeVarint(out, (1 << 3) | 2) // features, length-delimited
-      writeVarint(out, f.length.toLong)
-      out ++= f
+  private val rowOrder = new java.util.Comparator[PointRow] {
+    def compare(a: PointRow, b: PointRow): Int = {
+      if (a.lat10 != b.lat10) return java.lang.Long.compare(a.lat10, b.lat10)
+      if (a.lng10 != b.lng10) return java.lang.Long.compare(a.lng10, b.lng10)
+      java.lang.Long.compare(a.borYear, b.borYear)
     }
-    out.toArray
+  }
+
+  /** Primitive byte building (a boxed ArrayBuffer[Byte] costs an object per
+    * byte — same lesson as the MVT encoder); bytes are unchanged.
+    */
+  def encode(rows: Seq[PointRow]): Array[Byte] = {
+    val sorted = rows.toArray
+    java.util.Arrays.sort(sorted, rowOrder)
+    var arr = new Array[Byte](math.max(64, sorted.length * 30))
+    var len = 0
+    def ensure(n: Int): Unit =
+      if (len + n > arr.length) {
+        var cap = arr.length << 1
+        while (cap < len + n) cap <<= 1
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    def varint(v0: Long): Unit = {
+      var v = v0
+      ensure(10)
+      while ((v & ~0x7fL) != 0) { arr(len) = ((v & 0x7f) | 0x80).toByte; len += 1; v >>>= 7 }
+      arr(len) = v.toByte; len += 1
+    }
+    def fixed64(bits: Long): Unit = {
+      ensure(8)
+      var i = 0
+      while (i < 8) { arr(len) = ((bits >>> (8 * i)) & 0xff).toByte; len += 1; i += 1 }
+    }
+    def varintLen(v: Long): Int = {
+      var n = 1; var x = v >>> 7
+      while (x != 0) { n += 1; x >>>= 7 }
+      n
+    }
+    sorted.foreach { r =>
+      // feature body length is computable up front: 2×(tag + fixed64) +
+      // 3×(tag + varint)
+      val bodyLen = 18 + 3 +
+        varintLen(r.borYear % 100) + varintLen(r.borYear / 100) + varintLen(r.count)
+      varint((1 << 3) | 2) // features, length-delimited
+      varint(bodyLen.toLong)
+      varint((1 << 3) | 1) // latitude, 64-bit
+      fixed64(java.lang.Double.doubleToLongBits(r.lat10 / 10.0))
+      varint((2 << 3) | 1) // longitude, 64-bit
+      fixed64(java.lang.Double.doubleToLongBits(r.lng10 / 10.0))
+      varint((3 << 3) | 0); varint(r.borYear % 100) // bor
+      varint((4 << 3) | 0); varint(r.borYear / 100) // year
+      varint((5 << 3) | 0); varint(r.count)
+    }
+    java.util.Arrays.copyOf(arr, len)
   }
 
   def decode(bytes: Array[Byte]): Seq[PointRow] = {
