@@ -675,7 +675,23 @@ object SparkEntry {
     // statistic — bit-exact in any engine, unlike interpolated percentiles)
     "q75_token_quantiles" -> ((s, dir) =>
       graft.operators.Corpus.tokenQuantilesDisc(documents(s, dir),
-        Seq(0.5, 0.9, 0.99)))
+        Seq(0.5, 0.9, 0.99))),
+
+    // ANN/PQ: product-quantization codes (8 subspaces × 16 centroids,
+    // deterministic sampled codebook) — the vector-compression side of
+    // IVF+PQ; encoding is broadcast + row-local, no shuffle
+    "q76_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(embeddings(s, dir)).drop("label")),
+
+    // ANN/PQ serving: asymmetric-distance top-10 — the query's distance
+    // table becomes literal-array lookups over the code columns (pure
+    // codegen Column math at scan time)
+    "q77_pq_ann" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      Similarity.pqTopK(emb, qv, 10)
+    })
   )
 
   // ---------------------------------------------------------- the oracles
@@ -1544,6 +1560,41 @@ SELECT source,
   CAST(max(CASE WHEN rn = ceil(0.5 * n) THEN n_tokens END) AS BIGINT) AS p50,
   CAST(max(CASE WHEN rn = ceil(0.9 * n) THEN n_tokens END) AS BIGINT) AS p90,
   CAST(max(CASE WHEN rn = ceil(0.99 * n) THEN n_tokens END) AS BIGINT) AS p99
-FROM r GROUP BY source"""
+FROM r GROUP BY source""",
+
+    "q76_pq_codes" -> (PqCodesSql + s"""
+SELECT vec_id,
+  ${(0 until 8).map(m =>
+        s"CAST(max(CASE WHEN m = $m THEN code END) AS INT) AS c$m")
+        .mkString(",\n  ")}
+FROM codes GROUP BY vec_id"""),
+
+    "q77_pq_ann" -> (PqCodesSql + """,
+t AS (SELECT m, k, dist FROM d WHERE vec_id = 0),
+ad AS (SELECT c.vec_id,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.dist ORDER BY t.m)),
+    (a, b) -> a + b) AS adist
+  FROM codes c JOIN t ON c.m = t.m AND c.code = t.k GROUP BY c.vec_id)
+SELECT e.vec_id, e.label, round(ad.adist, 6) AS adist
+FROM ad JOIN embeddings e USING (vec_id)
+ORDER BY round(ad.adist, 6) ASC, e.vec_id LIMIT 10""")
   )
+
+  /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the
+    * deterministic sampled codebook (Similarity.pqCodebook mirror), and the
+    * argmin code per (vector, subspace).
+    */
+  private val PqCodesSql: String = """WITH cb AS (
+  SELECT vec_id AS k, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+sub AS (SELECT unnest(range(0, 8)) AS m),
+d AS (SELECT e.vec_id, s.m, c.k,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    [(CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(c.cemb[s.m * 8 + i] AS DOUBLE))
+     * (CAST(e.embedding[s.m * 8 + i] AS DOUBLE) - CAST(c.cemb[s.m * 8 + i] AS DOUBLE))
+     for i in range(1, 9)]), (a, b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN cb c),
+codes AS (SELECT vec_id, m, k AS code FROM (
+  SELECT vec_id, m, k,
+    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, k ASC) AS rn
+  FROM d) WHERE rn = 1)"""
 }

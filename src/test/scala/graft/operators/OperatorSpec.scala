@@ -329,4 +329,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(step.agg(sum("s1")).head.getLong(0) === total)
     step.unpersist()
   }
+
+  test("PQ: codes in range; a codebook vector ADC-matches itself at distance 0") {
+    val emb = OccurrenceView.embeddings(spark, Dir)
+    val codes = Similarity.pqEncode(emb).cache()
+    val mins = codes.agg(
+      least((0 until Similarity.PqM).map(m => min(col(s"c$m"))): _*),
+      greatest((0 until Similarity.PqM).map(m => max(col(s"c$m"))): _*)).head
+    assert(mins.getInt(0) >= 0 && mins.getInt(1) < Similarity.PqK)
+    // vec 0's slices ARE subspace centroids (sampled codebook), so its own
+    // ADC distance is exactly 0 and it must lead its own top-k
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0)
+    val top = Similarity.pqTopK(emb, qv, 3).collect()
+    assert(top.head.getLong(0) === 0L)
+    assert(top.head.getDouble(2) === 0.0)
+    codes.unpersist()
+  }
 }
