@@ -77,13 +77,21 @@ object BenchScale {
       math.min(a, time(dir, n))
     }
     val baseTimes = Heavy.map(n => n -> timed(baseDir, n)).toMap
+    // hold per-partition data constant across the scale-up, as a real
+    // deployment does (AQE's initialPartitionNum serves exactly this):
+    // with partitions pinned while input grows reps×, per-task aggregation
+    // state grows reps× and the probe measures hash-spill onset, not the
+    // operator's scaling
+    val scaleParts = math.min(cpus.toInt * reps, 512)
+    spark.conf.set("spark.sql.shuffle.partitions", scaleParts)
     val scaleTimes = Heavy.map(n => n -> timed(scaleDir, n)).toMap
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
     val qs = Heavy.map { n =>
       val ratio = scaleTimes(n) / math.max(baseTimes(n), 1e-9)
       f""""$n":{"base_sec":${baseTimes(n)}%.3f,"x${reps}_sec":${scaleTimes(n)}%.3f,"ratio":$ratio%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","reps":$reps,"queries":$qs}""")
+    println(s"""{"metric":"scale_probe","reps":$reps,"x_partitions":$scaleParts,"queries":$qs}""")
     spark.stop()
   }
 }
