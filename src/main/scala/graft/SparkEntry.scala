@@ -33,11 +33,6 @@ object SparkEntry {
   private def points(s: SparkSession, dir: String): DataFrame =
     MapBuild.pointAgg(exploded(s, dir))
 
-  private def pointsLL(s: SparkSession, dir: String): DataFrame =
-    points(s, dir)
-      .withColumn("lat", col("lat10") / 10.0)
-      .withColumn("lng", col("lng10") / 10.0)
-
   private def tilesZ6(s: SparkSession, dir: String): DataFrame =
     MapBuild.tileAssembly(MapBuild.rawPixelsAt(occ(s, dir), "EPSG:4326", 6), 6)
 

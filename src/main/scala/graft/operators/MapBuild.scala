@@ -200,14 +200,6 @@ object MapBuild {
         shiftright(col("py"), MaxZoom - z).as("py"),
         lit(1L).as("occ_count"))
 
-  /** G2: buffer-replica tile explode — each zoom-z global pixel lands on its
-    * containing tile plus any neighbour (incl. dateline-wrapped) whose 64 px
-    * buffer it falls into, then tiles aggregate counts over their pixels
-    * *including buffer replicas* (TileXYUDF.java:70-181). The replica
-    * generator is the core library's `Tiles.collectToTiles` (unit/property
-    * tested); explode multiplies rows ≤4× and the immediately following
-    * partial aggregation collapses it before the shuffle.
-    */
   /** Replica tiles of one zoom-z global pixel, packed (tx<<32)|ty: a
     * primitive long array explodes without the per-element tuple row the
     * (tx, ty) struct formulation pays.
@@ -220,6 +212,14 @@ object MapBuild {
     }
   }
 
+  /** G2: buffer-replica tile explode — each zoom-z global pixel lands on its
+    * containing tile plus any neighbour (incl. dateline-wrapped) whose 64 px
+    * buffer it falls into, then tiles aggregate counts over their pixels
+    * *including buffer replicas* (TileXYUDF.java:70-181). The replica
+    * generator is the core library's `Tiles.collectToTiles` (unit/property
+    * tested); explode multiplies rows ≤4× and the immediately following
+    * partial aggregation collapses it before the shuffle.
+    */
   def tileReplicaAssembly(pixelsAtZ: DataFrame, epsg: String, z: Int): DataFrame = {
     val replicas = replicaUdf(epsg, z, buffer = 64)
     // input already collapsed to one row per (map_key, px, py)? then the
