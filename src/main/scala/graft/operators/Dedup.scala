@@ -79,6 +79,21 @@ object Dedup {
     */
   val DefaultBucketCap = 1024
 
+  /** (doc_id, band, bh) band-bucket keys of each document — the LSH index
+    * rows. Row-local (signature UDF + arithmetic), so the same projection
+    * serves the batch candidate join AND streaming index maintenance.
+    */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    val sig = withMinhashSignature(docs)
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        ((col(s"mh${2 * b}") * 31 + col(s"mh${2 * b + 1}")) % M).as("bh"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** LSH banding: candidate pairs sharing any (band, bandHash) bucket, with
     * the estimated similarity (fraction of agreeing minhashes) ≥ minEst.
     * The self-join key is the band hash — bucket-local pairs only.
@@ -99,13 +114,7 @@ object Dedup {
     // (as Workflow.build does for the occurrence snapshot) rather than
     // caching inside this operator.
     val sig = withMinhashSignature(docs).select("doc_id", As.indices.map(k => s"mh$k"): _*)
-    val bandStructs = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        ((col(s"mh${2 * b}") * 31 + col(s"mh${2 * b + 1}")) % M).as("bh"))
-    }
-    val allBands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val allBands = bandKeys(docs)
     val bands =
       if (maxBucketSize == Int.MaxValue) allBands
       else {

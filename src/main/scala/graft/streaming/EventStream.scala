@@ -77,6 +77,20 @@ object EventStream {
       .agg(count(lit(1)).as("occ_count"))
   }
 
+  /** Incremental LSH band-bucket index: streaming aggregation over document
+    * appends keeps per-(band, bh) bucket sizes and the bucket's minimum
+    * doc id continuously current — the ingest-time half of near-dup
+    * detection (a new document's candidate set is a point lookup of its
+    * NumBands buckets in this index; the batch candidate join q29 is the
+    * backfill twin). Signature + banding are row-local (Dedup.bandKeys),
+    * so the stream shuffles only (band, bh, doc) keys; state is one entry
+    * per live bucket — at most NumBands × M.
+    */
+  def lshBandIndex(docStream: DataFrame): DataFrame =
+    graft.operators.Dedup.bandKeys(docStream)
+      .groupBy("band", "bh")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

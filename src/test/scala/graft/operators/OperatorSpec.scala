@@ -200,6 +200,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("doc_dedup").distinct().count() === streamed)
   }
 
+  test("incremental streaming LSH band index equals the batch band table") {
+    import java.nio.file.Files
+    val docs = OccurrenceView.documents(spark, Dir)
+    val tmp = Files.createTempDirectory("lshidx")
+    // bucket membership must accumulate across micro-batches
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.lshBandIndex(stream)
+      .writeStream.format("memory").queryName("lsh_idx")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("lsh_idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Dedup.bandKeys(docs)
+      .groupBy("band", "bh")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+  }
+
   test("stateful streaming sessionization equals batch across micro-batches") {
     import java.nio.file.Files
     val ev = OccurrenceView.events(spark, Dir)
