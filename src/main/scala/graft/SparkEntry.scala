@@ -686,8 +686,49 @@ object SparkEntry {
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0)
       Similarity.pqTopK(emb, qv, 10)
-    })
+    }),
+
+    // Retrieval: BM25 top-15 docs for a 3-term query — filtered explode,
+    // broadcast corpus stats, fixed-order per-term score sum
+    "q78_bm25_topk" -> ((s, dir) =>
+      graft.operators.Corpus.bm25TopK(documents(s, dir), Bm25Terms, 15)),
+
+    // Quality: vocabulary-coverage scoring vs the corpus top-16 vocab —
+    // integer-exact counts, single-division rates
+    "q79_vocab_coverage" -> ((s, dir) =>
+      graft.operators.Corpus.vocabCoverage(documents(s, dir), VocabSize)),
+
+    // SemDeDup: k-means-cell-blocked cosine dedup keeping the earliest id —
+    // per-cell survivor evidence (integer checksums)
+    "q80_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(embeddings(s, dir), 0.4)),
+
+    // Deterministic global training order with NO single-partition window:
+    // bucket histogram offsets + per-bucket rank
+    "q81_global_order" -> ((s, dir) =>
+      graft.operators.Corpus.globalOrderIndex(documents(s, dir))),
+
+    // Count-min sketch heavy hitters: d×w bounded-shuffle sketch build,
+    // estimates vs true counts for the top-10 tokens
+    "q82_cms_heavy" -> ((s, dir) =>
+      graft.operators.Sketch.cmsHeavyHitters(documents(s, dir), 10)),
+
+    // Contrastive hard-negative mining: per-anchor best different-label
+    // neighbour, LSH-bucket-blocked, anchor-partitioned argmax
+    "q83_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(embeddings(s, dir))),
+
+    // Linear-counting cardinality sketch: per-source distinct-token estimate
+    // from m=64 slot occupancy vs the exact count
+    "q84_linear_count" -> ((s, dir) =>
+      graft.operators.Sketch.linearCount(documents(s, dir), 64))
   )
+
+  /** q78's query terms; q79's vocab size (the synthetic corpus has 31
+    * distinct tokens, so top-16 leaves real OOV mass).
+    */
+  private val Bm25Terms = Seq("spark", "window", "merge")
+  private val VocabSize = 16
 
   // ---------------------------------------------------------- the oracles
 
@@ -1572,7 +1613,137 @@ ad AS (SELECT c.vec_id,
   FROM codes c JOIN t ON c.m = t.m AND c.code = t.k GROUP BY c.vec_id)
 SELECT e.vec_id, e.label, round(ad.adist, 6) AS adist
 FROM ad JOIN embeddings e USING (vec_id)
-ORDER BY round(ad.adist, 6) ASC, e.vec_id LIMIT 10""")
+ORDER BY round(ad.adist, 6) ASC, e.vec_id LIMIT 10"""),
+
+    "q78_bm25_topk" -> """WITH tk AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+base AS (SELECT * FROM tk WHERE len(toks) > 0),
+dl AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS dl FROM base),
+words AS (SELECT doc_id, w FROM
+  (SELECT doc_id, unnest(toks) AS w FROM base)
+  WHERE w IN ('spark', 'window', 'merge')),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+corpus AS (SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS sum_dl
+  FROM base),
+scored AS (SELECT tf.doc_id, tf.w,
+  ln(1.0 + (corpus.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+    * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        / (CAST(corpus.sum_dl AS DOUBLE) / corpus.n_docs)))) AS s
+  FROM tf JOIN dfr USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus),
+piv AS (SELECT doc_id,
+  max(CASE WHEN w = 'spark' THEN s END) AS s0,
+  max(CASE WHEN w = 'window' THEN s END) AS s1,
+  max(CASE WHEN w = 'merge' THEN s END) AS s2
+  FROM scored GROUP BY doc_id)
+SELECT dl.doc_id, dl.source, dl.dl,
+  round(coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0), 6) AS score
+FROM dl JOIN piv USING (doc_id)
+ORDER BY score DESC, dl.doc_id LIMIT 15""",
+
+    "q79_vocab_coverage" -> """WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+base AS (SELECT * FROM tk WHERE len(toks) > 0),
+words AS (SELECT doc_id, unnest(toks) AS w FROM base),
+cnt AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+vocab AS (SELECT w, cnt FROM cnt ORDER BY cnt DESC, w ASC LIMIT 16),
+j AS (SELECT words.doc_id, vocab.cnt FROM words LEFT JOIN vocab USING (w))
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(count(*) - count(cnt) AS BIGINT) AS n_oov,
+  CAST(count(*) - count(cnt) AS DOUBLE) / count(*) AS oov_rate,
+  CAST(sum(coalesce(cnt, 0)) AS DOUBLE) / count(*) AS mean_vocab_freq
+FROM j GROUP BY doc_id""",
+
+    "q80_semantic_dedup" -> s"""WITH c AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+d AS (SELECT e.vec_id, e.embedding, c.cid,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    [(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+     * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)) for i in range(1, 65)]),
+    (a, b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN c),
+asn AS (SELECT vec_id, embedding, cid AS cell FROM (
+  SELECT vec_id, embedding, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM d) WHERE rn = 1),
+e AS (SELECT vec_id, embedding, cell,
+  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM asn),
+dup AS (SELECT DISTINCT b.cell, b.vec_id
+  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6)
+    >= CAST('0.4' AS DOUBLE))
+SELECT e.cell, count(*) AS n_vecs,
+  CAST(sum(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN dup.vec_id IS NULL THEN e.vec_id END) AS BIGINT) AS kept_sum,
+  count(*) - CAST(sum(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped
+FROM e LEFT JOIN dup ON e.cell = dup.cell AND e.vec_id = dup.vec_id
+GROUP BY e.cell""",
+
+    "q81_global_order" -> """WITH h AS (
+  SELECT doc_id, (doc_id * 1103515245 + 12345) % 2147483648 AS h FROM documents)
+SELECT doc_id, h,
+  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM h""",
+
+    "q82_cms_heavy" -> """WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+words AS (SELECT unnest(toks) AS w FROM tk WHERE len(toks) > 0),
+hw AS (SELECT w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(w, '')]),
+    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM words),
+par AS (SELECT * FROM (VALUES (0, 1299721, 7), (1, 15485863, 11),
+  (2, 32452843, 13), (3, 49979687, 17)) AS t(j, a, b)),
+cells AS (SELECT p.j, ((p.a * hw.h + p.b) % 2147483647) % 16 AS slot,
+  count(*) AS cell FROM hw CROSS JOIN par p GROUP BY p.j, slot),
+top AS (SELECT w, count(*) AS true_cnt FROM words GROUP BY w
+  ORDER BY true_cnt DESC, w ASC LIMIT 10),
+th AS (SELECT top.w, top.true_cnt, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(top.w, '')]),
+    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM top),
+probes AS (SELECT th.w, th.true_cnt, p.j,
+  ((p.a * th.h + p.b) % 2147483647) % 16 AS slot FROM th CROSS JOIN par p)
+SELECT probes.w, probes.true_cnt, CAST(min(cells.cell) AS BIGINT) AS est
+FROM probes JOIN cells USING (j, slot)
+GROUP BY probes.w, probes.true_cnt
+ORDER BY probes.true_cnt DESC, probes.w ASC""",
+
+    "q83_hard_negatives" -> s"""WITH e AS (SELECT vec_id, label, embedding,
+  ${bucketSql("embedding")} AS bucket,
+  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+p AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+  b.vec_id AS neg_id, b.label AS neg_label,
+  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS sim
+  FROM e a JOIN e b ON a.bucket = b.bucket
+    AND a.vec_id <> b.vec_id AND a.label <> b.label),
+r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+  ORDER BY sim DESC, neg_id ASC) AS rn FROM p)
+SELECT anchor_id, anchor_label, neg_id, neg_label, sim FROM r WHERE rn = 1""",
+
+    "q84_linear_count" -> """WITH tk AS (
+  SELECT source,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+words AS (SELECT source, unnest(toks) AS w FROM tk WHERE len(toks) > 0),
+dw AS (SELECT DISTINCT source, w FROM words),
+hw AS (SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(w, '')]),
+    (a, b) -> (a * 31 + b) % 2147483647) % 64 AS slot FROM dw),
+occ AS (SELECT source, count(DISTINCT slot) AS occupied FROM hw GROUP BY source),
+tru AS (SELECT source, count(*) AS true_distinct FROM dw GROUP BY source)
+SELECT tru.source, tru.true_distinct, occ.occupied,
+  round(-64.0 * ln(CAST(64 - occ.occupied AS DOUBLE) / 64.0), 4) AS est
+FROM tru JOIN occ USING (source)"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

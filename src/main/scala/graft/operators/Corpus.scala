@@ -175,6 +175,110 @@ object Corpus {
       .select("source", "w", "tf", "df", "score", "rn")
   }
 
+  /** BM25 retrieval: top-`k` documents for a bag-of-terms query, Robertson
+    * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))` and the standard saturated
+    * term frequency `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`. The total
+    * score is a FIXED-ORDER sum: per-term scores are pivoted to one column
+    * per query term (max over a singleton — no float aggregation) and added
+    * left-to-right, so the result is independent of row order in both
+    * engines; only the final total is rounded.
+    *
+    * Scale shape: the explode is filtered to the query terms BEFORE any
+    * shuffle (the scan discards every non-query token map-side), df/tf are
+    * tiny keyed aggregates, the corpus length stats are one scalar broadcast,
+    * and the top-k is order-by-limit (TakeOrdered, no global sort).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+    val dl = base.select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("dl"))
+    val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val corpus = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfc = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val scored = tf.join(broadcast(dfr), Seq("w")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("w"), (idf * tfc).as("s"))
+    val piv = scored.groupBy("doc_id").agg(
+      max(when(col("w") === terms.head, col("s"))).as(s"s0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        max(when(col("w") === t, col("s"))).as(s"s${i + 1}")
+      }: _*)
+    val total = terms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    dl.join(piv, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("dl"),
+        round(total, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Vocabulary-coverage quality scoring: per document, how many of its
+    * token OCCURRENCES fall inside the corpus's top-`vocabSize` vocabulary
+    * (by count desc, term asc — deterministic), the OOV rate, and the mean
+    * in-vocab corpus frequency. All counts are integer-exact; the two rates
+    * are single IEEE divisions (no order-dependent float sum anywhere).
+    *
+    * Scale shape: one vocab aggregate (keyed, partial-agg) → top-K via
+    * order-by-limit (bounded, broadcast back), then one per-doc aggregate
+    * over the exploded tokens — the 100 TB corpus shuffles once, keyed by
+    * doc_id, with the vocab lookup map-side.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+    val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(vocabSize)
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("cnt")).as("n_in_vocab"),
+        sum(coalesce(col("cnt"), lit(0L))).as("sum_vocab_freq"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_in_vocab")).as("n_oov"),
+        ((col("n_tokens") - col("n_in_vocab")).cast("double") /
+          col("n_tokens")).as("oov_rate"),
+        (col("sum_vocab_freq").cast("double") / col("n_tokens"))
+          .as("mean_vocab_freq"))
+  }
+
+  /** Deterministic global training order WITHOUT a single-partition window:
+    * each doc's shuffle key is the LCG hash; its exact global position is
+    * `bucket offset + rank within bucket`, where the 256 buckets are the
+    * hash's top bits (so bucket order == hash order), the per-bucket
+    * histogram is a bounded aggregate whose running offsets are computed
+    * driver-side (256 rows — same boundedness argument as the A1 view
+    * TreeSet) and broadcast back, and the rank is a row_number window
+    * PARTITIONED BY BUCKET — every stage is parallel at 100 TB, unlike the
+    * textbook `row_number() OVER (ORDER BY hash)` which serializes the
+    * corpus through one task.
+    */
+  def globalOrderIndex(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val withB = docs.select(col("doc_id"), lcg(col("doc_id")).as("h"))
+      .withColumn("bucket", shiftright(col("h"), 23))
+    val hist = withB.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .orderBy("bucket").collect()
+    var acc = 0L
+    val offs = hist.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offDf = spark.createDataFrame(offs).toDF("bucket", "off")
+    val w = Window.partitionBy("bucket").orderBy(col("h").asc, col("doc_id").asc)
+    withB.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("pos", col("off") + row_number().over(w) - 1)
+      .select(col("doc_id"), col("h"), col("pos"))
+  }
+
   /** Context-window chunking: each document becomes overlapping token-span
     * chunks of `window` tokens advancing by `stride` (< window ⇒ overlap of
     * window−stride tokens, the standard LM packing prelude). Emits pure

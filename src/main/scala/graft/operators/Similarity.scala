@@ -240,6 +240,71 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id")).limit(k)
   }
 
+  /** Semantic dedup (the SemDeDup shape): assign every vector to its
+    * k-means cell (the IVF codebook — broadcast, row-local), then drop any
+    * vector whose cell contains an EARLIER-id vector with cosine ≥ `minSim`.
+    * Emits per-cell evidence: totals, survivors, and an integer checksum of
+    * the kept ids (all integer-exact; the only float op is the rounded
+    * per-pair cosine, the q32-proven kernel).
+    *
+    * Scale shape: the pairwise comparison is confined to one cell — the
+    * exact design of embedding-cluster dedup at corpus scale (cells are the
+    * partition key; per-cell work is |cell|², bounded by clustering
+    * granularity, never the corpus cross product). Norms are computed once
+    * before the self-join, so per-pair work is a single codegen dot product.
+    */
+  def semanticDedup(emb: DataFrame, minSim: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      ivfCellCol(spark, cents).as("cell"),
+      sqrt(sqNorm(col("embedding"))).as("nrm"))
+    val sim = round(
+      dotCols(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+    val dropped = e.as("a")
+      .join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.cell").as("cell"), col("b.vec_id").as("vec_id"), sim.as("sim"))
+      .filter(col("sim") >= minSim)
+      .select("cell", "vec_id").distinct()
+    e.select("cell", "vec_id")
+      .join(dropped.withColumn("is_dup", lit(1)), Seq("cell", "vec_id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_dup").isNull, col("vec_id"))).as("kept_sum"))
+      .withColumn("n_dropped", col("n_vecs") - col("n_kept"))
+  }
+
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the highest-cosine vector with a DIFFERENT label inside the
+    * anchor's LSH bucket (the "hard" negative — semantically close, labeled
+    * apart). Deterministic pick: sim desc, candidate id asc.
+    *
+    * Scale shape: the anchor↔candidate pairing is an equi-join on the
+    * bucket key (never the cross product — anchors at training scale are
+    * the whole corpus), norms precompute before the join, and the argmax
+    * is a window PARTITIONED BY ANCHOR — embarrassingly parallel.
+    */
+  def hardNegatives(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+      bucketCol(col("embedding")).as("bucket"),
+      sqrt(sqNorm(col("embedding"))).as("nrm"))
+    val sim = round(
+      dotCols(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 6)
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("anchor_id"), col("a.label").as("anchor_label"),
+        col("b.vec_id").as("neg_id"), col("b.label").as("neg_label"),
+        sim.as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id").orderBy(col("sim").desc, col("neg_id").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
   /** One Lloyd (k-means) iteration over the IVF codebook — the training step
     * production IVF runs offline to produce the coarse quantizer the serving
     * path (ivfTopK) probes. Assignment is the same JIT nearest-centroid

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch operators. A count-min sketch answers frequency point
+  * queries over an unbounded token stream in O(d·w) space: the shuffle
+  * carries AT MOST d·w counter cells per map partition regardless of corpus
+  * size (partial aggregation collapses the exploded probes map-side), which
+  * is the whole point at 100 TB — heavy-hitter detection without ever
+  * materializing the vocabulary. Estimates only over-count (each cell is a
+  * sum over colliding tokens; min across the d rows takes the least-collided
+  * one), so `est ≥ true` always.
+  *
+  * All hashing is the repo's 31-polynomial mod 2^31−1 convention
+  * ([[Dedup.M]]) — integer-exact in any engine.
+  */
+object Sketch {
+
+  /** Sketch geometry: d independent rows × w slots. w is deliberately tiny
+    * here so the test corpus (31 distinct tokens) actually collides and the
+    * min-of-rows behavior is exercised; production sizing is w ≈ e/ε
+    * (e.g. 2^16 slots for ±ε·N with ε ≈ 4·10⁻⁵), still cluster-trivial.
+    */
+  val W = 16
+  val D = 4
+  private val As = Seq(1299721L, 15485863L, 32452843L, 49979687L)
+  private val Bs = Seq(7L, 11L, 13L, 17L)
+
+  /** 31-polynomial string hash mod M, JIT-compiled (the HOF fold evaluates
+    * interpreted per char — repo-wide pattern).
+    */
+  private val tokenHashUdf = udf { (w: String) =>
+    if (w == null) null
+    else {
+      var a = 0L; var i = 0
+      while (i < w.length) { a = (a * 31 + w.charAt(i)) % Dedup.M; i += 1 }
+      java.lang.Long.valueOf(a)
+    }
+  }
+
+  /** The d (row, slot) probe cells of a hashed token: slot_j = ((a_j·h + b_j)
+    * mod M) mod w.
+    */
+  private def probeCells(h: Column): Column =
+    array((0 until D).map { j =>
+      struct(lit(j).as("j"),
+        (((lit(As(j)) * h + lit(Bs(j))) % Dedup.M) % W).as("slot"))
+    }: _*)
+
+  /** Linear-counting distinct estimation per source: tokens hash into `m`
+    * slots; the estimate is `−m·ln((m − occupied)/m)` — the classic
+    * bounded-memory cardinality sketch (the load-factor regime where linear
+    * counting beats HLL). The occupied-slot count dedups (source, slot)
+    * FIRST — partial distinct bounds the shuffle at m rows per source per
+    * partition, never the vocabulary — which is the entire point: the true
+    * distinct count emitted beside it (as ground truth) is the expensive
+    * aggregation the sketch exists to avoid. The ln is the one float op,
+    * rounded; everything else is integer-exact.
+    */
+  def linearCount(docs: DataFrame, m: Int): DataFrame = {
+    val words = docs.withColumn("toks", Corpus.tokens(col("text")))
+      .select(col("source"), explode(col("toks")).as("w"))
+    val occ = words.select(col("source"), (tokenHashUdf(col("w")) % m).as("slot"))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("occupied"))
+    val tru = words.select("source", "w").distinct()
+      .groupBy("source").agg(count(lit(1)).as("true_distinct"))
+    tru.join(occ, Seq("source"))
+      .withColumn("est", round(lit(-m.toDouble) *
+        log((lit(m.toLong) - col("occupied")).cast("double") / lit(m.toDouble)), 4))
+  }
+
+  /** The sketch itself: per-(row, slot) counters over `docs`' token
+    * occurrences — ≤ d·w distinct keys, so the map-side combine bounds the
+    * shuffle at d·w rows per partition no matter the input size. The same
+    * aggregation IS the streaming-maintenance state (EventStream.cmsSketch):
+    * counters only ever add, so batch and incremental builds agree exactly.
+    */
+  def sketchCells(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", Corpus.tokens(col("text")))
+      .select(explode(col("toks")).as("w"))
+      .select(explode(probeCells(tokenHashUdf(col("w")))).as("pc"))
+      .groupBy(col("pc.j").as("j"), col("pc.slot").as("slot"))
+      .agg(count(lit(1)).as("cell"))
+
+  /** Build the sketch from token occurrences and evaluate it for the
+    * corpus's `topN` true heavy hitters: (token, true count, CMS estimate).
+    * The exact top-N counts exist here only as the ground truth to verify
+    * against; the sketch itself never needs them.
+    */
+  def cmsHeavyHitters(docs: DataFrame, topN: Int): DataFrame = {
+    val cells = sketchCells(docs)
+    val words = docs.withColumn("toks", Corpus.tokens(col("text")))
+      .select(explode(col("toks")).as("w"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("w").asc).limit(topN)
+      .withColumn("h", tokenHashUdf(col("w")))
+    val probes = top
+      .select(col("w"), col("true_cnt"), explode(probeCells(col("h"))).as("pc"))
+      .select(col("w"), col("true_cnt"),
+        col("pc.j").as("j"), col("pc.slot").as("slot"))
+    cells.join(broadcast(probes), Seq("j", "slot"))
+      .groupBy("w", "true_cnt").agg(min("cell").as("est"))
+      .orderBy(col("true_cnt").desc, col("w").asc)
+  }
+}

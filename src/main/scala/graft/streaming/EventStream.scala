@@ -91,6 +91,17 @@ object EventStream {
       .groupBy("band", "bh")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
 
+  /** Streaming count-min sketch maintenance: the batch sketch aggregation
+    * (Sketch.sketchCells) run as a streaming aggregation over document
+    * appends. The state is the sketch itself — AT MOST d·w counter cells
+    * no matter how much streams through, the ideal streaming-state shape
+    * (contrast dedupStream, whose state grows with distinct keys). Counters
+    * only ever add, so the incremental sketch equals the batch build
+    * exactly (OperatorSpec).
+    */
+  def cmsSketch(docStream: DataFrame): DataFrame =
+    graft.operators.Sketch.sketchCells(docStream)
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

@@ -134,6 +134,79 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((0L, 2L, 9L), (1L, 0L, 12L)))
   }
 
+  test("bm25TopK matches a brute-force BM25 and keeps only matching docs") {
+    val docs = docsDf(
+      (0L, "cat dog", "s"),
+      (1L, "cat cat cat fish", "s"),
+      (2L, "fish bird", "s"),
+      (3L, "bird bird", "s")) // no query term: must be absent
+    val terms = Seq("cat", "fish")
+    val out = Corpus.bm25TopK(docs, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(!out.contains(3L))
+    // brute force with the same double arithmetic
+    val texts = Map(0L -> Seq("cat", "dog"), 1L -> Seq("cat", "cat", "cat", "fish"),
+      2L -> Seq("fish", "bird"), 3L -> Seq("bird", "bird"))
+    val n = texts.size; val avgdl = texts.values.map(_.size).sum.toDouble / n
+    def df(t: String) = texts.values.count(_.contains(t))
+    def score(id: Long): Double = {
+      val dl = texts(id).size
+      val s = terms.map { t =>
+        val tf = texts(id).count(_ == t)
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      }
+      BigDecimal(s.head + s(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq(0L, 1L, 2L).foreach(id => assert(out(id) === score(id), s"doc $id"))
+    assert(out(1L) > out(0L)) // 3×cat + fish beats 1×cat despite longer doc
+  }
+
+  test("vocabCoverage: OOV rate and mean in-vocab frequency vs top-K vocab") {
+    val docs = docsDf((0L, "a a b", "s"), (1L, "c c c d", "s"))
+    // counts: c=3, a=2, b=1, d=1 -> top-1 vocab = {c}
+    val out = Corpus.vocabCoverage(docs, 1).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(0L) === ((3L, 3L, 1.0, 0.0)))
+    assert(out(1L) === ((4L, 1L, 0.25, 9.0 / 4)))
+  }
+
+  test("globalOrderIndex: exact permutation matching the global hash sort") {
+    val docs = docsDf((0L until 100L).map(i => (i * 7 + 3, "t", "s")): _*)
+    val out = Corpus.globalOrderIndex(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    def lcg(id: Long) = (id * 1103515245L + 12345L) % 2147483648L
+    val expected = (0L until 100L).map(_ * 7 + 3)
+      .sortBy(id => (lcg(id), id)).zipWithIndex
+      .map { case (id, p) => id -> p.toLong }.toMap
+    assert(out === expected)
+    assert(out.values.toSeq.sorted === (0L until 100L))
+  }
+
+  test("cmsHeavyHitters: estimates never under-count, ground truth exact") {
+    val docs = docsDf(
+      (0L, "x x x x x y y y z", "s"),
+      (1L, "x y z w v u t", "s"))
+    val out = Sketch.cmsHeavyHitters(docs, 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(x => (x._1, x._2)).toSeq ===
+      Seq(("x", 6L), ("y", 4L), ("z", 2L), ("t", 1L))) // count desc, token asc
+    out.foreach { case (w, t, e) => assert(e >= t, s"CMS under-counted $w") }
+  }
+
+  test("linearCount: occupancy and estimate match the closed form") {
+    val docs = docsDf((0L, "a b c d a b", "s"))
+    val out = Sketch.linearCount(docs, 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def h(w: String) = w.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 2147483647L)
+    val occ = Seq("a", "b", "c", "d").map(h(_) % 64).distinct.size
+    val est = BigDecimal(-64.0 * math.log((64 - occ).toDouble / 64.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(("s", 4L, occ.toLong, est)))
+  }
+
   test("tokenQuantilesDisc picks the value at rank ceil(p*n)") {
     val docs = docsDf(
       (0L, "a", "s"), (1L, "a b", "s"), (2L, "a b c", "s"), (3L, "a b c d", "s"))

@@ -225,6 +225,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("streaming CMS sketch equals the batch sketch build (state ≤ d·w cells)") {
+    import java.nio.file.Files
+    val docs = OccurrenceView.documents(spark, Dir)
+    val tmp = Files.createTempDirectory("cmsidx")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.cmsSketch(stream)
+      .writeStream.format("memory").queryName("cms_idx")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("cms_idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Sketch.sketchCells(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.size <= Sketch.D * Sketch.W)
+  }
+
   test("stateful streaming sessionization equals batch across micro-batches") {
     import java.nio.file.Files
     val ev = OccurrenceView.events(spark, Dir)
@@ -353,6 +376,42 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
         "0L, (a, b) -> a + b)"))).head.getLong(0)
     assert(step.agg(sum("s1")).head.getLong(0) === total)
     step.unpersist()
+  }
+
+  test("semanticDedup drops exact duplicates cell-locally, keeps the earliest id") {
+    val ss = spark; import ss.implicits._
+    def vec(axis: Int, sign: Float): Seq[Float] =
+      (0 until 64).map(i => if (i == axis) sign else 0.0f)
+    // v0 and v1 identical (cosine 1, tie-assigned to the lower cell);
+    // v2 and v3 are each their own centroid in distinct cells
+    val emb = Seq(
+      (0L, vec(0, 1f), 0), (1L, vec(0, 1f), 0),
+      (2L, vec(1, 1f), 1), (3L, vec(1, -1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(emb, 0.9).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // (cell -> (n_vecs, n_kept, kept_sum, n_dropped))
+    assert(out(0) === ((2L, 1L, 0L, 1L))) // v1 dropped, v0 kept
+    assert(out(2) === ((1L, 1L, 2L, 0L)))
+    assert(out(3) === ((1L, 1L, 3L, 0L)))
+    assert(!out.contains(1)) // cell 1 empty (v1 tie-broke into cell 0)
+  }
+
+  test("hardNegatives picks the best different-label neighbour bucket-locally") {
+    val ss = spark; import ss.implicits._
+    def v(scale0: Float, scale1: Float): Seq[Float] =
+      (0 until 64).map(i => if (i == 0) scale0 else if (i == 1) scale1 else 0.0f)
+    val v0 = v(1f, 0f); val v1 = v(0.9f, 0.1f); val v2 = v(-1f, 0f)
+    // verify the geometric setup with the driver-side bucket function
+    assert(Similarity.bucketOf(v0) === Similarity.bucketOf(v1))
+    assert(Similarity.bucketOf(v0) !== Similarity.bucketOf(v2))
+    val emb = Seq((0L, v0, 0), (1L, v1, 1), (2L, v2, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getInt(3)))).toMap
+    // v0 and v1 are mutual hard negatives; v2 is alone in its bucket
+    assert(out === Map(0L -> ((1L, 1)), 1L -> ((0L, 0))))
   }
 
   test("PQ: codes in range; a codebook vector ADC-matches itself at distance 0") {

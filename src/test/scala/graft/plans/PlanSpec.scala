@@ -110,6 +110,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("global training order: every Window is bucket-partitioned (the " +
+    "whole point vs the textbook global row_number)") {
+    val p = planOf("q81_global_order")
+    assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      s"q81 has an unpartitioned Window:\n$p")
+    assert(p.contains("Broadcast"), s"q81 lost its offset broadcast:\n$p")
+  }
+
+  test("BM25 broadcasts df/corpus stats; no sort-merge join on the stats") {
+    val p = planOf("q78_bm25_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q78 lost its stat broadcasts:\n$p")
+  }
+
+  test("CMS sketch build partial-aggregates directly above the probe " +
+    "explode (the d·w map-side bound)") {
+    val p = planOf("q82_cms_heavy")
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, p)
+    val before = p.substring(0, gen)
+    val lastAgg = before.lastIndexOf("HashAggregate")
+    assert(lastAgg >= 0, s"no aggregate above the probe explode:\n$p")
+    assert(!before.substring(lastAgg).contains("Exchange"),
+      s"shuffle between probe explode and partial aggregate:\n$p")
+  }
+
+  test("semantic dedup pairs join is cell-blocked, never a cross product") {
+    val p = planOf("q80_semantic_dedup")
+    assert(!p.contains("Cartesian"), s"q80 degenerated to a cross product:\n$p")
+  }
+
   test("pixel aggregation partial-aggregates directly above the explode " +
     "(map-side combine before any shuffle)") {
     val p = planOf("q06_pixel_agg_4326")
