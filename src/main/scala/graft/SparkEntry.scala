@@ -721,7 +721,21 @@ object SparkEntry {
     // Linear-counting cardinality sketch: per-source distinct-token estimate
     // from m=64 slot occupancy vs the exact count
     "q84_linear_count" -> ((s, dir) =>
-      graft.operators.Sketch.linearCount(documents(s, dir), 64))
+      graft.operators.Sketch.linearCount(documents(s, dir), 64)),
+
+    // Ingest-time dedup: a new batch (doc_id % 4 == 0) against the existing
+    // corpus's LSH band index — dup_of = smallest duplicated corpus doc
+    "q85_ingest_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.ingestDedup(docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0), 0.5)
+    }),
+
+    // The q75 rank statistic via the histogram decomposition (the
+    // too-large-to-sort scale path) — identical output, different plan
+    "q86_hist_quantiles" -> ((s, dir) =>
+      graft.operators.Corpus.tokenQuantilesHist(documents(s, dir),
+        Seq(0.5, 0.9, 0.99)))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -1743,7 +1757,39 @@ occ AS (SELECT source, count(DISTINCT slot) AS occupied FROM hw GROUP BY source)
 tru AS (SELECT source, count(*) AS true_distinct FROM dw GROUP BY source)
 SELECT tru.source, tru.true_distinct, occ.occupied,
   round(-64.0 * ln(CAST(64 - occ.occupied AS DOUBLE) / 64.0), 4) AS est
-FROM tru JOIN occ USING (source)"""
+FROM tru JOIN occ USING (source)""",
+
+    "q85_ingest_dedup" -> (SigSql + s""",
+bands AS (${(0 until Dedup.NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
+      .mkString("\n  UNION ALL ")}),
+idx AS (SELECT doc_id AS old_id, band, bh FROM bands WHERE doc_id % 4 <> 0),
+ok AS (SELECT band, bh FROM idx GROUP BY band, bh
+  HAVING count(*) <= ${Dedup.DefaultBucketCap}),
+idx2 AS (SELECT idx.* FROM idx JOIN ok USING (band, bh)),
+nb AS (SELECT doc_id AS new_id, band, bh FROM bands WHERE doc_id % 4 = 0),
+cand AS (SELECT DISTINCT new_id, old_id FROM nb JOIN idx2 USING (band, bh)),
+est AS (SELECT new_id, old_id,
+  (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
+  FROM cand JOIN sig sa ON new_id = sa.doc_id JOIN sig sb ON old_id = sb.doc_id),
+dup AS (SELECT new_id, CAST(min(old_id) AS BIGINT) AS dup_of
+  FROM est WHERE est_sim >= 0.5 GROUP BY new_id)
+SELECT d.doc_id, dup.dup_of
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
+WHERE d.doc_id % 4 = 0"""),
+
+    "q86_hist_quantiles" -> """WITH tk AS (
+  SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+r AS (SELECT source, n_tokens,
+  row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+  count(*) OVER (PARTITION BY source) AS n FROM tk)
+SELECT source,
+  CAST(max(CASE WHEN rn = ceil(0.5 * n) THEN n_tokens END) AS BIGINT) AS p50,
+  CAST(max(CASE WHEN rn = ceil(0.9 * n) THEN n_tokens END) AS BIGINT) AS p90,
+  CAST(max(CASE WHEN rn = ceil(0.99 * n) THEN n_tokens END) AS BIGINT) AS p99
+FROM r GROUP BY source"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

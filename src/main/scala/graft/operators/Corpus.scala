@@ -349,4 +349,29 @@ object Corpus {
     }
     ranked.groupBy("source").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The same exact rank statistic as [[tokenQuantilesDisc]], computed the
+    * way a source too large to sort in one task needs: aggregate a
+    * (source, n_tokens) HISTOGRAM first (token counts are small ints, so
+    * the histogram is value-domain-sized, not corpus-sized), then take the
+    * p-quantile as the smallest value whose cumulative count reaches rank
+    * ⌈p·n⌉. The per-source sort/window runs over histogram rows only —
+    * every corpus-sized stage is a keyed aggregation with map-side combine.
+    * Output is identical to the row-sorted formulation (same oracle).
+    */
+  def tokenQuantilesHist(docs: DataFrame, ps: Seq[Double]): DataFrame = {
+    val hist = docs
+      .select(col("source"), size(tokens(col("text"))).as("n_tokens"))
+      .groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy("source").orderBy("n_tokens")
+    val whole = Window.partitionBy("source")
+    val ranked = hist
+      .withColumn("hi", sum("c").over(cum))
+      .withColumn("n", sum("c").over(whole))
+    val aggs = ps.map { p =>
+      min(when(col("hi") >= ceil(lit(p) * col("n")), col("n_tokens")))
+        .cast("long").as(s"p${(p * 100).round}")
+    }
+    ranked.groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
 }

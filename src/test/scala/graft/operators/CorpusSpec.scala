@@ -215,4 +215,16 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // n=4: p50 rank ceil(2)=2 -> 2 tokens; p90 rank ceil(3.6)=4 -> 4; p99 -> 4
     assert(out.toSeq === Seq(("s", 2L, 4L, 4L)))
   }
+
+  test("tokenQuantilesHist equals the row-sorted rank statistic on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val docs = docsDf((0L until 300L).map { i =>
+      (i, Seq.fill(rnd.nextInt(40))("w").mkString(" "), s"s${i % 3}")
+    }: _*)
+    val ps = Seq(0.5, 0.9, 0.99)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(Corpus.tokenQuantilesHist(docs, ps)) ===
+      rows(Corpus.tokenQuantilesDisc(docs, ps)))
+  }
 }

@@ -398,6 +398,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(1)) // cell 1 empty (v1 tie-broke into cell 0)
   }
 
+  test("ingestDedup flags new docs duplicating the corpus, nulls the novel ones") {
+    val ss = spark; import ss.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different content with no shared shingles whatsoever here"
+    val docs = Seq(
+      (0L, t1, "s"), (1L, t2, "s"),          // corpus
+      (10L, t1, "s"),                         // new, exact dup of 0
+      (11L, "zqx wvu tsr ponm lkj ihg fed cba nothing alike", "s")) // novel
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.ingestDedup(
+      docs.filter($"doc_id" < 10), docs.filter($"doc_id" >= 10), 0.5)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out === Map(10L -> Some(0L), 11L -> None))
+  }
+
   test("hardNegatives picks the best different-label neighbour bucket-locally") {
     val ss = spark; import ss.implicits._
     def v(scale0: Float, scale1: Float): Seq[Float] =
