@@ -735,7 +735,12 @@ object SparkEntry {
     // too-large-to-sort scale path) — identical output, different plan
     "q86_hist_quantiles" -> ((s, dir) =>
       graft.operators.Corpus.tokenQuantilesHist(documents(s, dir),
-        Seq(0.5, 0.9, 0.99)))
+        Seq(0.5, 0.9, 0.99))),
+
+    // Sub-document dedup: 16-token chunks keep their first occurrence only;
+    // docs rebuilt from surviving chunks (md5 fingerprint evidence)
+    "q87_chunk_dedup" -> ((s, dir) =>
+      graft.operators.Corpus.chunkDedup(documents(s, dir), 16))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -1789,7 +1794,29 @@ SELECT source,
   CAST(max(CASE WHEN rn = ceil(0.5 * n) THEN n_tokens END) AS BIGINT) AS p50,
   CAST(max(CASE WHEN rn = ceil(0.9 * n) THEN n_tokens END) AS BIGINT) AS p90,
   CAST(max(CASE WHEN rn = ceil(0.99 * n) THEN n_tokens END) AS BIGINT) AS p99
-FROM r GROUP BY source"""
+FROM r GROUP BY source""",
+
+    "q87_chunk_dedup" -> """WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+base AS (SELECT * FROM tk WHERE len(toks) > 0),
+ch0 AS (SELECT doc_id,
+  unnest([struct_pack(idx := i,
+      ctext := array_to_string(toks[i*16+1 : i*16+16], ' '))
+    for i in range(0, ((len(toks) - 1) // 16) + 1)]) AS c
+  FROM base),
+ch AS (SELECT doc_id, c.idx AS idx, c.ctext AS ctext FROM ch0),
+pd AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+kept AS (SELECT * FROM (SELECT ch.*,
+    row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id, idx) AS rn
+  FROM ch) WHERE rn = 1)
+SELECT k.doc_id, pd.n_chunks, count(*) AS n_kept,
+  CAST(sum(len(string_split(k.ctext, ' '))) AS BIGINT) AS kept_tokens,
+  md5(array_to_string(list(k.ctext ORDER BY k.idx), ' ')) AS fp
+FROM kept k JOIN pd USING (doc_id)
+GROUP BY k.doc_id, pd.n_chunks"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -350,6 +350,62 @@ object Corpus {
     ranked.groupBy("source").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Non-overlapping `width`-token chunks of a token array as (idx, text)
+    * structs — one JIT pass (the HOF slice-per-chunk formulation evaluates
+    * interpreted, repo-wide pattern).
+    */
+  private def chunkUdf(w: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) Array.empty[(Int, String)]
+    else {
+      val arr = toks.toArray
+      val out = new Array[(Int, String)]((arr.length - 1) / w + 1)
+      var i = 0
+      while (i * w < arr.length) {
+        val sb = new java.lang.StringBuilder
+        var j = i * w
+        val e = math.min(j + w, arr.length)
+        while (j < e) { if (j > i * w) sb.append(' '); sb.append(arr(j)); j += 1 }
+        out(i) = (i, sb.toString); i += 1
+      }
+      out
+    }
+  }
+
+  /** Sub-document (paragraph-style) dedup: documents split into
+    * non-overlapping `width`-token chunks; each distinct chunk text
+    * survives only at its FIRST occurrence (lowest (doc_id, idx)); each
+    * document is rebuilt from its surviving chunks in order. Emits per-doc
+    * evidence: chunk counts before/after, surviving token count, and an
+    * md5 fingerprint of the rebuilt text. Documents whose every chunk was
+    * seen earlier disappear — the boilerplate-stripping behavior the
+    * C4-style pipelines want.
+    *
+    * Scale shape: chunking is row-local; the first-occurrence pick is a
+    * window partitioned by chunk hash (hash-parallel); the rebuild
+    * re-aggregates by doc_id with an order-insensitive collect fixed by
+    * array_sort — three keyed shuffles total, none corpus-quadratic.
+    */
+  def chunkDedup(docs: DataFrame, width: Int): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+    val chunks = base
+      .select(col("doc_id"), explode(chunkUdf(width)(col("toks"))).as("c"))
+      .select(col("doc_id"), col("c._1").as("idx"), col("c._2").as("ctext"))
+    val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val w = Window.partitionBy(md5(col("ctext")))
+      .orderBy(col("doc_id").asc, col("idx").asc)
+    val kept = chunks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("ctext"), " ")).cast("long")).as("kept_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("ctext")))),
+            x => x.getField("ctext")), " ")).as("fp"))
+      .join(perDoc, Seq("doc_id"))
+      .select("doc_id", "n_chunks", "n_kept", "kept_tokens", "fp")
+  }
+
   /** The same exact rank statistic as [[tokenQuantilesDisc]], computed the
     * way a source too large to sort in one task needs: aggregate a
     * (source, n_tokens) HISTOGRAM first (token counts are small ints, so

@@ -216,6 +216,21 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq(("s", 2L, 4L, 4L)))
   }
 
+  test("chunkDedup keeps first occurrences and rebuilds docs in chunk order") {
+    val docs = docsDf(
+      (0L, "a b c d", "s"),  // chunks (w=2): "a b", "c d"
+      (1L, "a b x y", "s"),  // "a b" dup of doc 0's -> dropped; "x y" kept
+      (2L, "a b", "s"))      // all chunks dup -> doc disappears
+    val out = Corpus.chunkDedup(docs, 2).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0L) === ((2L, 2L, 4L, m("a b c d"))))
+    assert(out(1L) === ((2L, 1L, 2L, m("x y"))))
+    assert(!out.contains(2L))
+  }
+
   test("tokenQuantilesHist equals the row-sorted rank statistic on a random corpus") {
     val rnd = new scala.util.Random(11)
     val docs = docsDf((0L until 300L).map { i =>
