@@ -740,7 +740,17 @@ object SparkEntry {
     // Sub-document dedup: 16-token chunks keep their first occurrence only;
     // docs rebuilt from surviving chunks (md5 fingerprint evidence)
     "q87_chunk_dedup" -> ((s, dir) =>
-      graft.operators.Corpus.chunkDedup(documents(s, dir), 16))
+      graft.operators.Corpus.chunkDedup(documents(s, dir), 16)),
+
+    // Token-budget selection: per source, quality-ranked greedy fill to a
+    // 1000-token budget (integer cumulative sum, source-partitioned window)
+    "q88_token_budget" -> ((s, dir) =>
+      graft.operators.Corpus.tokenBudgetSelect(documents(s, dir), 1000L)),
+
+    // Dataset-card rollup: per-source totals, exact mean length, language
+    // mix, exact-dup rate — distincts as sub-aggregates (no Expand)
+    "q89_corpus_profile" -> ((s, dir) =>
+      graft.operators.Corpus.corpusProfile(documents(s, dir)))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -1816,7 +1826,41 @@ SELECT k.doc_id, pd.n_chunks, count(*) AS n_kept,
   CAST(sum(len(string_split(k.ctext, ' '))) AS BIGINT) AS kept_tokens,
   md5(array_to_string(list(k.ctext ORDER BY k.idx), ' ')) AS fp
 FROM kept k JOIN pd USING (doc_id)
-GROUP BY k.doc_id, pd.n_chunks"""
+GROUP BY k.doc_id, pd.n_chunks""",
+
+    "q88_token_budget" -> """WITH tk AS (
+  SELECT doc_id, source, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+base AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+    / length(text) AS quality
+  FROM tk WHERE n_tokens > 0),
+r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+    ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM base)
+SELECT source, count(*) AS n_kept,
+  CAST(max(cum_tokens) AS BIGINT) AS tokens_kept,
+  min(quality) AS worst_quality
+FROM r WHERE cum_tokens <= 1000 GROUP BY source""",
+
+    "q89_corpus_profile" -> """WITH tk AS (
+  SELECT source, n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+t AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM tk GROUP BY source),
+l AS (SELECT source, count(*) AS n_langs
+  FROM (SELECT DISTINCT source, lang FROM documents) GROUP BY source),
+u AS (SELECT source, count(*) AS n_distinct_texts
+  FROM (SELECT DISTINCT source, md5(text) AS h FROM documents) GROUP BY source)
+SELECT t.source, t.n_docs, t.sum_tokens, t.sum_chars,
+  CAST(t.sum_tokens AS DOUBLE) / t.n_docs AS mean_tokens,
+  l.n_langs,
+  CAST(t.n_docs - u.n_distinct_texts AS DOUBLE) / t.n_docs AS dup_rate
+FROM t JOIN l USING (source) JOIN u USING (source)"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

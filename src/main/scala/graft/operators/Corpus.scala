@@ -350,6 +350,67 @@ object Corpus {
     ranked.groupBy("source").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Token-budget-constrained selection: per source, documents are ranked
+    * by quality (alpha ratio — the q22 signal — descending, doc_id
+    * tiebreak) and kept greedily while the running token total stays
+    * within `budget`. Emits the per-source selection evidence (docs kept,
+    * tokens kept, the worst admitted quality). The quality key is a single
+    * integer division (engine-exact) and the running total is an integer
+    * cumulative sum — nothing order-ambiguous anywhere.
+    *
+    * Scale shape: one row-local quality/token projection, then a window
+    * PARTITIONED BY SOURCE (the natural parallel unit) for rank + running
+    * sum, then a per-source aggregate. A source too large for one task
+    * decomposes exactly like the quantile histogram: bucket by quality,
+    * cumulative bucket totals, refine the boundary bucket.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("quality",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+          / length(col("text")))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    base
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        max("cum_tokens").as("tokens_kept"),
+        min("quality").as("worst_quality"))
+  }
+
+  /** Per-source corpus profile — the "dataset card" rollup every release
+    * pipeline emits: document/token/char totals, exact mean length (one
+    * division over exact integer sums), language mix cardinality, and the
+    * exact-duplicate rate from distinct content hashes. The two distinct
+    * counts run as separate distinct→count sub-aggregates joined back on
+    * the (tiny) source key: mixing them into one agg would plan an Expand
+    * that triples every input row pre-shuffle (this repo's measured trap),
+    * while each sub-aggregate partial-distincts map-side.
+    */
+  def corpusProfile(docs: DataFrame): DataFrame = {
+    val totals = docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum("n_chars").as("sum_chars"))
+    val langs = docs.select("source", "lang").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_langs"))
+    val uniq = docs.select(col("source"), md5(col("text")).as("h")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_distinct_texts"))
+    totals.join(langs, Seq("source")).join(uniq, Seq("source"))
+      .select(col("source"), col("n_docs"), col("sum_tokens"), col("sum_chars"),
+        (col("sum_tokens").cast("double") / col("n_docs")).as("mean_tokens"),
+        col("n_langs"),
+        ((col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs")).as("dup_rate"))
+  }
+
   /** Non-overlapping `width`-token chunks of a token array as (idx, text)
     * structs — one JIT pass (the HOF slice-per-chunk formulation evaluates
     * interpreted, repo-wide pattern).

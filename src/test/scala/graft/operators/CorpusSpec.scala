@@ -231,6 +231,31 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(2L))
   }
 
+  test("tokenBudgetSelect fills greedily by quality and stops at the budget") {
+    val docs = docsDf(
+      (0L, "aaaa bbbb", "s"),     // quality 8/9, 2 tokens
+      (1L, "cc dd 11", "s"),      // quality 4/8, 3 tokens
+      (2L, "ee ff", "s"),         // quality 4/5, 2 tokens
+      (3L, "x1 y2 z3 w4", "s"))   // quality 4/11, 4 tokens
+    // order: d0 (.889), d2 (.8), d1 (.5), d3 (.36); cum 2, 4, 7, 11
+    val out = Corpus.tokenBudgetSelect(docs, 7L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("s", 3L, 7L, 4.0 / 8)))
+  }
+
+  test("corpusProfile: exact totals, language mix, duplicate rate") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (0L, "a b", "en", "s", 3L), (1L, "a b", "en", "s", 3L),
+      (2L, "c d e", "fr", "s", 5L), (3L, "f", "en", "t", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.corpusProfile(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(out("s") === ((3L, 7L, 11L, 7.0 / 3, 2L, 1.0 / 3))) // one dup pair
+    assert(out("t") === ((1L, 1L, 1L, 1.0, 1L, 0.0)))
+  }
+
   test("tokenQuantilesHist equals the row-sorted rank statistic on a random corpus") {
     val rnd = new scala.util.Random(11)
     val docs = docsDf((0L until 300L).map { i =>
