@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
 object BenchScale {
 
   private val Heavy = Seq("q45_pyramid", "q42_mvt_tiles", "q36_tile_replicas",
-    "q17_salted_keys", "q47_dup_clusters", "q29_lsh_neardup")
+    "q17_salted_keys", "q47_dup_clusters", "q29_lsh_neardup",
+    "q85_ingest_dedup", "q87_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt

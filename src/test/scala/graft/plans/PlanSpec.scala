@@ -51,7 +51,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("no single-partition global Window anywhere in the suite's plans") {
     // q37's dictionary encode was the one offender; windows elsewhere must
     // be partitioned (q25/q41 partition by user/view)
-    Seq("q37_dict_encode", "q25_sessionize", "q41_circular_extent").foreach { q =>
+    Seq("q37_dict_encode", "q25_sessionize", "q41_circular_extent",
+      "q86_hist_quantiles", "q87_chunk_dedup", "q88_token_budget").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("Window [") || p.contains("windowspecdefinition"),
         s"$q plan unexpected:\n$p")
