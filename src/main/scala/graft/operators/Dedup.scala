@@ -25,9 +25,11 @@ object Dedup {
     */
   val M: Long = 2147483647L
 
-  private val As = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+  // the (a, b) affine hash family — Sketch reuses its prefix so the repo
+  // has ONE Scala source of truth for these parameters
+  private[operators] val As = Seq(1299721L, 15485863L, 32452843L, 49979687L,
     67867967L, 86028121L, 104395301L, 122949823L)
-  private val Bs = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private[operators] val Bs = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
   val NumHashes: Int = As.size
   val NumBands: Int = 4 // 4 bands x 2 rows
 
@@ -104,6 +106,26 @@ object Dedup {
     * equally degenerate. The overflow list is tiny, so the anti-join
     * broadcasts.
     */
+  /** Drop band buckets larger than `cap` (the hot-bucket skew guard) —
+    * shared by the self-join (q29) and ingest (q85) candidate generators so
+    * the cap semantics can never drift between them.
+    */
+  private def capHotBuckets(bands: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) bands
+    else {
+      val hot = bands.groupBy("band", "bh")
+        .agg(count(lit(1)).as("bsz")).filter(col("bsz") > cap)
+      bands.join(broadcast(hot.select("band", "bh")), Seq("band", "bh"), "left_anti")
+    }
+
+  /** Fraction of agreeing minhashes between signature aliases `a` and `b` —
+    * the one place the /NumHashes denominator lives.
+    */
+  private def estSim(a: String, b: String): Column =
+    As.indices
+      .map(k => when(col(s"$a.mh$k") === col(s"$b.mh$k"), 1).otherwise(0))
+      .reduce(_ + _) / lit(NumHashes.toDouble)
+
   def lshCandidatePairs(docs: DataFrame, minEst: Double,
       maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     // the signature table feeds three plan branches (band explode + both
@@ -114,27 +136,17 @@ object Dedup {
     // (as Workflow.build does for the occurrence snapshot) rather than
     // caching inside this operator.
     val sig = withMinhashSignature(docs).select("doc_id", As.indices.map(k => s"mh$k"): _*)
-    val allBands = bandKeys(docs)
-    val bands =
-      if (maxBucketSize == Int.MaxValue) allBands
-      else {
-        val hot = allBands.groupBy("band", "bh")
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
-        allBands.join(broadcast(hot.select("band", "bh")), Seq("band", "bh"), "left_anti")
-      }
+    val bands = capHotBuckets(bandKeys(docs), maxBucketSize)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val est = As.indices
-      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
-      .reduce(_ + _) / lit(8.0)
     cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), est.as("est_sim"))
+      .select(col("doc_a"), col("doc_b"), estSim("sa", "sb").as("est_sim"))
       .filter(col("est_sim") >= minEst)
   }
 
@@ -153,25 +165,29 @@ object Dedup {
     */
   def ingestDedup(corpus: DataFrame, newDocs: DataFrame, minEst: Double,
       maxBucketSize: Int = DefaultBucketCap): DataFrame = {
-    val idx0 = bandKeys(corpus).withColumnRenamed("doc_id", "old_id")
-    val idx = {
-      val hot = idx0.groupBy("band", "bh")
-        .agg(count(lit(1)).as("bsz")).filter(col("bsz") > maxBucketSize)
-      idx0.join(broadcast(hot.select("band", "bh")), Seq("band", "bh"), "left_anti")
-    }
+    val idx = capHotBuckets(bandKeys(corpus), maxBucketSize)
+      .withColumnRenamed("doc_id", "old_id")
     val nb = bandKeys(newDocs).withColumnRenamed("doc_id", "new_id")
+    // candidates checkpoint LAZILY: they feed BOTH the verify join and the
+    // corpus-signature prune below — without the lineage cut the band join
+    // (and its corpus-wide signature pass) would execute twice per action;
+    // eager materialization measured +1s at bench (an extra action)
     val cand = nb.join(idx, Seq("band", "bh"))
       .select(col("new_id"), col("old_id")).distinct()
+      .localCheckpoint(eager = false)
     val mhs = As.indices.map(k => s"mh$k")
     val sigN = withMinhashSignature(newDocs).select("doc_id", mhs: _*)
-    val sigO = withMinhashSignature(corpus).select("doc_id", mhs: _*)
-    val est = As.indices
-      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1).otherwise(0))
-      .reduce(_ + _) / lit(8.0)
+    // the signature UDF runs only over candidate-matched corpus docs (the
+    // broadcast semi-join prunes first) — verification cost scales with
+    // the candidate set, never the corpus
+    val sigO = withMinhashSignature(
+      corpus.join(broadcast(cand.select(col("old_id")).distinct()),
+        col("doc_id") === col("old_id"), "left_semi"))
+      .select("doc_id", mhs: _*)
     val dups = cand
       .join(sigN.as("sa"), col("new_id") === col("sa.doc_id"))
       .join(sigO.as("sb"), col("old_id") === col("sb.doc_id"))
-      .select(col("new_id"), col("old_id"), est.as("est_sim"))
+      .select(col("new_id"), col("old_id"), estSim("sa", "sb").as("est_sim"))
       .filter(col("est_sim") >= minEst)
       .groupBy("new_id").agg(min("old_id").as("dup_of"))
     newDocs.select(col("doc_id"))

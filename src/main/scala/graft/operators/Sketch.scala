@@ -24,8 +24,10 @@ object Sketch {
     */
   val W = 16
   val D = 4
-  private val As = Seq(1299721L, 15485863L, 32452843L, 49979687L)
-  private val Bs = Seq(7L, 11L, 13L, 17L)
+  // the first D pairs of the repo-wide affine hash family (Dedup.As/Bs) —
+  // the q82/q84 oracle VALUES lists mirror these per repo convention
+  private val As = Dedup.As.take(D)
+  private val Bs = Dedup.Bs.take(D)
 
   /** 31-polynomial string hash mod M, JIT-compiled (the HOF fold evaluates
     * interpreted per char — repo-wide pattern).

@@ -48,18 +48,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // count logical Window nodes with an EMPTY partition spec — the
+  // single-partition scale-killer. String-matching the formatted physical
+  // plan CANNOT detect this (argString omits the empty partition list
+  // entirely), so the guard walks the optimized logical plan instead.
+  private def unpartitionedWindows(q: String): Int =
+    graft.SparkEntry.queries(q)(spark, Dir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.size
+
   test("no single-partition global Window anywhere in the suite's plans") {
+    // positive control: the detector must actually fire on the textbook
+    // global row_number before its zero-count below means anything
+    val ss = spark; import ss.implicits._
+    val global = Seq(1L, 2L).toDF("id").withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("id")))
+    assert(global.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.size === 1, "unpartitioned-Window detector is broken")
     // q37's dictionary encode was the one offender; windows elsewhere must
-    // be partitioned (q25/q41 partition by user/view)
+    // be partitioned (q25/q41/q86/q87/q88 partition by user/view/source/hash)
     Seq("q37_dict_encode", "q25_sessionize", "q41_circular_extent",
       "q86_hist_quantiles", "q87_chunk_dedup", "q88_token_budget").foreach { q =>
-      val p = planOf(q)
-      assert(!p.contains("Window [") || p.contains("windowspecdefinition"),
-        s"$q plan unexpected:\n$p")
-      // the literal WindowExec warning case: a Window node with no
-      // partitioning expression
-      assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
-        s"$q has an unpartitioned Window:\n$p")
+      assert(unpartitionedWindows(q) === 0, s"$q has an unpartitioned Window")
     }
   }
 
@@ -113,10 +128,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("global training order: every Window is bucket-partitioned (the " +
     "whole point vs the textbook global row_number)") {
-    val p = planOf("q81_global_order")
-    assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
-      s"q81 has an unpartitioned Window:\n$p")
-    assert(p.contains("Broadcast"), s"q81 lost its offset broadcast:\n$p")
+    assert(unpartitionedWindows("q81_global_order") === 0,
+      "q81 has an unpartitioned Window")
+    assert(planOf("q81_global_order").contains("Broadcast"),
+      "q81 lost its offset broadcast")
   }
 
   test("BM25 broadcasts df/corpus stats; no sort-merge join on the stats") {
@@ -140,6 +155,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("semantic dedup pairs join is cell-blocked, never a cross product") {
     val p = planOf("q80_semantic_dedup")
     assert(!p.contains("Cartesian"), s"q80 degenerated to a cross product:\n$p")
+    // a lost equi-condition degenerates to BroadcastNestedLoopJoin (a
+    // de-facto |corpus|² compare) without ever printing "Cartesian"
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q80 degenerated to a nested-loop pairwise compare:\n$p")
   }
 
   test("pixel aggregation partial-aggregates directly above the explode " +
