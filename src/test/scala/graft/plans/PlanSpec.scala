@@ -70,10 +70,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
     }.size === 1, "unpartitioned-Window detector is broken")
-    // q37's dictionary encode was the one offender; windows elsewhere must
-    // be partitioned (q25/q41/q86/q87/q88 partition by user/view/source/hash)
-    Seq("q37_dict_encode", "q25_sessionize", "q41_circular_extent",
-      "q86_hist_quantiles", "q87_chunk_dedup", "q88_token_budget").foreach { q =>
+    // EVERY query in the suite: windows must be partitioned (by
+    // user/view/source/bucket/hash — q37's dictionary encode was the one
+    // historical offender). Plan construction alone is cheap at sf0.001,
+    // so the guard covers the whole contract, not a sample.
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       assert(unpartitionedWindows(q) === 0, s"$q has an unpartitioned Window")
     }
   }
