@@ -1771,7 +1771,9 @@ hw AS (SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
 occ AS (SELECT source, count(DISTINCT slot) AS occupied FROM hw GROUP BY source),
 tru AS (SELECT source, count(*) AS true_distinct FROM dw GROUP BY source)
 SELECT tru.source, tru.true_distinct, occ.occupied,
-  round(-64.0 * ln(CAST(64 - occ.occupied AS DOUBLE) / 64.0), 4) AS est
+  CASE WHEN occ.occupied = 64 THEN NULL
+       ELSE round(-64.0 * ln(CAST(64 - occ.occupied AS DOUBLE) / 64.0), 4)
+  END AS est
 FROM tru JOIN occ USING (source)""",
 
     "q85_ingest_dedup" -> (SigSql + s""",

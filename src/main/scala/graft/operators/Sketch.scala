@@ -68,9 +68,13 @@ object Sketch {
       .groupBy("source").agg(count(lit(1)).as("occupied"))
     val tru = words.select("source", "w").distinct()
       .groupBy("source").agg(count(lit(1)).as("true_distinct"))
+    // a saturated sketch (every slot occupied) has no finite estimate —
+    // null, not -Infinity (which engines render differently); real sizing
+    // keeps the load factor well below 1 so this is the overflow signal
     tru.join(occ, Seq("source"))
-      .withColumn("est", round(lit(-m.toDouble) *
-        log((lit(m.toLong) - col("occupied")).cast("double") / lit(m.toDouble)), 4))
+      .withColumn("est", when(col("occupied") === m.toLong, lit(null))
+        .otherwise(round(lit(-m.toDouble) *
+          log((lit(m.toLong) - col("occupied")).cast("double") / lit(m.toDouble)), 4)))
   }
 
   /** The sketch itself: per-(row, slot) counters over `docs`' token

@@ -174,6 +174,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.withMinhashSignature(emptyDocs).count() === 0)
     assert(Dedup.lshCandidatePairs(emptyDocs, 0.5).count() === 0)
     assert(Dedup.duplicateClusters(emptyDocs, 0.5).count() === 0)
+    val docs = OccurrenceView.documents(spark, Dir)
+    assert(Dedup.ingestDedup(docs, emptyDocs, 0.5).count() === 0)
+    assert(Dedup.ingestDedup(emptyDocs, docs.limit(3), 0.5)
+      .filter(col("dup_of").isNotNull).count() === 0) // empty corpus: all novel
+    assert(Corpus.bm25TopK(emptyDocs, Seq("spark"), 5).count() === 0)
+    assert(Corpus.vocabCoverage(emptyDocs, 16).count() === 0)
+    assert(Corpus.globalOrderIndex(emptyDocs).count() === 0)
+    assert(Corpus.chunkDedup(emptyDocs, 16).count() === 0)
+    assert(Corpus.tokenBudgetSelect(emptyDocs, 100L).count() === 0)
+    assert(Corpus.corpusProfile(emptyDocs).count() === 0)
+    assert(Corpus.tokenQuantilesHist(emptyDocs, Seq(0.5)).count() === 0)
+    assert(Sketch.cmsHeavyHitters(emptyDocs, 5).count() === 0)
+    assert(Sketch.linearCount(emptyDocs, 64).count() === 0)
+    val emptyEmb = OccurrenceView.embeddings(spark, Dir).filter(lit(false))
+    assert(Similarity.semanticDedup(emptyEmb, 0.4).count() === 0)
+    assert(Similarity.hardNegatives(emptyEmb).count() === 0)
   }
 
   test("streaming exact dedup emits one doc per content hash across micro-batches") {
