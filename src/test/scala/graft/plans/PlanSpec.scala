@@ -79,6 +79,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // queries whose plan legitimately contains BroadcastNestedLoopJoin: a
+  // crossJoin against a BROADCAST ONE-ROW scalar (top tile / corpus stats)
+  private val ScalarCrossJoins =
+    Set("q46_points_in_tile", "q71_tfidf_terms", "q78_bm25_topk")
+
+  test("no CartesianProduct anywhere; nested-loop joins only for broadcast " +
+    "one-row scalars") {
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      if (!ScalarCrossJoins(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans an unexpected nested-loop join")
+    }
+  }
+
   test("salted-key path is UDF-free (native codegen hash)") {
     val p = planOf("q17_salted_keys")
     assert(!p.contains("ScalaUDF"), s"q17 reintroduced a UDF:\n$p")
