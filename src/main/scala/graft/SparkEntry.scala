@@ -818,9 +818,10 @@ hs AS (SELECT doc_id, source,
      [CAST(unicode(c) AS BIGINT) for c in string_split(sh, '')]),
      (a, b) -> (a*31 + b) % 2147483647) for sh in shingles] AS hs FROM sh)"""
 
-  private val MinhashAs = Seq(1299721L, 15485863L, 32452843L, 49979687L,
-    67867967L, 86028121L, 104395301L, 122949823L)
-  private val MinhashBs = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  // the one Scala source of truth for the affine hash family lives in
+  // Dedup; the oracle SQL below is generated from it
+  private val MinhashAs = Dedup.As
+  private val MinhashBs = Dedup.Bs
 
   /** sig CTE: minhash columns mh0..mh7 — mirrors Dedup.withMinhashSignature. */
   private val SigSql = HsSql + ",\nsig AS (SELECT doc_id, " +

@@ -25,11 +25,12 @@ object Dedup {
     */
   val M: Long = 2147483647L
 
-  // the (a, b) affine hash family — Sketch reuses its prefix so the repo
-  // has ONE Scala source of truth for these parameters
-  private[operators] val As = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+  // the (a, b) affine hash family — Sketch reuses its prefix and
+  // SparkEntry's oracle SQL generator reads it too, so the repo has ONE
+  // Scala source of truth for these parameters
+  private[graft] val As = Seq(1299721L, 15485863L, 32452843L, 49979687L,
     67867967L, 86028121L, 104395301L, 122949823L)
-  private[operators] val Bs = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private[graft] val Bs = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
   val NumHashes: Int = As.size
   val NumBands: Int = 4 // 4 bands x 2 rows
 
@@ -96,16 +97,6 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** LSH banding: candidate pairs sharing any (band, bandHash) bucket, with
-    * the estimated similarity (fraction of agreeing minhashes) ≥ minEst.
-    * The self-join key is the band hash — bucket-local pairs only.
-    *
-    * `maxBucketSize` (default [[DefaultBucketCap]]) is the skew guard for
-    * real corpora — see the cap doc above. Members of a dropped bucket
-    * still meet through their other NumBands-1 bands unless those are
-    * equally degenerate. The overflow list is tiny, so the anti-join
-    * broadcasts.
-    */
   /** Drop band buckets larger than `cap` (the hot-bucket skew guard) —
     * shared by the self-join (q29) and ingest (q85) candidate generators so
     * the cap semantics can never drift between them.
@@ -126,6 +117,16 @@ object Dedup {
       .map(k => when(col(s"$a.mh$k") === col(s"$b.mh$k"), 1).otherwise(0))
       .reduce(_ + _) / lit(NumHashes.toDouble)
 
+  /** LSH banding: candidate pairs sharing any (band, bandHash) bucket, with
+    * the estimated similarity (fraction of agreeing minhashes) ≥ minEst.
+    * The self-join key is the band hash — bucket-local pairs only.
+    *
+    * `maxBucketSize` (default [[DefaultBucketCap]]) is the skew guard for
+    * real corpora — see the cap doc above. Members of a dropped bucket
+    * still meet through their other NumBands-1 bands unless those are
+    * equally degenerate. The overflow list is tiny, so the anti-join
+    * broadcasts.
+    */
   def lshCandidatePairs(docs: DataFrame, minEst: Double,
       maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     // the signature table feeds three plan branches (band explode + both
@@ -157,31 +158,33 @@ object Dedup {
     * verifies candidates by minhash agreement. Emits every new doc with the
     * smallest corpus doc it duplicates (`dup_of`, null = novel).
     *
-    * Scale shape: the production ingest path — the 100 TB corpus is touched
-    * only through its (band, bh, doc_id) index and the signatures of
-    * candidate-matched docs; the new batch (orders of magnitude smaller)
-    * drives every join. The hot-bucket cap guards the index side exactly as
-    * in [[lshCandidatePairs]].
+    * Scale shape: the production ingest path — verification signatures are
+    * computed only for candidate-matched corpus docs (the semi-join prunes
+    * first), so verify cost scales with the candidate set; the new batch
+    * (orders of magnitude smaller) drives every join. The hot-bucket cap
+    * guards the index side exactly as in [[lshCandidatePairs]]. Because
+    * this self-contained form RECOMPUTES the band index from `corpus`, the
+    * candidate subtree appears in two plan branches and executes twice per
+    * action — deliberately NOT checkpointed here (a lineage cut hides the
+    * join from plan inspection and, under AQE, runs its stages at mere
+    * DataFrame construction); in production the band index and signature
+    * table are precomputed stored tables (EventStream.lshBandIndex is the
+    * index's streaming maintainer) and the double-compute vanishes.
     */
   def ingestDedup(corpus: DataFrame, newDocs: DataFrame, minEst: Double,
       maxBucketSize: Int = DefaultBucketCap): DataFrame = {
     val idx = capHotBuckets(bandKeys(corpus), maxBucketSize)
       .withColumnRenamed("doc_id", "old_id")
     val nb = bandKeys(newDocs).withColumnRenamed("doc_id", "new_id")
-    // candidates checkpoint LAZILY: they feed BOTH the verify join and the
-    // corpus-signature prune below — without the lineage cut the band join
-    // (and its corpus-wide signature pass) would execute twice per action;
-    // eager materialization measured +1s at bench (an extra action)
     val cand = nb.join(idx, Seq("band", "bh"))
       .select(col("new_id"), col("old_id")).distinct()
-      .localCheckpoint(eager = false)
     val mhs = As.indices.map(k => s"mh$k")
     val sigN = withMinhashSignature(newDocs).select("doc_id", mhs: _*)
-    // the signature UDF runs only over candidate-matched corpus docs (the
-    // broadcast semi-join prunes first) — verification cost scales with
-    // the candidate set, never the corpus
+    // no broadcast hint: the matched-id set is bounded only by batch size ×
+    // bucket occupancy — AQE broadcasts it when it is actually small, and a
+    // shuffled semi-join survives the batches a forced broadcast would OOM
     val sigO = withMinhashSignature(
-      corpus.join(broadcast(cand.select(col("old_id")).distinct()),
+      corpus.join(cand.select(col("old_id")).distinct(),
         col("doc_id") === col("old_id"), "left_semi"))
       .select("doc_id", mhs: _*)
     val dups = cand

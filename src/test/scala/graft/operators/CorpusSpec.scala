@@ -207,6 +207,15 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq(("s", 4L, occ.toLong, est)))
   }
 
+  test("linearCount: a saturated sketch estimates null, not -Infinity") {
+    // 4 distinct tokens into m=2 slots must occupy both -> the ln(0) branch
+    val docs = docsDf((0L, "a b c d", "s"))
+    val out = Sketch.linearCount(docs, 2).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(2) === 2L, "expected both slots occupied")
+    assert(out(0).isNullAt(3), "saturated estimate must be null")
+  }
+
   test("tokenQuantilesDisc picks the value at rank ceil(p*n)") {
     val docs = docsDf(
       (0L, "a", "s"), (1L, "a b", "s"), (2L, "a b c", "s"), (3L, "a b c d", "s"))

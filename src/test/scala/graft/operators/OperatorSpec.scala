@@ -176,8 +176,10 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.duplicateClusters(emptyDocs, 0.5).count() === 0)
     val docs = OccurrenceView.documents(spark, Dir)
     assert(Dedup.ingestDedup(docs, emptyDocs, 0.5).count() === 0)
-    assert(Dedup.ingestDedup(emptyDocs, docs.limit(3), 0.5)
-      .filter(col("dup_of").isNotNull).count() === 0) // empty corpus: all novel
+    // empty corpus: ALL THREE new docs still emitted, every one novel
+    val novel = Dedup.ingestDedup(emptyDocs, docs.limit(3), 0.5)
+    assert(novel.count() === 3)
+    assert(novel.filter(col("dup_of").isNotNull).count() === 0)
     assert(Corpus.bm25TopK(emptyDocs, Seq("spark"), 5).count() === 0)
     assert(Corpus.vocabCoverage(emptyDocs, 16).count() === 0)
     assert(Corpus.globalOrderIndex(emptyDocs).count() === 0)

@@ -52,42 +52,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // single-partition scale-killer. String-matching the formatted physical
   // plan CANNOT detect this (argString omits the empty partition list
   // entirely), so the guard walks the optimized logical plan instead.
-  private def unpartitionedWindows(q: String): Int =
-    graft.SparkEntry.queries(q)(spark, Dir)
-      .queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
-      }.size
-
-  test("no single-partition global Window anywhere in the suite's plans") {
-    // positive control: the detector must actually fire on the textbook
-    // global row_number before its zero-count below means anything
-    val ss = spark; import ss.implicits._
-    val global = Seq(1L, 2L).toDF("id").withColumn("rn",
-      org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("id")))
-    assert(global.queryExecution.optimizedPlan.collect {
+  private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
-    }.size === 1, "unpartitioned-Window detector is broken")
-    // EVERY query in the suite: windows must be partitioned (by
-    // user/view/source/bucket/hash — q37's dictionary encode was the one
-    // historical offender). Plan construction alone is cheap at sf0.001,
-    // so the guard covers the whole contract, not a sample.
-    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
-      assert(unpartitionedWindows(q) === 0, s"$q has an unpartitioned Window")
-    }
-  }
+    }.size
+
+  private def unpartitionedWindows(q: String): Int =
+    unpartitionedWindows(graft.SparkEntry.queries(q)(spark, Dir))
 
   // queries whose plan legitimately contains BroadcastNestedLoopJoin: a
   // crossJoin against a BROADCAST ONE-ROW scalar (top tile / corpus stats)
   private val ScalarCrossJoins =
     Set("q46_points_in_tile", "q71_tfidf_terms", "q78_bm25_topk")
 
-  test("no CartesianProduct anywhere; nested-loop joins only for broadcast " +
-    "one-row scalars") {
+  test("suite-wide plan shapes: no single-partition global Window, no " +
+    "CartesianProduct, nested-loop joins only for broadcast one-row scalars") {
+    // positive control: the window detector must actually fire on the
+    // textbook global row_number before its zero-counts below mean anything
+    val ss = spark; import ss.implicits._
+    val global = Seq(1L, 2L).toDF("id").withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("id")))
+    assert(unpartitionedWindows(global) === 1,
+      "unpartitioned-Window detector is broken")
+    // EVERY query in the driver contract, both checks per single build —
+    // windows must be partitioned (by user/view/source/bucket/hash; q37's
+    // dictionary encode was the one historical offender) and no join may
+    // degenerate to a cartesian/nested-loop pairwise compare
     graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
-      val p = planOf(q)
+      val df = graft.SparkEntry.queries(q)(spark, Dir)
+      assert(unpartitionedWindows(df) === 0, s"$q has an unpartitioned Window")
+      val p = df.queryExecution.explainString(FormattedMode)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       if (!ScalarCrossJoins(q))
         assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -143,10 +139,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("global training order: every Window is bucket-partitioned (the " +
-    "whole point vs the textbook global row_number)") {
-    assert(unpartitionedWindows("q81_global_order") === 0,
-      "q81 has an unpartitioned Window")
+  test("global training order keeps its offset broadcast (partitioned-window " +
+    "half is covered by the suite-wide shape test)") {
     assert(planOf("q81_global_order").contains("Broadcast"),
       "q81 lost its offset broadcast")
   }
@@ -167,15 +161,6 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lastAgg >= 0, s"no aggregate above the probe explode:\n$p")
     assert(!before.substring(lastAgg).contains("Exchange"),
       s"shuffle between probe explode and partial aggregate:\n$p")
-  }
-
-  test("semantic dedup pairs join is cell-blocked, never a cross product") {
-    val p = planOf("q80_semantic_dedup")
-    assert(!p.contains("Cartesian"), s"q80 degenerated to a cross product:\n$p")
-    // a lost equi-condition degenerates to BroadcastNestedLoopJoin (a
-    // de-facto |corpus|² compare) without ever printing "Cartesian"
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"q80 degenerated to a nested-loop pairwise compare:\n$p")
   }
 
   test("pixel aggregation partial-aggregates directly above the explode " +
