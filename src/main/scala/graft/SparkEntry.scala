@@ -750,7 +750,12 @@ object SparkEntry {
     // Dataset-card rollup: per-source totals, exact mean length, language
     // mix, exact-dup rate — distincts as sub-aggregates (no Expand)
     "q89_corpus_profile" -> ((s, dir) =>
-      graft.operators.Corpus.corpusProfile(documents(s, dir)))
+      graft.operators.Corpus.corpusProfile(documents(s, dir))),
+
+    // HyperLogLog distinct-token estimate per source (16 registers; the
+    // power-of-two register sum is IEEE-exact, hence order-independent)
+    "q90_hll_count" -> ((s, dir) =>
+      graft.operators.Sketch.hllCount(documents(s, dir)))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -1863,7 +1868,28 @@ SELECT t.source, t.n_docs, t.sum_tokens, t.sum_chars,
   CAST(t.sum_tokens AS DOUBLE) / t.n_docs AS mean_tokens,
   l.n_langs,
   CAST(t.n_docs - u.n_distinct_texts AS DOUBLE) / t.n_docs AS dup_rate
-FROM t JOIN l USING (source) JOIN u USING (source)"""
+FROM t JOIN l USING (source) JOIN u USING (source)""",
+
+    "q90_hll_count" -> """WITH tk AS (
+  SELECT source,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+words AS (SELECT source, unnest(toks) AS w FROM tk WHERE len(toks) > 0),
+hw AS (SELECT source, w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(w, '')]),
+    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM words),
+rr AS (SELECT source, h % 16 AS reg,
+  CASE WHEN h // 16 = 0 THEN 28
+       ELSE 27 - CAST(floor(log2(h // 16)) AS INT) END AS rho FROM hw),
+regs AS (SELECT source, reg, max(rho) AS m_reg FROM rr GROUP BY source, reg),
+agg AS (SELECT source, count(*) AS n_regs,
+  sum(power(2.0, -m_reg)) AS s_hit FROM regs GROUP BY source),
+tru AS (SELECT source, count(*) AS true_distinct
+  FROM (SELECT DISTINCT source, w FROM words) GROUP BY source)
+SELECT tru.source, tru.true_distinct,
+  round(0.673 * 16 * 16 / (agg.s_hit + CAST(16 - agg.n_regs AS DOUBLE)), 4) AS est
+FROM tru JOIN agg USING (source)"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -77,6 +77,57 @@ object Sketch {
           log((lit(m.toLong) - col("occupied")).cast("double") / lit(m.toDouble)), 4)))
   }
 
+  /** HyperLogLog registers per source. Register = low bits of the token
+    * hash; rank ρ = position of the first set bit in the remaining 27-bit
+    * suffix (1-based; an all-zero suffix saturates at 28). Exposed so the
+    * estimator AND tests share one register definition.
+    */
+  val HllM = 16
+  private val hllRhoUdf = udf { (h: java.lang.Long) =>
+    if (h == null) null
+    else {
+      val suffix = h.longValue() >>> 4 // 27 significant bits remain
+      java.lang.Integer.valueOf(
+        if (suffix == 0L) 28
+        else 27 - (63 - java.lang.Long.numberOfLeadingZeros(suffix)))
+    }
+  }
+
+  /** HyperLogLog distinct estimate per source — the third of the classic
+    * sketch trio (CMS frequencies, linear counting at low load, HLL at
+    * any range). α₁₆·m²/Σ2^−M_j over the m=16 per-register maxima.
+    *
+    * Cross-engine determinism: every 2^−M_j is an exact power of two and
+    * the register maxima are small ints, so the Σ is EXACT in IEEE double
+    * (no rounding ⇒ no order dependence — the one float sum in the repo
+    * that needs no round()); the final α·m²/Σ is a fixed op sequence.
+    *
+    * Scale shape: identical to linearCount — the register table dedups
+    * (source, register, rho) partial-aggregated map-side to ≤ m·28 rows
+    * per source per partition, then one bounded per-source fold. The true
+    * distinct count rides along as ground truth only.
+    */
+  def hllCount(docs: DataFrame): DataFrame = {
+    val words = docs.withColumn("toks", Corpus.tokens(col("text")))
+      .select(col("source"), explode(col("toks")).as("w"))
+      .withColumn("h", tokenHashUdf(col("w")))
+    val regs = words
+      .select(col("source"), (col("h") % HllM).as("reg"), hllRhoUdf(col("h")).as("rho"))
+      .groupBy("source", "reg").agg(max("rho").as("m_reg"))
+    val tru = words.select("source", "w").distinct()
+      .groupBy("source").agg(count(lit(1)).as("true_distinct"))
+    // registers a source never hits contribute 2^0 = 1 each: add
+    // (HllM - n_regs) driver-constant-free via the bounded aggregate
+    val est = regs.groupBy("source")
+      .agg(count(lit(1)).as("n_regs"),
+        sum(pow(lit(2.0), -col("m_reg"))).as("s_hit"))
+      .select(col("source"),
+        round(lit(0.673 * HllM * HllM) /
+          (col("s_hit") + (lit(HllM.toLong) - col("n_regs")).cast("double")), 4)
+          .as("est"))
+    tru.join(est, Seq("source"))
+  }
+
   /** The sketch itself: per-(row, slot) counters over `docs`' token
     * occurrences — ≤ d·w distinct keys, so the map-side combine bounds the
     * shuffle at d·w rows per partition no matter the input size. The same

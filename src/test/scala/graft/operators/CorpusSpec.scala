@@ -207,6 +207,24 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq(("s", 4L, occ.toLong, est)))
   }
 
+  test("hllCount matches a bit-exact reference implementation") {
+    val docs = docsDf((0L, "a b c d e f g h a b", "s"))
+    val out = Sketch.hllCount(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def h(w: String) = w.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 2147483647L)
+    val regs = scala.collection.mutable.Map.empty[Long, Int]
+    "abcdefgh".map(_.toString).foreach { w =>
+      val hv = h(w); val suffix = hv >>> 4
+      val rho = if (suffix == 0L) 28
+        else 27 - (63 - java.lang.Long.numberOfLeadingZeros(suffix))
+      regs(hv % 16) = math.max(regs.getOrElse(hv % 16, 0), rho)
+    }
+    val sum = regs.values.map(m => math.pow(2.0, -m)).sum + (16 - regs.size).toDouble
+    val est = BigDecimal(0.673 * 16 * 16 / sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(("s", 8L, est)))
+  }
+
   test("linearCount: a saturated sketch estimates null, not -Infinity") {
     // 4 distinct tokens into m=2 slots must occupy both -> the ln(0) branch
     val docs = docsDf((0L, "a b c d", "s"))
