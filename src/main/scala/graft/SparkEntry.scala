@@ -256,9 +256,7 @@ object SparkEntry {
 
     // Text: document fingerprint (31-polynomial rolling hash mod 2^32)
     "q23_doc_fingerprint" -> ((s, dir) => {
-      val fp = udf { (t: String) =>
-        t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 4294967296L)
-      }
+      val fp = udf { (t: String) => Dedup.cpFold(t, 4294967296L) }
       documents(s, dir).select(col("doc_id"), fp(col("text")).as("fp"))
     }),
 

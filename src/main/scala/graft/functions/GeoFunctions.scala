@@ -18,7 +18,7 @@ object GeoFunctions {
     * `borId` must already be a dictionary-encoded int column.
     */
   def encodeBorYear(year: Column, borId: Column): Column =
-    coalesce(year, lit(0)) * 100 + borId
+    coalesce(year, lit(0)).cast("long") * 100 + borId
 
   def borYearYear(encoded: Column): Column = greatest(encoded / 100, lit(0)).cast("int")
   def borYearBor(encoded: Column): Column = pmod(encoded, lit(100)).cast("int")
@@ -117,11 +117,6 @@ object GeoFunctions {
     * since pixels are in-range).
     */
   def tileAddr(px: Column, tileSize: Int): Column = (px / tileSize).cast("long")
-
-  /** Pixel local to its containing tile (no buffer wrap — wrap handling lives
-    * in the replica generator).
-    */
-  def tileLocal(px: Column, tileSize: Int): Column = pmod(px, lit(tileSize)).cast("long")
 
   /** `hash & 0x0fffffff % modulus` salt from Java String.hashCode parity
     * (ModulusSalt.java:61-65). Spark's `hash()` is Murmur3, so this needs

@@ -174,6 +174,16 @@ object Mvt {
     }
     def sub(): Reader = { val len = varint().toInt; val r = new Reader(b, pos, pos + len); pos += len; r }
     def hasMore: Boolean = pos < end
+    /** Skip one unknown field by its WIRE TYPE — assuming length-delimited
+      * misreads a varint value as a byte length (e.g. a spec-valid
+      * Feature.id, field 1 wire 0, from a foreign encoder).
+      */
+    def skip(tag: Long): Unit = (tag & 7) match {
+      case 0 => varint(); ()
+      case 1 => pos += 8
+      case 5 => pos += 4
+      case _ => sub(); ()
+    }
   }
 
   def decodeTile(bytes: Array[Byte]): Seq[DecodedFeature] = {
@@ -214,7 +224,7 @@ object Mvt {
                     gr.varint() // MoveTo
                     val zx = gr.varint(); val zy = gr.varint()
                     x = ((zx >>> 1) ^ -(zx & 1)).toInt; y = ((zy >>> 1) ^ -(zy & 1)).toInt
-                  case _ => fr.sub()
+                  case _ => fr.skip(ft)
                 }
               }
               feats += ((tags, ntags, x, y))
@@ -222,9 +232,9 @@ object Mvt {
               keys += new String(bytes, r.pos, r.end - r.pos, "UTF-8")
             case 4 => val vr = layer.sub()
               var v = 0L
-              while (vr.hasMore) { val vt = vr.varint(); if ((vt >> 3).toInt == 4) v = vr.varint() else vr.sub() }
+              while (vr.hasMore) { val vt = vr.varint(); if ((vt >> 3).toInt == 4) v = vr.varint() else vr.skip(vt) }
               values += v
-            case _ => if ((lt & 7) == 2) layer.sub() else layer.varint()
+            case _ => layer.skip(lt)
           }
         }
         // per-layer key table parsed once: year int, or -1 for "total"

@@ -39,16 +39,21 @@ object AsOfJoin {
     val w = Window.partitionBy("user_id")
       .orderBy(col("tmicro").asc, col("tag").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def carry(c: org.apache.spark.sql.Column) =
-      last(when(col("tag") === 0, c), ignoreNulls = true).over(w)
-    // one select, not three withColumns: stacked withColumns leave three
-    // Window operators (three in-partition passes); a single projection
-    // collapses them into one Window over one sort
+    // carry the matched right row as ONE struct: per-column carries with
+    // last(ignoreNulls) would tear the row when a carried FIELD is null
+    // (err_value read from an older event than err_event_id); the struct is
+    // null exactly on left rows, so ignoreNulls skips those while null
+    // fields INSIDE the matched row survive intact. Still a single Window
+    // expression — one in-partition pass over one sort.
+    val rightRow = last(
+      when(col("tag") === 0, struct(col("event_id"), col("tmicro"), col("value"))),
+      ignoreNulls = true).over(w)
     tagged
-      .select(col("*"), carry(col("event_id")).as("err_event_id"),
-        carry(col("tmicro")).as("err_tmicro"), carry(col("value")).as("err_value"))
-      .filter(col("tag") === 1 && col("err_event_id").isNotNull)
-      .select(col("event_id"), col("user_id"), col("err_event_id"),
-        (col("tmicro") - col("err_tmicro")).as("lag_micros"), col("err_value"))
+      .select(col("*"), rightRow.as("m"))
+      .filter(col("tag") === 1 && col("m").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("m.event_id").as("err_event_id"),
+        (col("tmicro") - col("m.tmicro")).as("lag_micros"),
+        col("m.value").as("err_value"))
   }
 }

@@ -34,25 +34,39 @@ object Dedup {
   val NumHashes: Int = As.size
   val NumBands: Int = 4 // 4 bands x 2 rows
 
-  /** All 5-char shingles of `text` (step 1, not distinct — MIN is
-    * insensitive to duplicates).
+  /** 31-polynomial fold over a string's UNICODE CODE POINTS mod `m`. All
+    * repo text hashing iterates code points, NOT UTF-16 code units: the
+    * DuckDB oracle mirrors fold per character of a UTF-8 string (one code
+    * point each), so a charAt fold would diverge on any supplementary
+    * character (emoji etc.) by hashing its two surrogates. Identical for
+    * BMP text. (Exception: the salted-key path — Java String.hashCode
+    * parity is code-unit by DEFINITION; map keys are ASCII identifiers.)
     */
-  def shingles: Column =
-    expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+  private[graft] def cpFold(s: String, m: Long): Long = {
+    var a = 0L; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      a = (a * 31 + cp) % m
+      i += Character.charCount(cp)
+    }
+    a
+  }
 
   /** Full MinHash signature in one JIT-compiled pass over the text (the
     * HOF-expression formulation evaluates interpreted per element — ~10×
     * slower; the arithmetic here is identical and engine-portable).
+    * Shingles are 5-CODE-POINT windows — see [[cpFold]] for why.
     */
   private val minhashSigUdf = udf { (t: String) =>
-    val n = if (t == null) 0 else t.length - 4
+    val cps = if (t == null) Array.empty[Int] else t.codePoints().toArray
+    val n = cps.length - 4
     if (n <= 0) null
     else {
       val hs = new Array[Long](n)
       var i = 0
       while (i < n) {
         var a = 0L; var j = i; val e = i + 5
-        while (j < e) { a = (a * 31 + t.charAt(j)) % M; j += 1 }
+        while (j < e) { a = (a * 31 + cps(j)) % M; j += 1 }
         hs(i) = a; i += 1
       }
       As.zip(Bs).map { case (a, b) =>
@@ -258,12 +272,17 @@ object Dedup {
     labels
   }
 
-  /** 32-bit SimHash over shingle hashes (integer-only, engine-portable). */
+  /** 32-bit SimHash over shingle hashes (integer-only, engine-portable;
+    * 5-code-point shingles per [[cpFold]]'s convention).
+    */
   val simhash32 = udf { (t: String) =>
     if (t == null) null
     else {
-      val hs = (1 to t.length - 4).map { i =>
-        t.substring(i - 1, i + 4).foldLeft(0L)((a, c) => (a * 31 + c.toInt) % M)
+      val cps = t.codePoints().toArray
+      val hs = (1 to cps.length - 4).map { i =>
+        var a = 0L; var j = i - 1
+        while (j < i + 4) { a = (a * 31 + cps(j)) % M; j += 1 }
+        a
       }
       java.lang.Long.valueOf((0 until 32).foldLeft(0L) { (acc, j) =>
         val w = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
@@ -284,7 +303,7 @@ object Dedup {
       var i = 0
       while (i < toks.length - 2) {
         val s = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-        seen += s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % M)
+        seen += cpFold(s, M)
         i += 1
       }
       seen.toArray

@@ -76,12 +76,9 @@ object MapBuild {
       .groupBy("map_key", "lat10", "lng10", "bor_year")
       .agg(count(lit(1)).as("occ_count"))
 
-  // while-loop (foldLeft boxes a char per step); arithmetic unchanged
-  private val hash32 = udf { (s: String) =>
-    var a = 0L; var i = 0
-    while (i < s.length) { a = (a * 31 + s.charAt(i)) % 4294967296L; i += 1 }
-    a
-  }
+  // JIT while-loop fold over CODE POINTS (Dedup.cpFold — the repo's text
+  // hash convention; matches the oracle's per-character UTF-8 fold)
+  private val hash32 = udf { (s: String) => Dedup.cpFold(s, 4294967296L) }
 
   /** A3: per-view feature rollup with an order-insensitive content
     * fingerprint (sum of per-feature 32-bit hashes). The reference collects

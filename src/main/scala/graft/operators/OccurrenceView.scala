@@ -89,7 +89,7 @@ object OccurrenceView {
       .withColumn("lat", col("lat10") / 10.0)
       .withColumn("lng", col("lng10") / 10.0)
       .withColumn("bor_year",
-        (coalesce(col("year"), lit(0)).cast("long") * 100 + col("bor_id")).as("bor_year"))
+        graft.functions.GeoFunctions.encodeBorYear(col("year"), col("bor_id")))
       .withColumn("map_keys", mapKeysArray)
   }
 

@@ -29,16 +29,12 @@ object Sketch {
   private val As = Dedup.As.take(D)
   private val Bs = Dedup.Bs.take(D)
 
-  /** 31-polynomial string hash mod M, JIT-compiled (the HOF fold evaluates
-    * interpreted per char — repo-wide pattern).
+  /** 31-polynomial string hash mod M over code points (Dedup.cpFold —
+    * matches the oracle's per-character UTF-8 fold for all Unicode).
     */
   private val tokenHashUdf = udf { (w: String) =>
     if (w == null) null
-    else {
-      var a = 0L; var i = 0
-      while (i < w.length) { a = (a * 31 + w.charAt(i)) % Dedup.M; i += 1 }
-      java.lang.Long.valueOf(a)
-    }
+    else java.lang.Long.valueOf(Dedup.cpFold(w, Dedup.M))
   }
 
   /** The d (row, slot) probe cells of a hashed token: slot_j = ((a_j·h + b_j)

@@ -63,7 +63,8 @@ object TileServe {
       .getOrElse(throw new IllegalStateException(s"no manifest in $workDir"))
     val key = s"$epsg:$mapKey:$z:$x:$y"
     val blobs = graft.sources.KeyedSink
-      .lookup(spark, s"${m.tiles}/srs=${epsg.replace(':', '_')}", 100, key)
+      .lookup(spark, s"${m.tiles}/srs=${epsg.replace(':', '_')}",
+        graft.sources.Workflow.TileSaltModulus, key)
       .select("mvt").collect()
     blobs.toSeq.flatMap { r =>
       graft.functions.Mvt.decodeTile(r.getAs[Array[Byte]](0))
@@ -90,7 +91,8 @@ object TileServe {
       mapKey: String, years: YearRange, borIds: Seq[Int]): Seq[(Long, Long, Long, Long)] = {
     val m = graft.sources.Workflow.readManifest(workDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $workDir"))
-    graft.sources.KeyedSink.lookup(spark, s"${m.points}_blobs", 10, mapKey)
+    graft.sources.KeyedSink.lookup(spark, s"${m.points}_blobs",
+      graft.sources.Workflow.PointSaltModulus, mapKey)
       .select("blob").collect().toSeq
       .flatMap(r => graft.functions.PointBlob.decode(r.getAs[Array[Byte]](0)))
       .filter { p =>

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Workflow {
 
+  /** Salt moduli = the store's pre-split region counts (MapBuilder.java:
+    * 92,104) — ONE definition shared by the build-side writeSalted calls
+    * and the serving-side lookups; a write/serve mismatch makes every GET
+    * silently miss.
+    */
+  val PointSaltModulus = 10
+  val TileSaltModulus = 100
+
   final case class Manifest(version: Long, points: String, tiles: String)
 
   private def manifestPath(workDir: String) = Paths.get(workDir, "manifest.json")
@@ -26,10 +34,16 @@ object Workflow {
     if (!Files.exists(p)) None
     else {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      def field(k: String) = s.split("\"" + k + "\"\\s*:\\s*")(1).split("[,}]")(0).trim
-      Some(Manifest(field("version").toLong,
-        field("points").stripPrefix("\"").stripSuffix("\""),
-        field("tiles").stripPrefix("\"").stripSuffix("\"")))
+      // quote-aware extraction: paths may contain ',' or '}' — a naive
+      // split-on-delimiter truncates them
+      def str(k: String) =
+        ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+          .findFirstMatchIn(s).map(_.group(1))
+          .getOrElse(sys.error(s"manifest missing string field $k"))
+      def num(k: String) =
+        ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s).map(_.group(1))
+          .getOrElse(sys.error(s"manifest missing numeric field $k"))
+      Some(Manifest(num("version").toLong, str("points"), str("tiles")))
     }
   }
 
@@ -56,7 +70,8 @@ object Workflow {
     val exploded = MapBuild.explodeMapKeys(occSnapshot)
     // points store: per-view feature rows keyed by map_key (salt 10,
     // MapBuilder.java:92)
-    KeyedSink.writeSalted(MapBuild.pointAgg(exploded), col("map_key"), 10, pointsPath)
+    KeyedSink.writeSalted(MapBuild.pointAgg(exploded), col("map_key"),
+      PointSaltModulus, pointsPath)
     // binary point-blob store for SMALL views — one deterministic
     // PointFeatures blob per view, the reference's large/small bifurcation
     // (MapBuilder.java:92-104): big views are served from the tile pyramid,
@@ -65,7 +80,7 @@ object Workflow {
       MapBuild.largeViews(occSnapshot, OccurrenceView.Threshold), keep = false)
     KeyedSink.writeSalted(
       PointEncode.pointBlobs(spark, MapBuild.pointAgg(small)),
-      col("map_key"), 10, s"${pointsPath}_blobs")
+      col("map_key"), PointSaltModulus, s"${pointsPath}_blobs")
     // tiles store: MVT blobs for every zoom 0..6, keyed srs:mapKey:z:x:y
     // (salt 100, MapBuilder.java:104) — one sub-store per (projection, zoom)
     // like the reference's per-zoom HFile directories under four column
@@ -80,7 +95,7 @@ object Workflow {
         KeyedSink.writeSalted(
           TileEncode.mvtTiles(spark, level, z),
           concat_ws(":", lit(epsg), col("map_key"), col("z"), col("tx"), col("ty")),
-          100, s"$tilesPath/srs=${epsg.replace(':', '_')}/zoom=$z")
+          TileSaltModulus, s"$tilesPath/srs=${epsg.replace(':', '_')}/zoom=$z")
         if (z > 0) {
           val next = MapBuild.rollupToZoom(level, z, z - 1)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

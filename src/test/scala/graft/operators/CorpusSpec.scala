@@ -85,17 +85,22 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("small") === 2L) // min(2, ceil(sqrt(2)*1)=2)
   }
 
-  test("eventAsOf matches a brute-force as-of on random events") {
+  test("eventAsOf matches a brute-force as-of on random events (incl. null values)") {
     val ss = spark; import ss.implicits._
     val rnd = new scala.util.Random(7)
+    // ~25% null values: a matched row with a null field must NOT tear —
+    // err_value has to come from the SAME row as err_event_id
     val rows = (0 until 400).map { i =>
       (i.toLong, rnd.nextInt(5).toLong,
         if (rnd.nextBoolean()) "click" else "error",
-        rnd.nextInt(100).toDouble, rnd.nextInt(1000).toLong)
+        if (rnd.nextInt(4) == 0) null
+        else java.lang.Double.valueOf(rnd.nextInt(100).toDouble),
+        rnd.nextInt(1000).toLong)
     }
     val ev = rows.toDF("event_id", "user_id", "event_type", "value", "tmicro")
     val got = AsOfJoin.eventAsOf(ev, "click", "error").collect()
-      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
       .toMap
     // brute force: for each click, the max-(tmicro, event_id) error with
     // tmicro <= click.tmicro for the same user
@@ -105,7 +110,7 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (cands.isEmpty) None
       else {
         val e = cands.maxBy(x => (x._5, x._1))
-        Some(c._1 -> ((e._1, c._5 - e._5, e._4)))
+        Some(c._1 -> ((e._1, c._5 - e._5, Option(e._4).map(_.doubleValue))))
       }
     }.toMap
     assert(got === expected)
@@ -194,6 +199,18 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(x => (x._1, x._2)).toSeq ===
       Seq(("x", 6L), ("y", 4L), ("z", 2L), ("t", 1L))) // count desc, token asc
     out.foreach { case (w, t, e) => assert(e >= t, s"CMS under-counted $w") }
+  }
+
+  test("text hashing folds code points, not UTF-16 units (oracle parity " +
+    "for supplementary characters)") {
+    val s = "a😀b" // "a😀b": 3 code points, 4 UTF-16 units
+    val cps = s.codePoints().toArray
+    assert(cps.length === 3)
+    val expected = cps.foldLeft(0L)((a, c) => (a * 31 + c) % 2147483647L)
+    assert(Dedup.cpFold(s, 2147483647L) === expected)
+    val unitFold = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 2147483647L)
+    assert(Dedup.cpFold(s, 2147483647L) !== unitFold,
+      "code-point and code-unit folds must differ on non-BMP input")
   }
 
   test("linearCount: occupancy and estimate match the closed form") {

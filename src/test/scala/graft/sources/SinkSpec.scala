@@ -26,6 +26,18 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("manifest roundtrips paths containing JSON delimiter characters") {
+    val dir = java.nio.file.Files.createTempDirectory("man,if{est").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "manifest.json"),
+      s"""{"version": 7, "points": "$dir/v7/points", "tiles": "$dir/v7/tiles"}"""
+        .getBytes("UTF-8"))
+    val m = Workflow.readManifest(dir).get
+    assert(m.version === 7L)
+    assert(m.points === s"$dir/v7/points") // comma/brace in dir must survive
+    assert(m.tiles === s"$dir/v7/tiles")
+  }
+
   test("workflow build writes salted stores and swaps the manifest") {
     val m1 = Workflow.build(spark, Dir, work.toString)
     assert(m1.version === 1L)
