@@ -779,15 +779,25 @@ object SparkEntry {
     */
   private def dbl(x: Double) = s"CAST('$x' AS DOUBLE)"
 
+  /** Pixel-grid clamp — mirrors GeoFunctions.pixelAtMaxZoom's boundary
+    * clamp (lng=180 / lat=−90 / polar rim floor to one past the last pixel
+    * otherwise). The 4326 x-axis is TWO z0 tiles wide (2·gpx pixels).
+    */
+  private def clampPx(e: String, maxPx: Long = 33554431L) =
+    s"least(greatest($e, 0), $maxPx)"
+
   /** 4326 z16 global pixel exprs — token-mirrors GeoFunctions.wgs84XY. */
-  private def px4326(lng: String) = s"CAST(floor(($lng + 180.0)*(33554432.0/180.0)) AS BIGINT)"
-  private def py4326(lat: String) = s"CAST(floor((90.0 - $lat)*(33554432.0/180.0)) AS BIGINT)"
+  private def px4326(lng: String) =
+    clampPx(s"CAST(floor(($lng + 180.0)*(33554432.0/180.0)) AS BIGINT)", 67108863L)
+  private def py4326(lat: String) =
+    clampPx(s"CAST(floor((90.0 - $lat)*(33554432.0/180.0)) AS BIGINT)")
 
   /** 3857 z16 global pixel exprs — token-mirrors GeoFunctions.mercatorXY. */
-  private def px3857(lng: String) = s"CAST(floor((($lng + 180.0)/360.0)*33554432.0) AS BIGINT)"
+  private def px3857(lng: String) =
+    clampPx(s"CAST(floor((($lng + 180.0)/360.0)*33554432.0) AS BIGINT)")
   private def py3857(lat: String) =
-    s"CAST(floor((0.5 - ln((1.0 + sin($lat*(pi()/180.0)))/(1.0 - sin($lat*(pi()/180.0))))" +
-      s"/(4.0*pi()))*33554432.0) AS BIGINT)"
+    clampPx(s"CAST(floor((0.5 - ln((1.0 + sin($lat*(pi()/180.0)))/(1.0 - sin($lat*(pi()/180.0))))" +
+      s"/(4.0*pi()))*33554432.0) AS BIGINT)")
 
   private val MercMaxLat = "(180.0/pi())*(2.0*atan(exp(pi())) - pi()/2.0)"
 
@@ -912,8 +922,8 @@ pol AS (SELECT map_key, bor_year,
   FROM ex WHERE lat >= 0 AND lng >= -180 AND lng <= 180),
 xy AS (SELECT map_key, bor_year, rho*sin(dl) AS mx, -(rho*cos(dl)) AS my FROM pol)
 SELECT map_key,
-  CAST(floor((mx + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT) AS px,
-  CAST(floor(33554432.0 - (my + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT) AS py,
+  least(greatest(CAST(floor((mx + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT), 0), 33554431) AS px,
+  least(greatest(CAST(floor(33554432.0 - (my + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT), 0), 33554431) AS py,
   bor_year, count(*) AS occ_count
 FROM xy GROUP BY ALL"""),
 
@@ -924,8 +934,8 @@ pol AS (SELECT map_key, bor_year,
   FROM ex WHERE lat <= 0 AND lng >= -180 AND lng <= 180),
 xy AS (SELECT map_key, bor_year, rho*sin(lam) AS mx, rho*cos(lam) AS my FROM pol)
 SELECT map_key,
-  CAST(floor((mx + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT) AS px,
-  CAST(floor(33554432.0 - (my + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT) AS py,
+  least(greatest(CAST(floor((mx + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT), 0), 33554431) AS px,
+  least(greatest(CAST(floor(33554432.0 - (my + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT), 0), 33554431) AS py,
   bor_year, count(*) AS occ_count
 FROM xy GROUP BY ALL"""),
 

@@ -65,19 +65,29 @@ object GeoFunctions {
 
   /** Floored integer pixel at max zoom; lower zooms derive via `shiftright`
     * (TileMapBuilder.java:129-138, the O3 compute-once pyramid trick).
+    *
+    * Clamped into [0, globalPixels−1]: plottable BOUNDARY coordinates
+    * (lng=180 anywhere, lat=−90 in 4326, the projection rim in the polar
+    * SRSs) otherwise floor to exactly `globalPixels` — one past the last
+    * pixel, addressing a tile row/column that does not exist, silently
+    * dropping edge data. Core `Tiles.toTileXY` and the reference
+    * (Tiles.java:86-90) clamp exactly this case; the Column path must
+    * agree with them.
     */
   def pixelAtMaxZoom(epsg: String, lat: Column, lng: Column, maxZoom: Int, tileSize: Int)
-      : (Column, Column) = epsg match {
-    case "EPSG:3857" =>
-      val (x, y) = mercatorXY(lat, lng, maxZoom, tileSize)
-      (floor(x).cast("long"), floor(y).cast("long"))
-    case "EPSG:4326" =>
-      val (x, y) = wgs84XY(lat, lng, maxZoom, tileSize)
-      (floor(x).cast("long"), floor(y).cast("long"))
-    case "EPSG:3575" | "EPSG:3031" =>
-      val (x, y) = polarXY(epsg, lat, lng, maxZoom, tileSize)
-      (floor(x).cast("long"), floor(y).cast("long"))
-    case other => throw new IllegalArgumentException(other)
+      : (Column, Column) = {
+    val gpx = tileSize.toLong << maxZoom
+    // EPSG:4326 is the 2×1 tile scheme (WGS84.java:37-44): 360° of
+    // longitude span TWO z0 tiles, so its x-axis is 2·gpx pixels wide
+    val maxX = (if (epsg == "EPSG:4326") 2 * gpx else gpx) - 1
+    def cl(c: Column, mx: Long): Column = least(greatest(c, lit(0L)), lit(mx))
+    val (x, y) = epsg match {
+      case "EPSG:3857"               => mercatorXY(lat, lng, maxZoom, tileSize)
+      case "EPSG:4326"               => wgs84XY(lat, lng, maxZoom, tileSize)
+      case "EPSG:3575" | "EPSG:3031" => polarXY(epsg, lat, lng, maxZoom, tileSize)
+      case other                     => throw new IllegalArgumentException(other)
+    }
+    (cl(floor(x).cast("long"), maxX), cl(floor(y).cast("long"), gpx - 1))
   }
 
   /** Polar projections (EPSG:3575 north LAEA lon0=10°E, EPSG:3031 Antarctic

@@ -40,6 +40,33 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("pixelAtMaxZoom clamps plottable boundary coordinates into the grid") {
+    val ss = spark; import ss.implicits._
+    val gpx = 512L << 16
+    val pts = Seq(
+      (-90.0, 180.0), (90.0, -180.0),                        // 4326 corners
+      (-Projections.MercatorMaxLatitude, 180.0),             // 3857 rim
+      (Projections.MercatorMaxLatitude, -180.0),
+      (0.0, 100.0), (0.0, -80.0),                            // 3575 rim (dl=±π/2)
+      (0.0, 10.0), (0.0, -170.0)).toDF("lat", "lng")         // 3031 rim
+    Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031").foreach { epsg =>
+      val maxX = if (epsg == "EPSG:4326") 2 * gpx else gpx // 4326: 2×1 scheme
+      val (px, py) = GeoFunctions.pixelAtMaxZoom(epsg, col("lat"), col("lng"), 16, 512)
+      val rows = pts.filter(GeoFunctions.isPlottable(epsg, col("lat"), col("lng")))
+        .select(px.as("px"), py.as("py")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(0) >= 0 && r.getLong(0) < maxX, s"$epsg px ${r.getLong(0)}")
+        assert(r.getLong(1) >= 0 && r.getLong(1) < gpx, s"$epsg py ${r.getLong(1)}")
+      }
+    }
+    // the 4326 far corner lands exactly on the clamped last pixel
+    val (px4, py4) = GeoFunctions.pixelAtMaxZoom("EPSG:4326", col("lat"), col("lng"), 16, 512)
+    val corner = Seq((-90.0, 180.0)).toDF("lat", "lng")
+      .select(px4.as("px"), py4.as("py")).head
+    assert(corner.getLong(0) === 2 * gpx - 1 && corner.getLong(1) === gpx - 1)
+  }
+
   test("graft_java_hash resolves in SQL text and constant-folds literals") {
     // the injection hook wires without error (a config-installed session
     // cannot be created here — the test JVM shares one SparkContext, and
