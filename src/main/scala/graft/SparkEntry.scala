@@ -563,7 +563,7 @@ object SparkEntry {
           .filter(col("lat") >= la0 && col("lat") <= la1 && lngF), 6, bounds = false)
     }),
 
-    // Dedup: MinHash signatures (5-char shingles, 8 permutations)
+    // Dedup: MinHash signatures (5-code-point shingles, 8 permutations)
     "q28_minhash_sig" -> ((s, dir) =>
       Dedup.withMinhashSignature(documents(s, dir))
         .select(col("doc_id") +: (0 until Dedup.NumHashes).map(k => col(s"mh$k")): _*)),
@@ -915,27 +915,27 @@ FROM ex
 WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
 GROUP BY ALL"""),
 
-    "q26_pixel_agg_3575" -> (Ex + """,
+    "q26_pixel_agg_3575" -> (Ex + s""",
 pol AS (SELECT map_key, bor_year,
   (2.0*6378137.0)*sin((pi()/4.0) - (lat*(pi()/180.0))/2.0) AS rho,
   (lng*(pi()/180.0)) - (10.0*(pi()/180.0)) AS dl
   FROM ex WHERE lat >= 0 AND lng >= -180 AND lng <= 180),
 xy AS (SELECT map_key, bor_year, rho*sin(dl) AS mx, -(rho*cos(dl)) AS my FROM pol)
 SELECT map_key,
-  least(greatest(CAST(floor((mx + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT), 0), 33554431) AS px,
-  least(greatest(CAST(floor(33554432.0 - (my + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT), 0), 33554431) AS py,
+  ${clampPx("CAST(floor((mx + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT)")} AS px,
+  ${clampPx("CAST(floor(33554432.0 - (my + (sqrt(2.0)*6378137.0)) * ((33554432.0/(sqrt(2.0)*6378137.0))/2.0)) AS BIGINT)")} AS py,
   bor_year, count(*) AS occ_count
 FROM xy GROUP BY ALL"""),
 
-    "q27_pixel_agg_3031" -> (Ex + """,
+    "q27_pixel_agg_3031" -> (Ex + s""",
 pol AS (SELECT map_key, bor_year,
   ((2.0*6378137.0)*(12367396.21845986/(2.0*6378137.0)))*tan((pi()/4.0) + (lat*(pi()/180.0))/2.0) AS rho,
   lng*(pi()/180.0) AS lam
   FROM ex WHERE lat <= 0 AND lng >= -180 AND lng <= 180),
 xy AS (SELECT map_key, bor_year, rho*sin(lam) AS mx, rho*cos(lam) AS my FROM pol)
 SELECT map_key,
-  least(greatest(CAST(floor((mx + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT), 0), 33554431) AS px,
-  least(greatest(CAST(floor(33554432.0 - (my + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT), 0), 33554431) AS py,
+  ${clampPx("CAST(floor((mx + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT)")} AS px,
+  ${clampPx("CAST(floor(33554432.0 - (my + 12367396.21845986) * ((33554432.0/12367396.21845986)/2.0)) AS BIGINT)")} AS py,
   bor_year, count(*) AS occ_count
 FROM xy GROUP BY ALL"""),
 

@@ -255,7 +255,7 @@ object Mvt {
           }
           out += DecodedFeature(name, x, y, years.result(), total)
         }
-      } else if ((t & 7) == 2) top.sub() else top.varint()
+      } else top.skip(t)
     }
     out.toSeq
   }

@@ -27,6 +27,13 @@ object Workflow {
 
   final case class Manifest(version: Long, points: String, tiles: String)
 
+  // minimal JSON string escaping for the two path fields — paths with '"'
+  // or '\' must round-trip through the manifest
+  private def jsonEscape(s: String) =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def jsonUnescape(s: String) =
+    s.replaceAll("\\\\(.)", "$1")
+
   private def manifestPath(workDir: String) = Paths.get(workDir, "manifest.json")
 
   def readManifest(workDir: String): Option[Manifest] = {
@@ -35,10 +42,11 @@ object Workflow {
     else {
       val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       // quote-aware extraction: paths may contain ',' or '}' — a naive
-      // split-on-delimiter truncates them
+      // split-on-delimiter truncates them; escape sequences round-trip
+      // through jsonUnescape (the writer escapes with jsonEscape)
       def str(k: String) =
         ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-          .findFirstMatchIn(s).map(_.group(1))
+          .findFirstMatchIn(s).map(m => jsonUnescape(m.group(1)))
           .getOrElse(sys.error(s"manifest missing string field $k"))
       def num(k: String) =
         ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s).map(_.group(1))
@@ -112,7 +120,7 @@ object Workflow {
     val tmp = Paths.get(workDir, s".manifest.v$version.tmp")
     Files.createDirectories(Paths.get(workDir))
     Files.write(tmp,
-      s"""{"version": ${m.version}, "points": "${m.points}", "tiles": "${m.tiles}"}"""
+      s"""{"version": ${m.version}, "points": "${jsonEscape(m.points)}", "tiles": "${jsonEscape(m.tiles)}"}"""
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(workDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

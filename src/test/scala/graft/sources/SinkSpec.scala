@@ -36,6 +36,13 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.version === 7L)
     assert(m.points === s"$dir/v7/points") // comma/brace in dir must survive
     assert(m.tiles === s"$dir/v7/tiles")
+    // escaped quote/backslash in a JSON-compliant manifest unescapes on read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "manifest.json"),
+      """{"version": 8, "points": "/a\"b\\c/points", "tiles": "/t/tiles"}"""
+        .getBytes("UTF-8"))
+    val m2 = Workflow.readManifest(dir).get
+    assert(m2.points === "/a\"b\\c/points")
   }
 
   test("workflow build writes salted stores and swaps the manifest") {
