@@ -753,7 +753,41 @@ object SparkEntry {
     // HyperLogLog distinct-token estimate per source (16 registers; the
     // power-of-two register sum is IEEE-exact, hence order-independent)
     "q90_hll_count" -> ((s, dir) =>
-      graft.operators.Sketch.hllCount(documents(s, dir)))
+      graft.operators.Sketch.hllCount(documents(s, dir))),
+
+    // Pipeline: bigram-LM perplexity scoring — add-one-smoothed corpus LM,
+    // per-doc mean nll in exact integer micro-nats (no float sum anywhere)
+    "q91_bigram_lm" -> ((s, dir) =>
+      graft.operators.Corpus.bigramLmScore(documents(s, dir))),
+
+    // Sketch: Bloom-filter ingest membership screen — corpus bits vs the
+    // q85 new batch, exact verdict alongside (false positives visible)
+    "q92_bloom_ingest" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.operators.Sketch.bloomIngest(docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0))
+    }),
+
+    // Dedup: exact Levenshtein verification of the q29 LSH candidates over
+    // 96-char prefixes (cost bounded per pair, candidates only — never n²)
+    "q93_edit_verify" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(documents(s, dir), 0.5, 96, 24)),
+
+    // Tokenizer training: top-20 adjacent code-point pairs by word-frequency
+    // weight — one BPE merge-step statistic over the vocabulary
+    "q94_bpe_pairs" -> ((s, dir) =>
+      graft.operators.Corpus.bpePairCounts(documents(s, dir), 20)),
+
+    // Events: ordered conversion funnel (view → click → purchase, each
+    // stage strictly after the previous; user_id-keyed stage aggregates)
+    "q95_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(events(s, dir),
+        Seq("view", "click", "purchase"))),
+
+    // Events: cohort retention triangle — first-active-day cohorts ×
+    // day offset, exact integer counts
+    "q96_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.retentionCohorts(events(s, dir)))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -1897,7 +1931,107 @@ tru AS (SELECT source, count(*) AS true_distinct
   FROM (SELECT DISTINCT source, w FROM words) GROUP BY source)
 SELECT tru.source, tru.true_distinct,
   round(0.673 * 16 * 16 / (agg.s_hit + CAST(16 - agg.n_regs AS DOUBLE)), 4) AS est
-FROM tru JOIN agg USING (source)"""
+FROM tru JOIN agg USING (source)""",
+
+    "q91_bigram_lm" -> """WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+base AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+bgl AS (SELECT doc_id,
+  [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bgs FROM base),
+dbg AS (SELECT doc_id, bg, count(*) AS occ
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM bgl) GROUP BY doc_id, bg),
+lm2 AS (SELECT bg, CAST(sum(occ) AS BIGINT) AS c2,
+  string_split(bg, ' ')[1] AS w1 FROM dbg GROUP BY bg),
+lm1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM lm2 GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(toks) AS w FROM base)),
+sc AS (SELECT d.doc_id, d.occ,
+  CAST(round(round(ln(CAST(l1.c1 + v.v AS DOUBLE) / CAST(l2.c2 + 1 AS DOUBLE)), 6)
+    * 1000000.0, 0) AS BIGINT) AS micro
+  FROM dbg d JOIN lm2 l2 USING (bg) JOIN lm1 l1 USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+  CAST(sum(occ * micro) AS BIGINT) AS micro_nll,
+  round(CAST(sum(occ * micro) AS DOUBLE) / CAST(sum(occ) AS DOUBLE)
+    / 1000000.0, 6) AS avg_nll
+FROM sc GROUP BY doc_id""",
+
+    "q92_bloom_ingest" -> {
+      val hv = (0 until graft.operators.Sketch.BloomK)
+        .map(i => s"(${Dedup.As(i)}, ${Dedup.Bs(i)})").mkString(", ")
+      s"""WITH f AS (SELECT doc_id, ${javaHashSql("text")} AS fp FROM documents),
+old AS (SELECT * FROM f WHERE doc_id % 4 <> 0),
+nb AS (SELECT * FROM f WHERE doc_id % 4 = 0),
+h(a, b) AS (VALUES $hv),
+bits AS (SELECT DISTINCT ((h.a * old.fp + h.b) % 2147483647) % 65536 AS pos
+  FROM old CROSS JOIN h),
+np AS (SELECT nb.doc_id, ((h.a * nb.fp + h.b) % 2147483647) % 65536 AS pos
+  FROM nb CROSS JOIN h),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM np
+  WHERE pos IN (SELECT pos FROM bits) GROUP BY doc_id),
+oldfp AS (SELECT DISTINCT fp FROM old)
+SELECT nb.doc_id, nb.fp,
+  CASE WHEN coalesce(hits.n_hit, 0) = 3 THEN 1 ELSE 0 END AS bloom_hit,
+  CASE WHEN oldfp.fp IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+FROM nb LEFT JOIN hits USING (doc_id) LEFT JOIN oldfp ON nb.fp = oldfp.fp"""
+    },
+
+    "q93_edit_verify" -> (SigSql + s""",
+bands AS (${(0 until Dedup.NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
+      .mkString("\n  UNION ALL ")}),
+ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+  HAVING count(*) <= ${Dedup.DefaultBucketCap}),
+bk AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+vp AS (SELECT doc_a, doc_b FROM (
+  SELECT doc_a, doc_b,
+    (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+  WHERE est_sim >= 0.5),
+pre AS (SELECT doc_id, substr(text, 1, 96) AS pre FROM documents)
+SELECT vp.doc_a, vp.doc_b,
+  CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist,
+  CASE WHEN levenshtein(a.pre, b.pre) <= 24 THEN 1 ELSE 0 END AS near_dup
+FROM vp JOIN pre a ON vp.doc_a = a.doc_id JOIN pre b ON vp.doc_b = b.doc_id"""),
+
+    "q94_bpe_pairs" -> """WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+wf AS (SELECT w, count(*) AS freq
+  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+pr AS (SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair, freq
+  FROM wf),
+pc AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY pair)
+SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 20""",
+
+    "q95_funnel" -> """WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tmicro FROM events),
+u AS (SELECT DISTINCT user_id FROM ev),
+s1 AS (SELECT user_id, min(tmicro) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.tmicro) AS t2 FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.tmicro > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.tmicro) AS t3 FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.tmicro > s2.t2 GROUP BY e.user_id)
+SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+  (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+   + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+   + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id)""",
+
+    "q96_retention" -> """WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+coh AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT coh.cohort_day, d.day - coh.cohort_day AS day_offset,
+  count(*) AS n_users
+FROM days d JOIN coh USING (user_id) GROUP BY 1, 2"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

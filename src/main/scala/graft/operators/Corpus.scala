@@ -467,6 +467,89 @@ object Corpus {
       .select("doc_id", "n_chunks", "n_kept", "kept_tokens", "fp")
   }
 
+  /** Bigram language-model scoring — the classic perplexity-filter quality
+    * signal: train add-one-smoothed bigram probabilities on the corpus
+    * itself, then score every document's average negative log-likelihood
+    * `mean(-ln((c(w1,w2)+1)/(c(w1)+V)))` over its bigram occurrences
+    * (low = fluent under the corpus LM, high = outlier).
+    *
+    * Cross-engine determinism: a per-doc SUM of ln values would be
+    * order-dependent IEEE addition. Instead each bigram's nll is rounded to
+    * 6 places and scaled to integer MICRO-NATS (`round(round(ln,6)·10⁶)` is
+    * exactly the integer k both engines round to, since round-6 lands within
+    * ulps of k/10⁶) — the per-doc sum is then exact long arithmetic in any
+    * order, and only the final division is float. −ln p = ln((c1+V)/(c2+1))
+    * ≥ 0 because c2 ≤ c1 and V ≥ 1, so no −0.0 can appear.
+    *
+    * Scale shape: per-doc bigram counts (one keyed shuffle, map-side
+    * combined), the LM tables derived from THEM (c2 by bigram, c1 by left
+    * word — partials of partials, never re-reading the corpus), a scalar
+    * vocab-size broadcast, and the score join keyed by bigram — the LM
+    * table is vocabulary²-bounded, not corpus-bounded, and AQE picks the
+    * join side. Nothing is ever globally sorted.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bgs", allNgrams("toks", 2))
+    val docBg = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("occ"))
+    val lm2 = docBg.groupBy("bg").agg(sum("occ").as("c2"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val lm1 = lm2.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = base.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val microNll = round(round(
+      log((col("c1") + col("v")).cast("double") / (col("c2") + 1L).cast("double")),
+      6) * 1e6, 0).cast("long")
+    docBg.join(lm2, Seq("bg"))
+      .join(lm1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("micro", microNll)
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_bigrams"),
+        sum(col("occ") * col("micro")).as("micro_nll"))
+      .select(col("doc_id"), col("n_bigrams"), col("micro_nll"),
+        round(col("micro_nll").cast("double") / col("n_bigrams").cast("double")
+          / 1e6, 6).as("avg_nll"))
+  }
+
+  /** Adjacent code-point pairs of a word — one BPE pair-statistics pass.
+    * Code points (not chars) so the DuckDB mirror's character-based
+    * substr agrees on any Unicode input.
+    */
+  private val charPairsUdf = udf { (w: String) =>
+    val cps = if (w == null) Array.empty[Int] else w.codePoints().toArray
+    if (cps.length < 2) Array.empty[String]
+    else {
+      val out = new Array[String](cps.length - 1)
+      var i = 0
+      while (i < cps.length - 1) { out(i) = new String(cps, i, 2); i += 1 }
+      out
+    }
+  }
+
+  /** BPE tokenizer-training statistics: the top-`k` adjacent symbol pairs
+    * by corpus frequency — exactly the quantity one BPE merge step
+    * maximizes. Pair counts are weighted by word frequency (count words
+    * once, then weight — the standard vocabulary-driven formulation that
+    * makes the pass O(|vocab|·word_len), not O(corpus)).
+    *
+    * Scale shape: one keyed word-count aggregate over the exploded tokens
+    * (map-side combined), a VOCABULARY-sized pair explode (the corpus never
+    * re-enters), a pair-keyed aggregate bounded by |symbol-pairs|, and an
+    * order-by-limit top-k (TakeOrdered — no global sort). Deterministic
+    * total order: count desc, pair asc.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
+    val wf = docs.withColumn("toks", tokens(col("text")))
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    wf.select(explode(charPairsUdf(col("w"))).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc).limit(k)
+  }
+
   /** The same exact rank statistic as [[tokenQuantilesDisc]], computed the
     * way a source too large to sort in one task needs: aggregate a
     * (source, n_tokens) HISTOGRAM first (token counts are small ints, so

@@ -212,6 +212,37 @@ object Dedup {
       .select(col("doc_id"), col("dup_of"))
   }
 
+  /** Edit-distance verification of LSH candidates: every
+    * [[lshCandidatePairs]] pair gets an exact Levenshtein distance over the
+    * two documents' first `prefixLen` characters and a `near_dup` verdict
+    * (`dist ≤ maxDist`) — the precise-but-quadratic-per-pair verifier that
+    * at scale must ONLY ever run on LSH-blocked candidates (cost is
+    * |candidates|·prefixLen², never corpus²). The prefix cap bounds the DP
+    * per pair; near-dup docs agree in their prefix with the same edit
+    * density as anywhere else, which is why prefix-Levenshtein is the
+    * standard cheap verifier.
+    *
+    * Uses Spark's builtin codegen'd `levenshtein` (classic character DP —
+    * identical semantics in DuckDB for BMP text; both engines count
+    * code points for ASCII/BMP inputs).
+    *
+    * Scale shape: inherits the bucketed candidate join; the two text
+    * lookups are doc_id-keyed joins projecting ONLY the prefix (the scan
+    * never carries full text into the shuffle).
+    */
+  def editVerifiedPairs(docs: DataFrame, minEst: Double, prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    val pre = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pre"))
+    val cand = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+    val d = levenshtein(col("pa"), col("pb"))
+    cand
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pa")), Seq("doc_a"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), d.as("edit_dist"),
+        (d <= maxDist).cast("int").as("near_dup"))
+  }
+
   /** Connected components over near-dup edges → duplicate clusters, labeled
     * by the minimum doc_id reachable. Iterative min-label propagation with a
     * bounded driver loop and per-round persist — the standard large-scale

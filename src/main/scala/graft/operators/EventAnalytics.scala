@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics beyond the per-user sessionize/window queries
+  * (q24/q25): ordered conversion funnels and cohort retention — the two
+  * rollups every product-events pipeline ships alongside sessionization.
+  * Both are integer/timestamp-exact (no float aggregation anywhere).
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: per user, the FIRST time each stage was
+    * reached, where stage `i+1` must occur STRICTLY AFTER the user's
+    * stage-`i` time (the sequential-funnel semantics — a purchase before
+    * the first view does not count). `stage` is how far the user got
+    * (0 = never did `stages.head`).
+    *
+    * Scale shape: one stage-filtered min-aggregate per funnel step, each
+    * keyed by user_id and consuming the previous step's (user, t) table —
+    * every join and aggregate shares the user_id key, so at cluster scale
+    * the exchanges collapse onto one co-partitioning; the event scan is
+    * filtered to funnel event types before any shuffle. Stage tables
+    * shrink monotonically (each is a subset of the previous stage's
+    * users), so later joins are broadcast-sized in practice and AQE picks
+    * that up at runtime.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val ev = events.select(col("user_id"), col("event_type"), col("tmicro"))
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("tmicro").as("t1"))
+    val chained = stages.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (stage, i)) =>
+        val next = ev.filter(col("event_type") === stage)
+          .join(acc.select(col("user_id"), col(s"t$i")), Seq("user_id"))
+          .filter(col("tmicro") > col(s"t$i"))
+          .groupBy("user_id").agg(min("tmicro").as(s"t${i + 1}"))
+        acc.join(next, Seq("user_id"), "left")
+    }
+    val reached = stages.indices
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    events.select("user_id").distinct()
+      .join(chained, Seq("user_id"), "left")
+      .withColumn("stage", reached)
+  }
+
+  /** Cohort retention: users are cohorted by their first active day; the
+    * output counts, per (cohort day, day offset), how many of that
+    * cohort's users were active `offset` days after joining — the classic
+    * retention triangle, exact integer counts.
+    *
+    * Scale shape: the (user, day) activity set dedups with map-side
+    * partial-distinct BEFORE any join (bounding the shuffle at
+    * users × active-days, not raw events); the cohort table is a keyed
+    * min-aggregate of that same set, and the final rollup is
+    * cohort-keyed — three keyed shuffles, all on small projected columns.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("tmicro div 86400000000").as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

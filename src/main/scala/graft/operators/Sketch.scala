@@ -124,6 +124,70 @@ object Sketch {
     tru.join(est, Seq("source"))
   }
 
+  /** Bloom geometry: m bits, k probe positions. Sized so the test corpus
+    * exhibits real false positives occasionally while production sizing
+    * (m ≈ 1.44·k·n bits for target FP rate 2^−k) stays cluster-trivial —
+    * even 10⁹ corpus docs at 10 bits/doc is a ~1.2 GB broadcast, and the
+    * bit-set DataFrame here is bounded by m distinct positions regardless
+    * of corpus size.
+    */
+  val BloomM = 65536
+  val BloomK = 3
+
+  /** q23's document fingerprint (31-polynomial code-point fold mod 2^32) —
+    * the content key the Bloom filter summarizes.
+    */
+  private val docFpUdf = udf { (t: String) =>
+    if (t == null) null else java.lang.Long.valueOf(Dedup.cpFold(t, 4294967296L))
+  }
+
+  /** The k probe positions of a fingerprint: ((a_i·fp + b_i) mod M) mod m,
+    * the repo-wide affine family. fp < 2^32 and a_i < 2^26 keep every
+    * product below 2^63 — exact in any engine.
+    */
+  private def bloomPositions(fp: Column): Column =
+    array((0 until BloomK).map { i =>
+      (lit(Dedup.As(i)) * fp + lit(Dedup.Bs(i))) % Dedup.M % BloomM
+    }: _*)
+
+  /** One row per (document, probe position) — the row-local projection the
+    * batch bit-set aggregation AND the streaming maintainer
+    * (EventStream.bloomBits) share, so bit semantics can never drift
+    * between them.
+    */
+  def bloomPositionRows(docs: DataFrame): DataFrame =
+    docs.select(explode(bloomPositions(docFpUdf(col("text")))).as("pos"))
+
+  /** Bloom-filter ingest pre-filter: summarize the EXISTING corpus's
+    * document fingerprints into an m-bit Bloom filter, then test every
+    * NEW-batch document's membership — the constant-space screen that runs
+    * BEFORE any expensive dedup join (a `bloom_hit = 0` doc is certainly
+    * novel and skips the q85-style verification entirely). Emits the exact
+    * membership verdict beside the Bloom verdict, so false positives are
+    * visible in the output (`bloom_hit = 1, exact_dup = 0`) — never false
+    * negatives, the Bloom guarantee the roundtrip test pins.
+    *
+    * Scale shape: the bit set is a distinct-position aggregate bounded by m
+    * rows (partial-distinct collapses map-side) and broadcast — structurally
+    * bounded, so the hint is safe; the new batch probes it with one
+    * k-row explode + semi-join, and the ground-truth check is one keyed
+    * fingerprint join sized by the batch. The 100 TB corpus is read once.
+    */
+  def bloomIngest(corpus: DataFrame, newDocs: DataFrame): DataFrame = {
+    val bits = bloomPositionRows(corpus).distinct()
+    val nb = newDocs.select(col("doc_id"), docFpUdf(col("text")).as("fp"))
+    val hits = nb.select(col("doc_id"), explode(bloomPositions(col("fp"))).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val oldFp = corpus.select(docFpUdf(col("text")).as("fp")).distinct()
+      .withColumn("seen", lit(1))
+    nb.join(hits, Seq("doc_id"), "left")
+      .join(oldFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        (coalesce(col("n_hit"), lit(0L)) === BloomK.toLong).cast("int").as("bloom_hit"),
+        coalesce(col("seen"), lit(0)).as("exact_dup"))
+  }
+
   /** The sketch itself: per-(row, slot) counters over `docs`' token
     * occurrences — ≤ d·w distinct keys, so the map-side combine bounds the
     * shuffle at d·w rows per partition no matter the input size. The same

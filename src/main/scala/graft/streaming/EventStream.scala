@@ -102,6 +102,20 @@ object EventStream {
   def cmsSketch(docStream: DataFrame): DataFrame =
     graft.operators.Sketch.sketchCells(docStream)
 
+  /** Streaming Bloom-filter maintenance: per-bit document counts over the
+    * append stream — the set bits are the rows, so membership serving reads
+    * `pos IN bits` exactly as the batch filter (Sketch.bloomIngest) does,
+    * and the count makes bits DELETABLE (a count reaching zero clears the
+    * bit — a counting Bloom filter, which a plain bit set cannot do).
+    * State is bounded by m = [[graft.operators.Sketch.BloomM]] cells no
+    * matter how much streams through — the same ideal fixed-size-state
+    * shape as [[cmsSketch]]. Counters only add on an append stream, so the
+    * incremental bit set equals the batch build exactly (OperatorSpec).
+    */
+  def bloomBits(docStream: DataFrame): DataFrame =
+    graft.operators.Sketch.bloomPositionRows(docStream)
+      .groupBy("pos").agg(count(lit(1)).as("n_docs"))
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

@@ -311,4 +311,65 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Corpus.tokenQuantilesHist(docs, ps)) ===
       rows(Corpus.tokenQuantilesDisc(docs, ps)))
   }
+
+  test("bigramLmScore: hand-computed add-one-smoothed nll in exact micro-nats") {
+    // corpus: doc0 = a b a b (bigrams: "a b"×2, "b a"), doc1 = a b, doc2 too
+    // short (dropped). LM: c2("a b")=3, c2("b a")=1; c1(a)=3, c1(b)=1; V=2.
+    val docs = docsDf((0L, "a b a b", "s"), (1L, "a b", "s"), (2L, "solo", "s"))
+    val out = Corpus.bigramLmScore(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ab = math.round(BigDecimal(math.log(5.0 / 4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6) // 223144
+    val ba = math.round(BigDecimal(math.log(3.0 / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6) // 405465
+    assert(!out.contains(2L))
+    assert(out(0L) === ((3L, 2 * ab + ba,
+      BigDecimal((2 * ab + ba).toDouble / 3 / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(1L) === ((1L, ab, ab.toDouble / 1e6)))
+  }
+
+  test("bloomIngest: no false negatives — every exact duplicate is a bloom hit") {
+    val rnd = new scala.util.Random(7)
+    val corpus = docsDf((0L until 150L).map { i =>
+      (i, s"corpus text ${rnd.nextInt(1000)} ${i % 40}", "s")
+    }: _*)
+    val newDocs = docsDf(
+      // exact copies of two corpus docs, plus novel texts
+      (1000L, corpus.collect()(3).getString(1), "s"),
+      (1001L, corpus.collect()(77).getString(1), "s"),
+      (1002L, "certainly novel text never seen before", "s"),
+      (1003L, "another unseen document body", "s"))
+    val out = Sketch.bloomIngest(corpus, newDocs).collect()
+      .map(r => (r.getLong(0), (r.getInt(2), r.getInt(3)))).toMap
+    assert(out.size === 4)
+    out.values.foreach { case (hit, exact) =>
+      if (exact == 1) assert(hit === 1, "Bloom false negative")
+    }
+    assert(out(1000L)._2 === 1 && out(1001L)._2 === 1)
+    assert(out(1002L)._2 === 0 && out(1003L)._2 === 0)
+  }
+
+  test("editVerifiedPairs: zero distance for identical docs, exact prefix DP " +
+    "for a one-char edit") {
+    val body = (1 to 20).map(i => s"tok$i").mkString(" ") // 125 chars
+    val docs = docsDf(
+      (0L, body, "s"), (1L, body, "s"),
+      (2L, body.replaceFirst("tok4", "toq4"), "s"))
+    val out = Dedup.editVerifiedPairs(docs, 0.5, 96, 24).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getInt(3)))).toMap
+    assert(out((0L, 1L)) === ((0, 1)))
+    // the single substitution happens inside the 96-char prefix → distance 1
+    assert(out((0L, 2L)) === ((1, 1)))
+    assert(out((1L, 2L)) === ((1, 1)))
+  }
+
+  test("bpePairCounts: pair counts weight by word frequency, deterministic " +
+    "top-k order") {
+    val docs = docsDf((0L, "ab ab abc", "s"), (1L, "abc", "s"))
+    // word freqs: ab=2, abc=2; pairs: ab ← 2+2=4, bc ← 2
+    val out = Corpus.bpePairCounts(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("ab", 4L), ("bc", 2L)))
+  }
 }

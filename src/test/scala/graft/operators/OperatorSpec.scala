@@ -464,4 +464,58 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.head.getDouble(2) === 0.0)
     codes.unpersist()
   }
+
+  test("funnel: stages must occur strictly after the previous stage") {
+    val ss = spark; import ss.implicits._
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full
+      (2L, "click", 9L), (2L, "view", 10L),         // click precedes view
+      (3L, "purchase", 1L),                         // never viewed
+      (4L, "view", 10L), (4L, "click", 10L))        // equal time ≠ after
+      .toDF("user_id", "event_type", "tmicro")
+    val out = EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0),
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))).toMap
+    assert(out(1L) === ((Some(10L), Some(20L), Some(30L), 3)))
+    assert(out(2L) === ((Some(10L), None, None, 1)))
+    assert(out(3L) === ((None, None, None, 0)))
+    assert(out(4L) === ((Some(10L), None, None, 1)))
+  }
+
+  test("retentionCohorts: triangle counts from first-active-day cohorts") {
+    val ss = spark; import ss.implicits._
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L * day), (1L, 0L * day + 5L), (1L, 1L * day), (1L, 3L * day),
+      (2L, 1L * day))
+      .toDF("user_id", "tmicro")
+    val out = EventAnalytics.retentionCohorts(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("streaming Bloom bit maintenance equals the batch bit set (state ≤ m)") {
+    import java.nio.file.Files
+    val docs = OccurrenceView.documents(spark, Dir)
+    val tmp = Files.createTempDirectory("bloombits")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.bloomBits(stream)
+      .writeStream.format("memory").queryName("bloom_bits")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("bloom_bits")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Sketch.bloomPositionRows(docs)
+      .groupBy("pos").agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.size <= Sketch.BloomM)
+  }
 }

@@ -64,7 +64,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // queries whose plan legitimately contains BroadcastNestedLoopJoin: a
   // crossJoin against a BROADCAST ONE-ROW scalar (top tile / corpus stats)
   private val ScalarCrossJoins =
-    Set("q46_points_in_tile", "q71_tfidf_terms", "q78_bm25_topk")
+    Set("q46_points_in_tile", "q71_tfidf_terms", "q78_bm25_topk",
+      "q91_bigram_lm")
 
   test("suite-wide plan shapes: no single-partition global Window, no " +
     "CartesianProduct, nested-loop joins only for broadcast one-row scalars") {
