@@ -787,7 +787,17 @@ object SparkEntry {
     // Events: cohort retention triangle — first-active-day cohorts ×
     // day offset, exact integer counts
     "q96_retention" -> ((s, dir) =>
-      graft.operators.EventAnalytics.retentionCohorts(events(s, dir)))
+      graft.operators.EventAnalytics.retentionCohorts(events(s, dir))),
+
+    // Embedding-corpus statistics: top-30 skip-gram pairs (window 2) with
+    // pointwise mutual information — one ln over mirrored double math
+    "q97_pmi_pairs" -> ((s, dir) =>
+      graft.operators.Corpus.pmiPairs(documents(s, dir), 2, 30)),
+
+    // Dedup: asymmetric trigram-set containment on LSH candidates — the
+    // quote/boilerplate-inclusion detector Jaccard misses
+    "q98_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(documents(s, dir), 0.5, 0.8))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2031,7 +2041,63 @@ FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 coh AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
 SELECT coh.cohort_day, d.day - coh.cohort_day AS day_offset,
   count(*) AS n_users
-FROM days d JOIN coh USING (user_id) GROUP BY 1, 2"""
+FROM days d JOIN coh USING (user_id) GROUP BY 1, 2""",
+
+    "q97_pmi_pairs" -> """WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+base AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+pairs AS (SELECT unnest(
+    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+    || [toks[i] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]) AS pair
+  FROM base),
+pc AS (SELECT pair, count(*) AS c_ab FROM pairs GROUP BY pair),
+wc AS (SELECT w, count(*) AS c_w
+  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w),
+tot AS (SELECT (SELECT CAST(sum(c_ab) AS BIGINT) FROM pc) AS p_tot,
+               (SELECT CAST(sum(c_w) AS BIGINT) FROM wc) AS n_tok)
+SELECT pc.pair, pc.c_ab, l.c_w AS c_l, r.c_w AS c_r,
+  round(ln(CAST(pc.c_ab AS DOUBLE) * CAST(tot.n_tok AS DOUBLE)
+      * CAST(tot.n_tok AS DOUBLE)
+    / (CAST(tot.p_tot AS DOUBLE) * CAST(l.c_w AS DOUBLE)
+      * CAST(r.c_w AS DOUBLE))), 6) + 0.0 AS pmi
+FROM pc
+JOIN wc l ON l.w = string_split(pc.pair, ' ')[1]
+JOIN wc r ON r.w = string_split(pc.pair, ' ')[2]
+CROSS JOIN tot
+ORDER BY pc.c_ab DESC, pc.pair ASC LIMIT 30""",
+
+    "q98_containment" -> (SigSql + s""",
+bands AS (${(0 until Dedup.NumBands).map(b =>
+      s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
+      .mkString("\n  UNION ALL ")}),
+ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+  HAVING count(*) <= ${Dedup.DefaultBucketCap}),
+bk AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+vp AS (SELECT doc_a, doc_b FROM (
+  SELECT doc_a, doc_b,
+    (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+  WHERE est_sim >= 0.5),
+tkc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+tgc AS (SELECT doc_id,
+  [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS gs FROM tkc),
+shc AS (SELECT doc_id, list_distinct([list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(g, '')]),
+    (a, b) -> (a*31 + b) % 2147483647) for g in gs]) AS s FROM tgc)
+SELECT * FROM (
+  SELECT vp.doc_a, vp.doc_b,
+    CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common,
+    CAST(len(a.s) AS INT) AS n_a, CAST(len(b.s) AS INT) AS n_b,
+    len(list_intersect(a.s, b.s)) / len(a.s) AS contain_a,
+    len(list_intersect(a.s, b.s)) / len(b.s) AS contain_b
+  FROM vp JOIN shc a ON vp.doc_a = a.doc_id JOIN shc b ON vp.doc_b = b.doc_id
+  WHERE len(a.s) > 0 AND len(b.s) > 0)
+WHERE greatest(contain_a, contain_b) >= CAST('0.8' AS DOUBLE)""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

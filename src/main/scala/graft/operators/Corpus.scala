@@ -550,6 +550,68 @@ object Corpus {
       .orderBy(col("cnt").desc, col("pair").asc).limit(k)
   }
 
+  /** Directional skip-gram pairs "left right" within `window` positions —
+    * the word2vec-style co-occurrence context, one JIT pass per doc.
+    */
+  private def skipPairsUdf(window: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.length < 2) Array.empty[String]
+    else {
+      val arr = toks.toArray
+      val out = new scala.collection.mutable.ArrayBuffer[String](arr.length * window)
+      var i = 0
+      while (i < arr.length - 1) {
+        var d = 1
+        while (d <= window && i + d < arr.length) {
+          out += (arr(i) + " " + arr(i + d)); d += 1
+        }
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** Pointwise mutual information over skip-gram co-occurrence (window
+    * `window`, directional pairs): the embedding-training corpus statistic
+    * `pmi(a,b) = ln((c_ab/P) / ((c_a/n)(c_b/n)))`, emitted for the top-`k`
+    * pairs by count (count desc, pair asc — deterministic).
+    *
+    * Cross-engine determinism: all counts are exact longs; the PMI is ONE
+    * ln over ONE token-for-token-mirrored double expression, rounded to 6
+    * places (the repo's proven-portable ln treatment). Products run in
+    * doubles, so no 64-bit overflow exists at any corpus size.
+    *
+    * Scale shape: two keyed aggregations (pair counts, word counts), both
+    * partially aggregated map-side over row-local explodes; the two corpus
+    * scalars ride one broadcast 1-row crossJoin; the word-count joins are
+    * keyed by the pair's endpoint words (vocabulary-sized, AQE picks the
+    * side); top-k is order-by-limit (TakeOrdered). The corpus shuffles
+    * pair/word keys only — never documents.
+    */
+  def pmiPairs(docs: DataFrame, window: Int, k: Int): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+    val pairCnt = base.select(explode(skipPairsUdf(window)(col("toks"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c_ab"))
+    val wordCnt = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val tot = pairCnt.agg(sum("c_ab").as("p_tot"))
+      .crossJoin(wordCnt.agg(sum("c_w").as("n_tok")))
+    val top = pairCnt
+      .withColumn("wl", split(col("pair"), " ").getItem(0))
+      .withColumn("wr", split(col("pair"), " ").getItem(1))
+      .join(wordCnt.select(col("w").as("wl"), col("c_w").as("c_l")), Seq("wl"))
+      .join(wordCnt.select(col("w").as("wr"), col("c_w").as("c_r")), Seq("wr"))
+      .crossJoin(broadcast(tot))
+    // + 0.0 normalizes IEEE −0.0 (a tiny negative PMI rounds to −0.0, which
+    // engines render differently — the repo-wide rounded-output treatment)
+    top.select(col("pair"), col("c_ab"), col("c_l"), col("c_r"),
+      (round(log(col("c_ab").cast("double") * col("n_tok").cast("double")
+        * col("n_tok").cast("double")
+        / (col("p_tot").cast("double") * col("c_l").cast("double")
+          * col("c_r").cast("double"))), 6) + lit(0.0)).as("pmi"))
+      .orderBy(col("c_ab").desc, col("pair").asc).limit(k)
+  }
+
   /** The same exact rank statistic as [[tokenQuantilesDisc]], computed the
     * way a source too large to sort in one task needs: aggregate a
     * (source, n_tokens) HISTOGRAM first (token counts are small ints, so

@@ -341,6 +341,39 @@ object Dedup {
     }
   }
 
+  /** Asymmetric containment over distinct hashed word-trigram sets on LSH
+    * candidates: `contain_a = |A∩B|/|A|` (how much of A lies inside B) and
+    * the mirror — the quote/boilerplate-inclusion detector exact Jaccard
+    * misses (a small doc fully quoted inside a large one has low Jaccard
+    * but containment 1.0). Pairs are kept when EITHER direction reaches
+    * `minContain`.
+    *
+    * Scale shape: inherits the bucketed candidate join (never all-pairs);
+    * set intersection is per-pair row-local. Caveat the doc carries: LSH
+    * on minhash-Jaccard under-recalls extreme-size-ratio containment
+    * pairs — at scale the blocking for a dedicated containment pass keys
+    * on the SMALLER doc's bottom-k shingle hashes instead; this operator
+    * is the verify stage either way.
+    */
+  def containmentPairs(docs: DataFrame, minEst: Double,
+      minContain: Double): DataFrame = {
+    val sh = docs.withColumn("s", trigramHashSetUdf(col("text")))
+      .select(col("doc_id"), col("s"))
+    val cand = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+    val inter = size(array_intersect(col("a.s"), col("b.s")))
+    cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      // guard the divisions: a doc under 3 tokens has an empty trigram set
+      .filter(size(col("a.s")) > 0 && size(col("b.s")) > 0)
+      .select(col("doc_a"), col("doc_b"),
+        inter.as("n_common"),
+        size(col("a.s")).as("n_a"), size(col("b.s")).as("n_b"),
+        (inter / size(col("a.s"))).as("contain_a"),
+        (inter / size(col("b.s"))).as("contain_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= minContain)
+  }
+
   /** Exact n-gram Jaccard over distinct hashed word-trigram sets, blocked by
     * a grouping column (at scale: always pre-blocked — by LSH bucket or
     * metadata key — never the raw cross product).

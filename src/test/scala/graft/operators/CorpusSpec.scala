@@ -364,6 +364,31 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out((1L, 2L)) === ((1, 1)))
   }
 
+  test("pmiPairs: ln(3) for uniform singleton pairs on 'a b c', window 2") {
+    // pairs: "a b","a c","b c" (P=3); words a,b,c once each (n=3) →
+    // pmi = ln(1·3·3 / (3·1·1)) = ln 3 for every pair
+    val docs = docsDf((0L, "a b c", "s"))
+    val out = Corpus.pmiPairs(docs, 2, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    val ln3 = BigDecimal(math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(("a b", 1L, ln3), ("a c", 1L, ln3), ("b c", 1L, ln3)))
+  }
+
+  test("containmentPairs: a doc fully quoted inside a longer one has " +
+    "containment 1.0 despite Jaccard < 1") {
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = docsDf(
+      (0L, body, "s"),
+      (1L, body + " extra trailing words", "s"))
+    val out = Dedup.containmentPairs(docs, 0.5, 0.8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val (nc, na, nb, ca, cb) = out((0L, 1L))
+    assert(ca === 1.0 && nc === na && nb > na && cb < 1.0)
+  }
+
   test("bpePairCounts: pair counts weight by word frequency, deterministic " +
     "top-k order") {
     val docs = docsDf((0L, "ab ab abc", "s"), (1L, "abc", "s"))

@@ -65,7 +65,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // crossJoin against a BROADCAST ONE-ROW scalar (top tile / corpus stats)
   private val ScalarCrossJoins =
     Set("q46_points_in_tile", "q71_tfidf_terms", "q78_bm25_topk",
-      "q91_bigram_lm")
+      "q91_bigram_lm", "q97_pmi_pairs")
 
   test("suite-wide plan shapes: no single-partition global Window, no " +
     "CartesianProduct, nested-loop joins only for broadcast one-row scalars") {
