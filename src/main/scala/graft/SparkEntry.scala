@@ -2003,10 +2003,12 @@ vp AS (SELECT doc_a, doc_b FROM (
   FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
   WHERE est_sim >= 0.5),
 pre AS (SELECT doc_id, substr(text, 1, 96) AS pre FROM documents)
-SELECT vp.doc_a, vp.doc_b,
-  CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist,
-  CASE WHEN levenshtein(a.pre, b.pre) <= 24 THEN 1 ELSE 0 END AS near_dup
-FROM vp JOIN pre a ON vp.doc_a = a.doc_id JOIN pre b ON vp.doc_b = b.doc_id"""),
+SELECT doc_a, doc_b,
+  CASE WHEN lev <= 24 THEN CAST(lev AS INT) ELSE -1 END AS edit_dist,
+  CASE WHEN lev <= 24 THEN 1 ELSE 0 END AS near_dup
+FROM (SELECT vp.doc_a, vp.doc_b, levenshtein(a.pre, b.pre) AS lev
+  FROM vp JOIN pre a ON vp.doc_a = a.doc_id
+  JOIN pre b ON vp.doc_b = b.doc_id)"""),
 
     "q94_bpe_pairs" -> """WITH tk AS (
   SELECT doc_id,
