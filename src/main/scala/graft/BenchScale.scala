@@ -16,7 +16,7 @@ object BenchScale {
 
   private val Heavy = Seq("q45_pyramid", "q42_mvt_tiles", "q36_tile_replicas",
     "q17_salted_keys", "q47_dup_clusters", "q29_lsh_neardup",
-    "q85_ingest_dedup", "q87_chunk_dedup")
+    "q85_ingest_dedup", "q87_chunk_dedup", "q93_edit_verify")
 
   def main(args: Array[String]): Unit = {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt

@@ -797,7 +797,12 @@ object SparkEntry {
     // Dedup: asymmetric trigram-set containment on LSH candidates — the
     // quote/boilerplate-inclusion detector Jaccard misses
     "q98_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(documents(s, dir), 0.5, 0.8))
+      Dedup.containmentPairs(documents(s, dir), 0.5, 0.8)),
+
+    // Sketch mergeability: HLL union estimates for every source pair via
+    // register-wise max — the associative-merge property 100 TB needs
+    "q99_hll_union" -> ((s, dir) =>
+      graft.operators.Sketch.hllUnion(documents(s, dir)))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2099,7 +2104,38 @@ SELECT * FROM (
     len(list_intersect(a.s, b.s)) / len(b.s) AS contain_b
   FROM vp JOIN shc a ON vp.doc_a = a.doc_id JOIN shc b ON vp.doc_b = b.doc_id
   WHERE len(a.s) > 0 AND len(b.s) > 0)
-WHERE greatest(contain_a, contain_b) >= CAST('0.8' AS DOUBLE)""")
+WHERE greatest(contain_a, contain_b) >= CAST('0.8' AS DOUBLE)"""),
+
+    "q99_hll_union" -> """WITH tk AS (
+  SELECT source,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+words AS (SELECT source, unnest(toks) AS w FROM tk WHERE len(toks) > 0),
+hw AS (SELECT source, w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(w, '')]),
+    (a, b) -> (a * 31 + b) % 2147483647) AS h FROM words),
+rr AS (SELECT source, h % 16 AS reg,
+  CASE WHEN h // 16 = 0 THEN 28
+       ELSE 27 - CAST(floor(log2(h // 16)) AS INT) END AS rho FROM hw),
+regs AS (SELECT source, reg, max(rho) AS m_reg FROM rr GROUP BY source, reg),
+srcs AS (SELECT DISTINCT source FROM regs),
+pairs AS (SELECT x.source AS src_a, y.source AS src_b
+  FROM srcs x, srcs y WHERE x.source < y.source),
+mem AS (SELECT src_a, src_b, src_a AS source FROM pairs
+  UNION ALL SELECT src_a, src_b, src_b FROM pairs),
+mr AS (SELECT m.src_a, m.src_b, r.reg, max(r.m_reg) AS m_reg
+  FROM mem m JOIN regs r USING (source) GROUP BY 1, 2, 3),
+agg AS (SELECT src_a, src_b, count(*) AS n_regs,
+  sum(power(2.0, -m_reg)) AS s_hit FROM mr GROUP BY 1, 2),
+tru AS (SELECT src_a, src_b, count(*) AS true_union FROM (
+  SELECT DISTINCT m.src_a, m.src_b, dw.w
+  FROM mem m JOIN (SELECT DISTINCT source, w FROM words) dw USING (source))
+  GROUP BY 1, 2)
+SELECT tru.src_a, tru.src_b, tru.true_union,
+  round(0.673 * 16 * 16 / (agg.s_hit + CAST(16 - agg.n_regs AS DOUBLE)), 4)
+    AS est_union
+FROM tru JOIN agg USING (src_a, src_b)"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

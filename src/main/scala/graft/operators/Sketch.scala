@@ -103,25 +103,73 @@ object Sketch {
     * per source per partition, then one bounded per-source fold. The true
     * distinct count rides along as ground truth only.
     */
-  def hllCount(docs: DataFrame): DataFrame = {
-    val words = docs.withColumn("toks", Corpus.tokens(col("text")))
+  /** (source, w) token occurrences — shared by the HLL family. */
+  private def sourceWords(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", Corpus.tokens(col("text")))
       .select(col("source"), explode(col("toks")).as("w"))
-      .withColumn("h", tokenHashUdf(col("w")))
-    val regs = words
+
+  /** Per-source HLL register maxima (source, reg, m_reg) — the mergeable
+    * sketch state itself (register-wise max merges two sketches exactly).
+    */
+  private def hllRegisters(words: DataFrame): DataFrame =
+    words.withColumn("h", tokenHashUdf(col("w")))
       .select(col("source"), (col("h") % HllM).as("reg"), hllRhoUdf(col("h")).as("rho"))
       .groupBy("source", "reg").agg(max("rho").as("m_reg"))
+
+  /** The α₁₆·m²/(Σ2^−M + empty-register ones) estimate over grouped
+    * register rows — ONE formula for per-source (q90) and per-pair-union
+    * (q99) estimation so the two can never drift.
+    */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String], outCol: String): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_regs"),
+        sum(pow(lit(2.0), -col("m_reg"))).as("s_hit"))
+      .select(keys.map(col) :+
+        round(lit(0.673 * HllM * HllM) /
+          (col("s_hit") + (lit(HllM.toLong) - col("n_regs")).cast("double")), 4)
+          .as(outCol): _*)
+
+  def hllCount(docs: DataFrame): DataFrame = {
+    val words = sourceWords(docs)
     val tru = words.select("source", "w").distinct()
       .groupBy("source").agg(count(lit(1)).as("true_distinct"))
     // registers a source never hits contribute 2^0 = 1 each: add
     // (HllM - n_regs) driver-constant-free via the bounded aggregate
-    val est = regs.groupBy("source")
-      .agg(count(lit(1)).as("n_regs"),
-        sum(pow(lit(2.0), -col("m_reg"))).as("s_hit"))
-      .select(col("source"),
-        round(lit(0.673 * HllM * HllM) /
-          (col("s_hit") + (lit(HllM.toLong) - col("n_regs")).cast("double")), 4)
-          .as("est"))
-    tru.join(est, Seq("source"))
+    tru.join(hllEstimate(hllRegisters(words), Seq("source"), "est"), Seq("source"))
+  }
+
+  /** HLL set union across every source pair: the two sources' register
+    * rows merge by register-wise MAX and the union cardinality estimate
+    * falls out of the same α·m²/Σ formula — the mergeability that makes
+    * HLL the 100 TB cardinality tool (per-partition partial sketches
+    * combine associatively; here the per-source sketches stand in for
+    * the partials). Ground-truth union distinct rides along.
+    *
+    * Scale shape: register tables are ≤ m rows per source; the pair
+    * expansion is a broadcast of the (bounded-by-domain²) pair list; the
+    * only corpus-sized stage is the ground-truth distinct, which the
+    * sketch exists to avoid. The source list is collected driver-side —
+    * bounded by #domains, the A1 TreeSet argument.
+    */
+  def hllUnion(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = sourceWords(docs)
+    val regs = hllRegisters(words)
+    val srcs = regs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val mem = (for { a <- srcs; b <- srcs if a < b } yield (a, b))
+      .toDF("src_a", "src_b")
+      .select(col("src_a"), col("src_b"),
+        explode(array(col("src_a"), col("src_b"))).as("source"))
+    val merged = regs.join(broadcast(mem), Seq("source"))
+      .groupBy("src_a", "src_b", "reg").agg(max("m_reg").as("m_reg"))
+    val tru = words.select("source", "w").distinct()
+      .join(broadcast(mem), Seq("source"))
+      .select("src_a", "src_b", "w").distinct()
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("true_union"))
+    tru.join(hllEstimate(merged, Seq("src_a", "src_b"), "est_union"),
+      Seq("src_a", "src_b"))
   }
 
   /** Bloom geometry: m bits, k probe positions. Sized so the test corpus

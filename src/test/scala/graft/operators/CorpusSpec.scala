@@ -389,6 +389,23 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ca === 1.0 && nc === na && nb > na && cb < 1.0)
   }
 
+  test("hllUnion: merged registers equal the sketch of the physically " +
+    "unioned corpus (associative merge)") {
+    val rnd = new scala.util.Random(13)
+    val docs = docsDf((0L until 90L).map { i =>
+      (i, Seq.fill(8)(s"w${rnd.nextInt(120)}").mkString(" "), s"s${i % 3}")
+    }: _*)
+    val un = Sketch.hllUnion(docs).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(un.keySet === Set(("s0", "s1"), ("s0", "s2"), ("s1", "s2")))
+    val phys = Sketch.hllCount(
+      docs.filter(col("source").isin("s0", "s1"))
+        .withColumn("source", lit("u")))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(un(("s0", "s1")) === phys)
+  }
+
   test("bpePairCounts: pair counts weight by word frequency, deterministic " +
     "top-k order") {
     val docs = docsDf((0L, "ab ab abc", "s"), (1L, "abc", "s"))
