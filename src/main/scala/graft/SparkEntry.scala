@@ -802,7 +802,13 @@ object SparkEntry {
     // Sketch mergeability: HLL union estimates for every source pair via
     // register-wise max — the associative-merge property 100 TB needs
     "q99_hll_union" -> ((s, dir) =>
-      graft.operators.Sketch.hllUnion(documents(s, dir)))
+      graft.operators.Sketch.hllUnion(documents(s, dir))),
+
+    // Retrieval: boolean AND/NOT token query with exact phrase counts —
+    // shuffle-free scan-shaped filter beside the ranked BM25 (q78)
+    "q100_bool_phrase" -> ((s, dir) =>
+      graft.operators.Corpus.booleanRetrieve(documents(s, dir),
+        Seq("spark", "window"), Seq("table"), "spark window"))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2135,7 +2141,18 @@ tru AS (SELECT src_a, src_b, count(*) AS true_union FROM (
 SELECT tru.src_a, tru.src_b, tru.true_union,
   round(0.673 * 16 * 16 / (agg.s_hit + CAST(16 - agg.n_regs AS DOUBLE)), 4)
     AS est_union
-FROM tru JOIN agg USING (src_a, src_b)"""
+FROM tru JOIN agg USING (src_a, src_b)""",
+
+    "q100_bool_phrase" -> """WITH tk AS (
+  SELECT doc_id, source, text,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents)
+SELECT doc_id, source,
+  CAST(len(regexp_extract_all(text, '\bspark window\b')) AS BIGINT) AS phrase_cnt
+FROM tk
+WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
+  AND NOT list_contains(toks, 'table')"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -612,6 +612,30 @@ object Corpus {
       .orderBy(col("c_ab").desc, col("pair").asc).limit(k)
   }
 
+  /** Boolean retrieval with phrase evidence: documents containing ALL
+    * `must` tokens and NONE of `mustNot`, with the exact occurrence count
+    * of a literal word `phrase` (word-boundary regex, Java∩RE2 subset).
+    * The AND/NOT/phrase trio completes the retrieval surface next to the
+    * ranked BM25 (q78).
+    *
+    * Scale shape: entirely row-local — the token-membership predicate and
+    * the phrase count evaluate inside the scan's WholeStageCodegen with
+    * NO shuffle at all; at 100 TB this is a pure scan-rate operator, and
+    * the membership predicate sits where a token-index pushdown would
+    * replace it.
+    */
+  def booleanRetrieve(docs: DataFrame, must: Seq[String], mustNot: Seq[String],
+      phrase: String): DataFrame = {
+    require(must.nonEmpty, "need at least one required token")
+    val toks = tokens(col("text"))
+    val pred = (must.map(t => array_contains(toks, t))
+      ++ mustNot.map(t => !array_contains(toks, t))).reduce(_ && _)
+    docs.filter(pred)
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\b" + phrase + "\\b")).cast("long")
+          .as("phrase_cnt"))
+  }
+
   /** The same exact rank statistic as [[tokenQuantilesDisc]], computed the
     * way a source too large to sort in one task needs: aggregate a
     * (source, n_tokens) HISTOGRAM first (token counts are small ints, so

@@ -155,6 +155,46 @@ object EventStream {
       }.toDF("user_id", "n_sessions", "n_events")
   }
 
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** Stateful streaming funnel: the mapGroupsWithState twin of the batch
+    * ordered funnel (EventAnalytics.funnel) for a fixed 3-stage sequence.
+    * Per user the state is three timestamps (unset = Long.MinValue); each
+    * micro-batch's events are processed in time order, and a stage only
+    * fires STRICTLY AFTER the previous stage's recorded time — processing
+    * first-qualifying in time order IS the batch min-after semantics, so
+    * with batches that respect event-time order (the append-log case) the
+    * running snapshot equals the batch result exactly (OperatorSpec).
+    * Late events that jump batches are the watermark caveat shared with
+    * any stateful op; the batch rebuild is the reconciliation path.
+    */
+  def funnelStream(spark: SparkSession, stream: DataFrame,
+      stages: (String, String, String)): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val unset = Long.MinValue
+    stream.select(col("user_id").as[Long], col("event_type").as[String],
+        col("tmicro").as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, (Long, Option[Long], Option[Long], Option[Long], Int)](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Long)], state) =>
+          var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+          it.toArray.sortBy(_._3).foreach { case (_, et, t) =>
+            if (et == stages._1 && st.t1 == unset)
+              st = st.copy(t1 = t)
+            else if (et == stages._2 && st.t1 != unset && t > st.t1 && st.t2 == unset)
+              st = st.copy(t2 = t)
+            else if (et == stages._3 && st.t2 != unset && t > st.t2 && st.t3 == unset)
+              st = st.copy(t3 = t)
+          }
+          state.update(st)
+          val o = (v: Long) => if (v == unset) None else Some(v)
+          val stage = Seq(st.t1, st.t2, st.t3).count(_ != unset)
+          (uid, o(st.t1), o(st.t2), o(st.t3), stage)
+      }.toDF("user_id", "t1", "t2", "t3", "stage")
+  }
+
   /** Stream-stream interval join: each click paired with every error from
     * the same user in the preceding hour. Both sides carry watermarks, so
     * the join state is pruned — Spark retains error rows only for the

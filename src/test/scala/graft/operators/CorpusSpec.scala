@@ -406,6 +406,18 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(un(("s0", "s1")) === phys)
   }
 
+  test("booleanRetrieve: AND/NOT membership with exact phrase counts") {
+    val docs = docsDf(
+      (0L, "spark window spark window agg", "s"), // match, phrase twice
+      (1L, "spark table window", "s"),            // excluded by NOT table
+      (2L, "spark agg", "s"),                     // missing window
+      (3L, "window spark", "s"))                  // match, phrase absent
+    val out = Corpus.booleanRetrieve(docs, Seq("spark", "window"),
+      Seq("table"), "spark window").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out === Map(0L -> 2L, 3L -> 0L))
+  }
+
   test("bpePairCounts: pair counts weight by word frequency, deterministic " +
     "top-k order") {
     val docs = docsDf((0L, "ab ab abc", "s"), (1L, "abc", "s"))

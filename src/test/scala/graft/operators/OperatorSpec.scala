@@ -495,6 +495,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L))
   }
 
+  test("stateful streaming funnel equals the batch ordered funnel") {
+    import java.nio.file.Files
+    val ev = OccurrenceView.events(spark, Dir)
+    val mid = ev.selectExpr("CAST(percentile_approx(tsec, 0.5) AS BIGINT) AS m").head.getLong(0)
+    val tmp = Files.createTempDirectory("evfun")
+    ev.filter(col("tsec") <= mid).coalesce(1)
+      .write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    ev.filter(col("tsec") > mid).coalesce(1)
+      .write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString + "/*/")
+    val withT = raw.withColumn("tmicro", expr("ts div 1000"))
+    val q = graft.streaming.EventStream
+      .funnelStream(spark, withT, ("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("ev_funnel")
+      .outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      (Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+    // snapshots only refine (timestamps set once, stage monotone) → the
+    // per-user max over update-mode rows is the final state
+    val streamed = spark.table("ev_funnel")
+      .groupBy("user_id").agg(max("t1").as("t1"), max("t2").as("t2"),
+        max("t3").as("t3"), max("stage").as("stage"))
+      .collect().map(r => (key(r), r.getInt(4))).toSet
+    val batch = EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (key(r), r.getInt(4))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming Bloom bit maintenance equals the batch bit set (state ≤ m)") {
     import java.nio.file.Files
     val docs = OccurrenceView.documents(spark, Dir)
