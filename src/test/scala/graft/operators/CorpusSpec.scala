@@ -418,6 +418,79 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(0L -> 2L, 3L -> 0L))
   }
 
+  test("property: Bloom has no false negatives on random overlapping corpora") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // a small text pool forces real old/new overlap AND real novelty
+      val pool = (0 until 60).map(i => s"text body $i ${rnd.nextInt(50)}")
+      val all = (0L until 120L).map(i => (i, pool(rnd.nextInt(pool.size)), "s"))
+      val docs = docsDf(all: _*)
+      val out = Sketch.bloomIngest(
+        docs.filter(col("doc_id") < 80), docs.filter(col("doc_id") >= 80))
+        .collect().map(r => (r.getInt(2), r.getInt(3)))
+      assert(out.length === 40)
+      assert(out.forall { case (hit, exact) => exact == 0 || hit == 1 },
+        s"false negative at seed $seed")
+      assert(out.exists(_._2 == 1), s"seed $seed produced no real duplicates")
+    }
+  }
+
+  test("property: funnel timestamps strictly increase and stage counts them") {
+    val rnd = new scala.util.Random(5)
+    val ss = spark; import ss.implicits._
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val ev = (0 until 600).map { i =>
+      (rnd.nextInt(30).toLong, types(rnd.nextInt(types.size)), rnd.nextInt(10000).toLong)
+    }.toDF("user_id", "event_type", "tmicro")
+    EventAnalytics.funnel(ev, Seq("view", "click", "purchase")).collect()
+      .foreach { r =>
+        val ts = Seq(1, 2, 3).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i)))
+        // a stage time exists only with its predecessor, strictly after it
+        ts.sliding(2).foreach {
+          case Seq(a, b) =>
+            if (b.isDefined) { assert(a.isDefined && b.get > a.get) }
+          case _ =>
+        }
+        assert(r.getInt(4) === ts.count(_.isDefined))
+      }
+  }
+
+  test("property: HLL union estimate dominates both single-source estimates " +
+    "(register-wise max can only grow)") {
+    val rnd = new scala.util.Random(23)
+    val docs = docsDf((0L until 120L).map { i =>
+      (i, Seq.fill(10)(s"w${rnd.nextInt(400)}").mkString(" "), s"s${i % 4}")
+    }: _*)
+    val single = Sketch.hllCount(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+    Sketch.hllUnion(docs).collect().foreach { r =>
+      val (a, b, est) = (r.getString(0), r.getString(1), r.getDouble(3))
+      assert(est >= math.max(single(a), single(b)) - 1e-9,
+        s"union($a,$b)=$est below max(${single(a)}, ${single(b)})")
+    }
+  }
+
+  test("property: containment values bounded by the intersection arithmetic") {
+    val rnd = new scala.util.Random(31)
+    // dup-heavy pool so LSH candidates actually exist
+    val pool = (0 until 8).map(_ =>
+      Seq.fill(25)(s"t${rnd.nextInt(40)}").mkString(" "))
+    val docs = docsDf((0L until 60L).map { i =>
+      val base = pool(rnd.nextInt(pool.size))
+      (i, if (rnd.nextBoolean()) base else base + s" tail${rnd.nextInt(4)}", "s")
+    }: _*)
+    val rows = Dedup.containmentPairs(docs, 0.5, 0.0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, na, nb) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      val (ca, cb) = (r.getDouble(5), r.getDouble(6))
+      assert(nc <= math.min(na, nb) && nc >= 0)
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+      assert(ca === nc.toDouble / na && cb === nc.toDouble / nb)
+    }
+  }
+
   test("bpePairCounts: pair counts weight by word frequency, deterministic " +
     "top-k order") {
     val docs = docsDf((0L, "ab ab abc", "s"), (1L, "abc", "s"))
