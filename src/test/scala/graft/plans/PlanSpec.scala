@@ -164,6 +164,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shuffle between probe explode and partial aggregate:\n$p")
   }
 
+  test("boolean retrieval is scan-shaped: ZERO keyed shuffles") {
+    assert(keyedShuffles(planOf("q100_bool_phrase")) === 0,
+      "q100 gained a shuffle — the predicate/phrase count must stay row-local")
+  }
+
+  test("Bloom ingest probes a broadcast bit set (membership is a broadcast " +
+    "semi-join; the corpus never shuffles for it)") {
+    val p = planOf("q92_bloom_ingest")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"q92 lost its broadcast membership probe:\n$p")
+  }
+
   test("pixel aggregation partial-aggregates directly above the explode " +
     "(map-side combine before any shuffle)") {
     val p = planOf("q06_pixel_agg_4326")
