@@ -808,7 +808,24 @@ object SparkEntry {
     // shuffle-free scan-shaped filter beside the ranked BM25 (q78)
     "q100_bool_phrase" -> ((s, dir) =>
       graft.operators.Corpus.booleanRetrieve(documents(s, dir),
-        Seq("spark", "window"), Seq("table"), "spark window"))
+        Seq("spark", "window"), Seq("table"), "spark window")),
+
+    // Lakehouse: CDC merge-on-read — deterministic changelog (updates on
+    // doc_id%5, deletes on %17; delete wins on the overlap) vs snapshot
+    "q101_cdc_merge" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val changes = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit(1).as("seq"), lit("u").as("op"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), lit("").as("text"),
+            lit(2).as("seq"), lit("d").as("op")))
+      graft.operators.Changelog.cdcMerge(docs, changes)
+    }),
+
+    // Warehouse: SCD2 validity intervals of each user's event-type regimes
+    "q102_scd2" -> ((s, dir) =>
+      graft.operators.EventAnalytics.scd2Intervals(events(s, dir)))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2152,7 +2169,28 @@ SELECT doc_id, source,
   CAST(len(regexp_extract_all(text, '\bspark window\b')) AS BIGINT) AS phrase_cnt
 FROM tk
 WHERE list_contains(toks, 'spark') AND list_contains(toks, 'window')
-  AND NOT list_contains(toks, 'table')"""
+  AND NOT list_contains(toks, 'table')""",
+
+    "q101_cdc_merge" -> """WITH log AS (
+  SELECT doc_id, text, 0 AS seq, 'u' AS op FROM documents
+  UNION ALL
+  SELECT doc_id, text || ' v2', 1, 'u' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, '', 2, 'd' FROM documents WHERE doc_id % 17 = 0),
+latest AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+  FROM log)
+SELECT doc_id, md5(text) AS fp, CAST(seq AS INT) AS last_seq
+FROM latest WHERE rn = 1 AND op <> 'd'""",
+
+    "q102_scd2" -> """WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tmicro FROM events),
+l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+    ORDER BY tmicro, event_id) AS prev_type FROM ev),
+s AS (SELECT user_id, event_id, event_type, tmicro FROM l
+  WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type, tmicro AS valid_from,
+  lead(tmicro) OVER (PARTITION BY user_id ORDER BY tmicro, event_id) AS valid_to
+FROM s"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

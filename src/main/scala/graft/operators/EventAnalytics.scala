@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics beyond the per-user sessionize/window queries
@@ -44,6 +45,29 @@ object EventAnalytics {
     events.select("user_id").distinct()
       .join(chained, Seq("user_id"), "left")
       .withColumn("stage", reached)
+  }
+
+  /** SCD2-style validity intervals: each user's event-type regime becomes
+    * one row [valid_from, valid_to) — a new interval starts whenever the
+    * type differs from the previous event's (deterministic order:
+    * time, then event_id), and the open current interval has a null
+    * valid_to. The slowly-changing-dimension history table every
+    * warehouse keeps, built in two window passes.
+    *
+    * Scale shape: both windows are PARTITIONED BY USER (the natural
+    * parallel unit) over the same (tmicro, event_id) sort, so Catalyst
+    * plans one shuffle + one sort for the pair; nothing global anywhere.
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tmicro", "event_id")
+    val starts = events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("tmicro"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    starts
+      .withColumn("valid_to", lead("tmicro", 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("tmicro").as("valid_from"), col("valid_to"))
   }
 
   /** Cohort retention: users are cohorted by their first active day; the

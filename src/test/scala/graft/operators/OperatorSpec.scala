@@ -495,6 +495,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L))
   }
 
+  test("cdcMerge: latest seq wins per key, delete beats earlier update") {
+    val ss = spark; import ss.implicits._
+    val snapshot = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val changes = Seq((2L, "y2", 1, "u"), (2L, "y3", 2, "u"), (3L, "", 2, "d"))
+      .toDF("doc_id", "text", "seq", "op")
+    val out = Changelog.cdcMerge(snapshot, changes).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out === Map(1L -> ((md5hex("x"), 0)), 2L -> ((md5hex("y3"), 2))))
+  }
+
+  test("scd2Intervals: regime rows with half-open validity, open tail") {
+    val ss = spark; import ss.implicits._
+    val ev = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "view", 1L), (3L, 30L, "click", 1L),
+      (4L, 40L, "view", 1L), (5L, 15L, "click", 2L))
+      .toDF("event_id", "tmicro", "event_type", "user_id")
+    val out = EventAnalytics.scd2Intervals(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)),
+        (r.getString(1), Option(r.get(3))))).toMap
+    assert(out === Map(
+      (1L, 10L) -> (("view", Some(30L))),
+      (1L, 30L) -> (("click", Some(40L))),
+      (1L, 40L) -> (("view", None)),
+      (2L, 15L) -> (("click", None))))
+  }
+
   test("stateful streaming funnel equals the batch ordered funnel") {
     import java.nio.file.Files
     val ev = OccurrenceView.events(spark, Dir)
