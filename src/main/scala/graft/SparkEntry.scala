@@ -825,7 +825,17 @@ object SparkEntry {
 
     // Warehouse: SCD2 validity intervals of each user's event-type regimes
     "q102_scd2" -> ((s, dir) =>
-      graft.operators.EventAnalytics.scd2Intervals(events(s, dir)))
+      graft.operators.EventAnalytics.scd2Intervals(events(s, dir))),
+
+    // Data quality: referential-integrity / pk-dup / null audit over the
+    // star schema — anti-joins with AQE-broadcast dimensions
+    "q103_dq_audit" -> ((s, dir) =>
+      graft.operators.DataQuality.audit(s, dir)),
+
+    // Time series: trailing-3-hour burst ratios per event type — exact
+    // counts, one mirrored division (no order-dependent variance sums)
+    "q104_hourly_burst" -> ((s, dir) =>
+      graft.operators.EventAnalytics.hourlyBursts(events(s, dir)))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2190,7 +2200,46 @@ s AS (SELECT user_id, event_id, event_type, tmicro FROM l
   WHERE prev_type IS NULL OR prev_type <> event_type)
 SELECT user_id, event_type, tmicro AS valid_from,
   lead(tmicro) OVER (PARTITION BY user_id ORDER BY tmicro, event_id) AS valid_to
-FROM s"""
+FROM s""",
+
+    "q103_dq_audit" -> """SELECT 'orders_orphan_custkey' AS check_name, count(*) AS n_bad
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem_orphan_partkey', count(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem_orphan_suppkey', count(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders_dup_orderkey', CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+  SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1) WHERE c > 1
+UNION ALL
+SELECT 'lineitem_dup_pk', CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+  SELECT l_orderkey, l_linenumber, count(*) AS c FROM lineitem GROUP BY 1, 2)
+  WHERE c > 1
+UNION ALL
+SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'lineitem_null_shipdate', count(*) FROM lineitem WHERE l_shipdate IS NULL""",
+
+    "q104_hourly_burst" -> """WITH h AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+    count(*) AS n
+  FROM events GROUP BY 1, 2),
+w AS (SELECT hour, event_type, n,
+  count(n) OVER (PARTITION BY event_type ORDER BY hour
+    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_n,
+  sum(n) OVER (PARTITION BY event_type ORDER BY hour
+    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_sum FROM h)
+SELECT hour, event_type, n,
+  CASE WHEN prev_n = 3
+       THEN round(CAST(n AS DOUBLE) / (CAST(prev_sum AS DOUBLE) / 3.0), 6)
+  END AS burst
+FROM w"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit over the star schema — the dbt-style test suite an
+  * ingest pipeline runs before promoting a snapshot: referential-integrity
+  * orphan counts, primary-key duplicate counts, and null-rate checks, all
+  * emitted as one (check, n_bad) report.
+  *
+  * Scale shape: every orphan check is a LEFT ANTI join keyed on the
+  * foreign key — the dimension side is broadcast by AQE (customer/part/
+  * supplier are dimension-sized), so the fact table never shuffles; the
+  * duplicate checks are count-vs-distinct aggregates with map-side
+  * partials. Each check reduces to ONE scalar, so the union of reports
+  * is driver-trivial regardless of input size.
+  */
+object DataQuality {
+
+  private def scalarRow(spark: SparkSession, name: String, value: DataFrame): DataFrame =
+    value.select(lit(name).as("check_name"), col("n_bad"))
+
+  /** The audit report: one row per check, n_bad = violation count. */
+  def audit(spark: SparkSession, dir: String): DataFrame = {
+    def t(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+    val orders = t("orders"); val lineitem = t("lineitem")
+    val customer = t("customer"); val part = t("part"); val supplier = t("supplier")
+
+    def orphans(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      scalarRow(spark, name,
+        fact.join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti")
+          .agg(count(lit(1)).as("n_bad")))
+
+    def dupPk(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      scalarRow(spark, name,
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_bad")))
+
+    def nulls(name: String, df: DataFrame, c: String): DataFrame =
+      scalarRow(spark, name,
+        df.agg(count(when(col(c).isNull, 1)).as("n_bad")))
+
+    Seq(
+      orphans("orders_orphan_custkey", orders, "o_custkey", customer, "c_custkey"),
+      orphans("lineitem_orphan_orderkey", lineitem, "l_orderkey", orders, "o_orderkey"),
+      orphans("lineitem_orphan_partkey", lineitem, "l_partkey", part, "p_partkey"),
+      orphans("lineitem_orphan_suppkey", lineitem, "l_suppkey", supplier, "s_suppkey"),
+      dupPk("orders_dup_orderkey", orders, Seq("o_orderkey")),
+      dupPk("lineitem_dup_pk", lineitem, Seq("l_orderkey", "l_linenumber")),
+      nulls("orders_null_custkey", orders, "o_custkey"),
+      nulls("lineitem_null_shipdate", lineitem, "l_shipdate"))
+      .reduce(_ unionByName _)
+  }
+}

@@ -70,6 +70,32 @@ object EventAnalytics {
         col("tmicro").as("valid_from"), col("valid_to"))
   }
 
+  /** Trailing-mean burst detection over hourly event counts: each
+    * (type, hour) bucket's count against the mean of its previous three
+    * observed hours — `burst > 1` flags volume spikes, null until three
+    * trailing hours exist. The counts are exact ints and the ratio is a
+    * mirrored two-division round — no variance/stddev (whose sum-of-
+    * squares float accumulation would be order-dependent).
+    *
+    * Scale shape: one keyed hourly aggregate (map-side combined over the
+    * raw events), then a window PARTITIONED BY EVENT TYPE over the tiny
+    * hourly table — the corpus-sized stage is the aggregate only.
+    */
+  def hourlyBursts(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(
+      date_format(date_trunc("hour", col("tstamp")), "yyyy-MM-dd HH").as("hour"),
+      col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-3, -1)
+    hourly
+      .withColumn("prev_n", count(col("n")).over(w))
+      .withColumn("prev_sum", sum("n").over(w))
+      .select(col("hour"), col("event_type"), col("n"),
+        when(col("prev_n") === 3,
+          round(col("n").cast("double") /
+            (col("prev_sum").cast("double") / 3.0), 6)).as("burst"))
+  }
+
   /** Cohort retention: users are cohorted by their first active day; the
     * output counts, per (cohort day, day offset), how many of that
     * cohort's users were active `offset` days after joining — the classic

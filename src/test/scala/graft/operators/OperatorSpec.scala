@@ -495,6 +495,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L) -> 1L))
   }
 
+  test("DataQuality.audit counts orphans, pk dups, and nulls (null fk is an " +
+    "orphan — anti-join semantics, not NOT IN)") {
+    val ss = spark; import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dqaudit").toString
+    Seq((1L, "n")).toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, Some(1L)), (2L, Some(99L)), (2L, None: Option[Long]))
+      .toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, Some("d")), (7L, 5L, 1L, 1, None: Option[String]))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "p")).toDF("p_partkey", "p_name")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((1L, "s")).toDF("s_suppkey", "s_name")
+      .write.parquet(s"$dir/supplier.parquet")
+    val out = DataQuality.audit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map(
+      "orders_orphan_custkey" -> 2L,   // fk 99 + the NULL fk
+      "lineitem_orphan_orderkey" -> 1L,
+      "lineitem_orphan_partkey" -> 1L,
+      "lineitem_orphan_suppkey" -> 0L,
+      "orders_dup_orderkey" -> 1L,
+      "lineitem_dup_pk" -> 0L,
+      "orders_null_custkey" -> 1L,
+      "lineitem_null_shipdate" -> 1L))
+  }
+
   test("cdcMerge: latest seq wins per key, delete beats earlier update") {
     val ss = spark; import ss.implicits._
     val snapshot = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
