@@ -835,7 +835,13 @@ object SparkEntry {
     // Time series: trailing-3-hour burst ratios per event type — exact
     // counts, one mirrored division (no order-dependent variance sums)
     "q104_hourly_burst" -> ((s, dir) =>
-      graft.operators.EventAnalytics.hourlyBursts(events(s, dir)))
+      graft.operators.EventAnalytics.hourlyBursts(events(s, dir))),
+
+    // Temporal join: events rolled up into their SCD2 regime — Spark side
+    // is a carry-forward window (NO range join); the oracle cross-checks
+    // with a genuine interval join
+    "q105_interval_join" -> ((s, dir) =>
+      graft.operators.EventAnalytics.eventsInRegimes(events(s, dir)))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2239,7 +2245,22 @@ SELECT hour, event_type, n,
   CASE WHEN prev_n = 3
        THEN round(CAST(n AS DOUBLE) / (CAST(prev_sum AS DOUBLE) / 3.0), 6)
   END AS burst
-FROM w"""
+FROM w""",
+
+    "q105_interval_join" -> """WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tmicro FROM events),
+l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+    ORDER BY tmicro, event_id) AS prev_type FROM ev),
+s AS (SELECT user_id, event_id, event_type, tmicro FROM l
+  WHERE prev_type IS NULL OR prev_type <> event_type),
+iv AS (SELECT user_id, event_type, tmicro AS valid_from,
+  lead(tmicro) OVER (PARTITION BY user_id ORDER BY tmicro, event_id) AS valid_to
+  FROM s)
+SELECT iv.user_id, iv.valid_from, iv.event_type, count(*) AS n_events
+FROM ev JOIN iv ON ev.user_id = iv.user_id
+  AND ev.tmicro >= iv.valid_from
+  AND (iv.valid_to IS NULL OR ev.tmicro < iv.valid_to)
+GROUP BY 1, 2, 3"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -96,6 +96,34 @@ object EventAnalytics {
             (col("prev_sum").cast("double") / 3.0), 6)).as("burst"))
   }
 
+  /** Temporal interval membership: every event assigned to the SCD2 regime
+    * ([[scd2Intervals]]) active at its timestamp, rolled up to per-regime
+    * event counts. The Spark formulation NEVER runs a range join: the
+    * regime start carries forward over one user-partitioned window (the
+    * same union-free trick as the as-of join q70), so the plan is one
+    * keyed shuffle + window + aggregate. The ORACLE deliberately evaluates
+    * the opposite way — a genuine `t >= valid_from AND t < valid_to`
+    * interval join — so the gate cross-checks two independent strategies.
+    *
+    * Scale shape: at 100 TB a range join explodes into per-key cross
+    * products; the carry-forward window is linear in events per user and
+    * hash-parallel across users. This is the general pattern for joining
+    * facts to interval dimensions derived from the same ordered stream.
+    */
+  def eventsInRegimes(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tmicro", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("tmicro"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("start_t",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"),
+          col("tmicro")))
+      .withColumn("valid_from", max("start_t").over(run))
+      .groupBy("user_id", "valid_from", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Cohort retention: users are cohorted by their first active day; the
     * output counts, per (cohort day, day offset), how many of that
     * cohort's users were active `offset` days after joining — the classic

@@ -536,6 +536,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> ((md5hex("x"), 0)), 2L -> ((md5hex("y3"), 2))))
   }
 
+  test("eventsInRegimes: carry-forward assignment matches interval semantics " +
+    "and conserves the event total") {
+    val ss = spark; import ss.implicits._
+    val ev = Seq(
+      (1L, 10L, "view", 1L), (2L, 20L, "view", 1L), (3L, 30L, "click", 1L),
+      (4L, 40L, "view", 1L), (5L, 15L, "click", 2L))
+      .toDF("event_id", "tmicro", "event_type", "user_id")
+    val out = EventAnalytics.eventsInRegimes(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getString(2)), r.getLong(3))).toMap
+    assert(out === Map(
+      (1L, 10L, "view") -> 2L, (1L, 30L, "click") -> 1L,
+      (1L, 40L, "view") -> 1L, (2L, 15L, "click") -> 1L))
+    assert(out.values.sum === 5L) // every event lands in exactly one regime
+  }
+
   test("scd2Intervals: regime rows with half-open validity, open tail") {
     val ss = spark; import ss.implicits._
     val ev = Seq(
