@@ -841,7 +841,12 @@ object SparkEntry {
     // is a carry-forward window (NO range join); the oracle cross-checks
     // with a genuine interval join
     "q105_interval_join" -> ((s, dir) =>
-      graft.operators.EventAnalytics.eventsInRegimes(events(s, dir)))
+      graft.operators.EventAnalytics.eventsInRegimes(events(s, dir))),
+
+    // Graph: 3-iteration PageRank over the near-dup graph in exact
+    // integer micro-units — bit-identical in any engine (no float sums)
+    "q106_pagerank" -> ((s, dir) =>
+      Dedup.pagerankMicro(documents(s, dir), 0.5, 3))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2260,7 +2265,39 @@ SELECT iv.user_id, iv.valid_from, iv.event_type, count(*) AS n_events
 FROM ev JOIN iv ON ev.user_id = iv.user_id
   AND ev.tmicro >= iv.valid_from
   AND (iv.valid_to IS NULL OR ev.tmicro < iv.valid_to)
-GROUP BY 1, 2, 3"""
+GROUP BY 1, 2, 3""",
+
+    "q106_pagerank" -> {
+      val prIters = (1 to 3).map { i =>
+        val prev = s"r${i - 1}"
+        s"""c$i AS (SELECT s.dst AS doc_id, CAST(sum($prev.r // d.deg) AS BIGINT) AS c
+  FROM sym s JOIN deg d USING (src) JOIN $prev ON $prev.doc_id = s.src
+  GROUP BY 1),
+r$i AS (SELECT b.doc_id,
+  CAST(150000 + (850 * coalesce(c$i.c, 0)) // 1000 AS BIGINT) AS r
+  FROM r0 b LEFT JOIN c$i ON b.doc_id = c$i.doc_id)"""
+      }.mkString(",\n")
+      SigSql + s""",
+bands AS (${(0 until Dedup.NumBands).map(b =>
+        s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
+        .mkString("\n  UNION ALL ")}),
+ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+  HAVING count(*) <= ${Dedup.DefaultBucketCap}),
+bk AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+vp AS (SELECT doc_a, doc_b FROM (
+  SELECT doc_a, doc_b,
+    (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
+  WHERE est_sim >= 0.5),
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+  UNION ALL SELECT doc_b, doc_a FROM vp),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+$prIters
+SELECT doc_id, r AS rank_micro FROM r3"""
+    }
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -310,6 +310,47 @@ object Dedup {
     labels
   }
 
+  /** Fixed-iteration PageRank over the symmetrized near-dup graph, in
+    * EXACT INTEGER MICRO-UNITS: ranks live as micro-longs (1.0 = 10⁶),
+    * each node passes `r div deg` to every neighbour (truncating integer
+    * division), and the damped update is
+    * `r' = 150000 + (850·Σcontrib) div 1000` — every operation is long
+    * arithmetic, so the distributed sum is order-independent and any
+    * engine reproduces it bit-for-bit, which a float PageRank cannot do
+    * (its per-node Σ depends on reduction order). The centrality weights
+    * duplicate-cluster hubs — the corpus-quality signal link analysis
+    * gives a training pipeline. Dangling mass is dropped (standard
+    * simplified form); isolated docs settle at the 150000 floor.
+    *
+    * Scale shape: the edge list is LSH-candidate-bounded (never n²) and
+    * checkpointed once; each iteration is one join + one keyed sum, the
+    * classic Pregel-style round. Micro-scaling keeps every product below
+    * 2^63 up to ~10¹² accumulated contribution — far past any real
+    * in-degree after the hot-bucket cap.
+    */
+  def pagerankMicro(docs: DataFrame, minEst: Double, iters: Int): DataFrame = {
+    val edges = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+    // materialized once: three iterations would otherwise re-run the
+    // candidate join per action (same rationale as duplicateClusters)
+    val sym = edges
+      .union(edges.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = docs.select(col("doc_id"))
+    var r = base.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(deg, Seq("src"))
+        .join(r.select(col("doc_id").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("doc_id"), expr("r div deg").as("give"))
+        .groupBy("doc_id").agg(sum("give").as("c"))
+      r = base.join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("150000 + (850 * coalesce(c, 0)) div 1000").as("r"))
+    }
+    r.select(col("doc_id"), col("r").as("rank_micro"))
+  }
+
   /** 32-bit SimHash over shingle hashes (integer-only, engine-portable;
     * 5-code-point shingles per [[cpFold]]'s convention).
     */

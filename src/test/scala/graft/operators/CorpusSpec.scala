@@ -491,6 +491,19 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pagerankMicro: exact integer fixed point on a 2-cycle, damping " +
+    "floor for isolated docs") {
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = docsDf(
+      (0L, body, "s"), (1L, body, "s"),
+      (2L, "completely different words here entirely unrelated", "s"))
+    // 0↔1 form a 2-cycle with deg 1: r' = 150000 + 850·(10⁶ div 1) div 1000
+    // = 10⁶ exactly, every iteration; isolated 2 settles at the 150000 floor
+    val out = Dedup.pagerankMicro(docs, 0.5, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 150000L))
+  }
+
   test("bpePairCounts: pair counts weight by word frequency, deterministic " +
     "top-k order") {
     val docs = docsDf((0L, "ab ab abc", "s"), (1L, "abc", "s"))
