@@ -846,7 +846,24 @@ object SparkEntry {
     // Graph: 3-iteration PageRank over the near-dup graph in exact
     // integer micro-units — bit-identical in any engine (no float sums)
     "q106_pagerank" -> ((s, dir) =>
-      Dedup.pagerankMicro(documents(s, dir), 0.5, 3))
+      Dedup.pagerankMicro(documents(s, dir), 0.5, 3)),
+
+    // Raster: 3×3 focal density surface over the 0.1° cell grid with
+    // dateline wrap — collapse-before-amplify (agg first, then the bounded
+    // 9-arm explode over aggregated cells)
+    "q107_focal_density" -> ((s, dir) =>
+      graft.operators.Spatial.focalDensity(occ(s, dir))),
+
+    // S6-style storage-layout audit: Morton (Z-order) keys over the q08 z6
+    // tile store, 64-key blocks (span ≤ 8×8 by construction)
+    "q108_zorder_layout" -> ((s, dir) =>
+      graft.operators.Spatial.zorderLayout(tilesZ6(s, dir), 7, 6)),
+
+    // O3 deep pyramid: >8 levels forces the ITERATIVE per-level halving
+    // chain (the reference's z16 production shape) — same rollup semantics
+    // as q45's one-pass, gated by the same grouped-rollup oracle family
+    "q109_pyramid_deep" -> ((s, dir) =>
+      MapBuild.pyramid(occ(s, dir), "EPSG:4326", 0, 10))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2297,7 +2314,33 @@ deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
 r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
 $prIters
 SELECT doc_id, r AS rank_micro FROM r3"""
-    }
+    },
+
+    "q107_focal_density" -> (OccSql + ",\n" + graft.operators.Spatial.FocalSql + """
+SELECT c.lat10, c.lng10, c.n, f.focal9
+FROM cells c JOIN focal f USING (lat10, lng10)"""),
+
+    // n_tiles: ty < 2^6 by the tile-grid contract, so tx*64 + ty is a
+    // bijection on (tx, ty) — DuckDB-safe distinct-pair count
+    "q108_zorder_layout" -> (TilesZ6Sql + s"""
+SELECT (${graft.operators.Spatial.mortonExpr("tx", "ty", 7, 6, "//")} // 64) AS zb,
+  count(*) AS n_rows, count(DISTINCT tx*64 + ty) AS n_tiles,
+  CAST(sum(total) AS BIGINT) AS block_total,
+  max(tx) - min(tx) + 1 AS span_x, max(ty) - min(ty) + 1 AS span_y
+FROM tl GROUP BY zb"""),
+
+    "q109_pyramid_deep" -> (Ex + s""",
+px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
+  FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+  GROUP BY ALL),
+pxc AS (SELECT map_key, px, py, CAST(sum(occ_count) AS BIGINT) AS total FROM px16 GROUP BY ALL),
+${(0 to 10).map { z => s"""
+lvl$z AS (SELECT map_key, px >> ${16 - z} AS px, py >> ${16 - z} AS py, CAST(sum(total) AS BIGINT) AS total
+  FROM pxc GROUP BY ALL),
+tl$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, count(*) AS n_pixels,
+  CAST(sum(total) AS BIGINT) AS total, $z AS z
+  FROM lvl$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
+${(10 to 0 by -1).map(z => s"SELECT * FROM tl$z").mkString("\nUNION ALL ")}""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

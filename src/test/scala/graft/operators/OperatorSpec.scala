@@ -40,6 +40,18 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     px16.unpersist()
   }
 
+  test("pyramidIterative equals pyramidOnePass on a shared zoom range") {
+    // the two strategies must be interchangeable: [[MapBuild.pyramid]]
+    // dispatches on depth, so a divergence would ship invisibly whenever
+    // only one branch is exercised by the driver gates
+    val occ = OccurrenceView.occ(spark, Dir)
+    val one = MapBuild.pyramidOnePass(occ, "EPSG:4326", 0, 5)
+    val iter = MapBuild.pyramidIterative(occ, "EPSG:4326", 0, 5)
+    assert(one.exceptAll(iter).count() === 0)
+    assert(iter.exceptAll(one).count() === 0)
+    spark.catalog.clearCache() // drop the iterative chain's persisted levels
+  }
+
   test("parent tile total equals the sum of its four children (z5 vs z6)") {
     val px16 = MapBuild.pixelAgg(OccurrenceView.occ(spark, Dir), "EPSG:4326").cache()
     val z6 = MapBuild.tileAssembly(MapBuild.rollupToZoom(px16, 16, 6), 6)

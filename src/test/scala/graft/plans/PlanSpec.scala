@@ -176,6 +176,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q92 lost its broadcast membership probe:\n$p")
   }
 
+  test("focal density amplifies only the AGGREGATED cell table and " +
+    "partial-aggregates directly above its bounded 9-arm explode") {
+    val p = planOf("q107_focal_density")
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, p)
+    // collapse-before-amplify: an aggregate (the cell collapse) must sit
+    // BELOW the explode — i.e. appear after it in the top-down printout
+    assert(p.substring(gen).contains("HashAggregate"),
+      s"explode runs over raw records, not aggregated cells:\n$p")
+    // and the focal re-aggregation must combine map-side right above it
+    val before = p.substring(0, gen)
+    val lastAgg = before.lastIndexOf("HashAggregate")
+    assert(lastAgg >= 0, s"no aggregate above the explode:\n$p")
+    assert(!before.substring(lastAgg).contains("Exchange"),
+      s"shuffle between explode and partial aggregate:\n$p")
+  }
+
   test("pixel aggregation partial-aggregates directly above the explode " +
     "(map-side combine before any shuffle)") {
     val p = planOf("q06_pixel_agg_4326")
