@@ -264,7 +264,10 @@ object SparkEntry {
     "q34_country_mask" -> ((s, dir) => {
       // explode is pruned to just the two joined views BEFORE the pixel
       // shuffle; persist+count so the density and mask branches read one
-      // materialized pixel table instead of re-running the scan
+      // materialized pixel table instead of re-running the scan. The
+      // handle can't unpersist here (the returned plan reads it), so every
+      // sweep consumer clears the cache after each query's action —
+      // Verify/Bench in their run loops, PlanSpec in afterAll.
       val rp = TileServe.renderPixels(
         rawPoints(s, dir).filter(col("map_key").isin("0:0", "4:3")),
         "EPSG:4326", 10)
@@ -504,20 +507,10 @@ object SparkEntry {
 
     // Pipeline: deterministic sequence packing — documents assigned to
     // fixed 4096-token training bins by running-offset within each source
-    // (longest-first for tight packing; the window partitions by source, the
-    // natural parallel unit — at larger scale the partition key gains a salt)
-    "q64_sequence_packing" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_tokens").desc, col("doc_id"))
-      documents(s, dir)
-        .withColumn("n_tokens",
-          when(length(trim(col("text"))) === 0, 0)
-            .otherwise(size(split(trim(col("text")), "\\s+"))))
-        .withColumn("cum", sum("n_tokens").over(w))
-        .withColumn("bin_id", expr("(cum - n_tokens) div 4096"))
-        .groupBy("source", "bin_id")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
-    }),
+    // (longest-first for tight packing; the running sum is sharded over
+    // length buckets so no task ever sorts a whole source)
+    "q64_sequence_packing" -> ((s, dir) =>
+      graft.operators.Corpus.sequencePacking(documents(s, dir), 4096L)),
 
     // S10: year facet over the occurrence view (RegressionResource.java:226-252)
     "q43_year_facet" -> ((s, dir) =>
@@ -863,7 +856,13 @@ object SparkEntry {
     // chain (the reference's z16 production shape) — same rollup semantics
     // as q45's one-pass, gated by the same grouped-rollup oracle family
     "q109_pyramid_deep" -> ((s, dir) =>
-      MapBuild.pyramid(occ(s, dir), "EPSG:4326", 0, 10))
+      MapBuild.pyramid(occ(s, dir), "EPSG:4326", 0, 10)),
+
+    // Dedup: containment-DEDICATED blocking — exact prefix filter on the
+    // contained side's sorted trigram hashes; recall is independent of the
+    // doc size ratio, unlike the q98 LSH route
+    "q110_containment_blocked" -> ((s, dir) =>
+      Dedup.containmentBlockedPairs(documents(s, dir), 0.8, 50))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2340,7 +2339,28 @@ lvl$z AS (SELECT map_key, px >> ${16 - z} AS px, py >> ${16 - z} AS py, CAST(sum
 tl$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, count(*) AS n_pixels,
   CAST(sum(total) AS BIGINT) AS total, $z AS z
   FROM lvl$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
-${(10 to 0 by -1).map(z => s"SELECT * FROM tl$z").mkString("\nUNION ALL ")}""")
+${(10 to 0 by -1).map(z => s"SELECT * FROM tl$z").mkString("\nUNION ALL ")}"""),
+
+    "q110_containment_blocked" -> """WITH tkc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+tgc AS (SELECT doc_id,
+  [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS gs FROM tkc),
+shc0 AS (SELECT doc_id, list_distinct([list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(g, '')]),
+    (a, b) -> (a*31 + b) % 2147483647) for g in gs]) AS s FROM tgc),
+shc AS (SELECT doc_id, list_sort(s) AS s FROM shc0 WHERE len(s) > 0),
+post AS (SELECT doc_id AS doc_b, unnest(s) AS h FROM shc),
+ok AS (SELECT h FROM post GROUP BY h HAVING count(*) <= 50),
+postok AS (SELECT p.doc_b, p.h FROM post p JOIN ok USING (h)),
+probe AS (SELECT doc_id AS doc_a,
+  unnest(s[1 : CAST(len(s) - CAST(ceil(len(s) * CAST('0.8' AS DOUBLE)) AS BIGINT) + 1 AS BIGINT)]) AS h
+  FROM shc),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM probe JOIN postok USING (h) WHERE doc_a <> doc_b),
+res AS (SELECT cand.doc_a, cand.doc_b,
+  CAST(len(list_intersect(a.s, b.s)) AS INT) AS n_common,
+  CAST(len(a.s) AS INT) AS n_a, CAST(len(b.s) AS INT) AS n_b,
+  len(list_intersect(a.s, b.s)) / len(a.s) AS contain_a
+  FROM cand JOIN shc a ON cand.doc_a = a.doc_id JOIN shc b ON cand.doc_b = b.doc_id)
+SELECT * FROM res WHERE contain_a >= CAST('0.8' AS DOUBLE)"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

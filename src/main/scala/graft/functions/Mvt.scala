@@ -96,6 +96,11 @@ object Mvt {
       var k = i
       while (k < j) {
         val y = fs(k).year
+        // the int year-key sort below coincides with the historical string
+        // sort ONLY on this domain — self-enforce it (a 5-digit or negative
+        // year would silently reorder the key table vs stored tiles)
+        require(y == 0 || (y >= 1000 && y <= 9999),
+          s"year $y outside the string-sort-stable domain (0 or 1000..9999)")
         var seen = false; var t = 0
         while (t < ny && !seen) { if (years(t) == y) seen = true; t += 1 }
         if (!seen) {

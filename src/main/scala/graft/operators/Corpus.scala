@@ -350,19 +350,78 @@ object Corpus {
     ranked.groupBy("source").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact running `n_tokens` sum within each source in
+    * (`order` DESC, doc_id ASC) order — WITHOUT ever windowing on `source`
+    * alone, so no single task sorts a whole source (a training corpus has
+    * few, enormous sources; one-task-per-source is the 100 TB killer the
+    * round-4 audit flagged). The q81/q86 histogram pattern applied to
+    * cumulative packing:
+    *
+    *  1. rows bucket by `bucket`, a coarse monotone image of the order key
+    *     (all of bucket k+1 strictly precedes all of bucket k in the DESC
+    *     order, ties land in one bucket);
+    *  2. per-(source, bucket) token totals — bounded by
+    *     #sources × #buckets rows, NOT corpus-sized — turn into
+    *     earlier-bucket offsets via a tiny self-join (deliberately not a
+    *     per-source window, so the "no window on source alone" invariant
+    *     is assertable plan-wide);
+    *  3. the within-bucket running sum windows on (source, bucket) — each
+    *     task sorts one bucket of one source;
+    *  4. cum = broadcast offset + within-bucket running sum. Identical to
+    *     the single-window formulation on any input.
+    */
+  private def runningTokensSharded(
+      base: DataFrame, bucket: Column, order: Column): DataFrame = {
+    val b = base.withColumn("ob", bucket)
+    val bt = b.groupBy("source", "ob").agg(sum("n_tokens").as("bt"))
+    val off = bt.as("a")
+      .join(bt.as("b"),
+        col("a.source") === col("b.source") && col("b.ob") > col("a.ob"),
+        "left")
+      .groupBy(col("a.source").as("source"), col("a.ob").as("ob"))
+      .agg(coalesce(sum(col("b.bt")), lit(0L)).as("cum_off"))
+    val w = Window.partitionBy("source", "ob")
+      .orderBy(order.desc, col("doc_id").asc)
+    // the offset table is structurally bounded (#sources × #buckets), so a
+    // forced broadcast is safe per the repo's broadcast-hint rule
+    b.join(broadcast(off), Seq("source", "ob"))
+      .withColumn("cum", col("cum_off") + sum("n_tokens").over(w))
+      .drop("ob", "cum_off")
+  }
+
+  /** Deterministic sequence packing: documents assigned to fixed
+    * `binTokens`-token training bins by running token offset within each
+    * source, longest-first (n_tokens desc, doc_id tiebreak) for tight
+    * packing. Emits per-(source, bin) packing evidence.
+    *
+    * Scale shape: the running offset is [[runningTokensSharded]] over
+    * 16-token-wide length buckets (clamped at 4096 buckets so the offset
+    * table stays bounded under pathological doc lengths) — no task ever
+    * sorts a whole source.
+    */
+  def sequencePacking(docs: DataFrame, binTokens: Long): DataFrame = {
+    val base = docs.withColumn("n_tokens",
+      when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
+    runningTokensSharded(base,
+        least(expr("n_tokens div 16"), lit(4096L)), col("n_tokens"))
+      .withColumn("bin_id", expr(s"(cum - n_tokens) div $binTokens"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+  }
+
   /** Token-budget-constrained selection: per source, documents are ranked
     * by quality (alpha ratio — the q22 signal — descending, doc_id
     * tiebreak) and kept greedily while the running token total stays
     * within `budget`. Emits the per-source selection evidence (docs kept,
     * tokens kept, the worst admitted quality). The quality key is a single
-    * integer division (engine-exact) and the running total is an integer
+    * division (engine-exact) and the running total is an integer
     * cumulative sum — nothing order-ambiguous anywhere.
     *
-    * Scale shape: one row-local quality/token projection, then a window
-    * PARTITIONED BY SOURCE (the natural parallel unit) for rank + running
-    * sum, then a per-source aggregate. A source too large for one task
-    * decomposes exactly like the quantile histogram: bucket by quality,
-    * cumulative bucket totals, refine the boundary bucket.
+    * Scale shape: one row-local quality/token projection, then
+    * [[runningTokensSharded]] over 1/256-wide quality buckets (quality ∈
+    * [0, 1], so ≤ 257 buckets/source) — no task ever sorts a whole
+    * source — then a per-source aggregate.
     */
   def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
     val toks = tokens(col("text"))
@@ -372,10 +431,9 @@ object Corpus {
       .withColumn("quality",
         length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
           / length(col("text")))
-    val w = Window.partitionBy("source")
-      .orderBy(col("quality").desc, col("doc_id").asc)
-    base
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+    runningTokensSharded(base,
+        floor(col("quality") * 256).cast("int"), col("quality"))
+      .withColumnRenamed("cum", "cum_tokens")
       .filter(col("cum_tokens") <= budget)
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"),

@@ -422,6 +422,58 @@ object Dedup {
       .filter(greatest(col("contain_a"), col("contain_b")) >= minContain)
   }
 
+  /** Containment-DEDICATED blocking: exact prefix filtering on the
+    * contained side's sorted trigram hashes, verified directionally. LSH
+    * on minhash-Jaccard under-recalls extreme-size-ratio containment
+    * pairs (a 20-token doc quoted inside a 2000-token doc has Jaccard
+    * ~1%, so no band collides even at containment 1.0); this pass blocks
+    * on the SMALLER doc's own hashes instead, so recall is independent of
+    * the size ratio:
+    *
+    *  - posting index: every doc's every trigram hash, minus hashes
+    *    hotter than `postingCap` docs (boilerplate trigrams — the same
+    *    degenerate-key guard as the LSH bucket cap);
+    *  - probe: doc A exposes only the PREFIX of its ascending-sorted
+    *    hash set — the first |A| − ⌈|A|·t⌉ + 1 hashes. If
+    *    |A∩B| ≥ t·|A| then A has at most |A| − ⌈t·|A|⌉ hashes outside
+    *    B, so at least one prefix hash hits B's postings: the filter is
+    *    EXACT (zero recall loss below the cap), not probabilistic;
+    *  - verify: one row-local set intersection per candidate, keep
+    *    directional pairs with contain_a ≥ t.
+    *
+    * Scale shape: postings are linear in corpus trigrams (the same
+    * magnitude as the signature build), the probe side is a ~(1−t)
+    * fraction of that, and the join is hash-keyed — never all-pairs. The
+    * driver corpus's containment pairs all happen to be near-dups too, so
+    * the size-ratio recall win is exercised by the constructed
+    * quoted-snippet pair in OperatorSpec.
+    */
+  def containmentBlockedPairs(docs: DataFrame, minContain: Double,
+      postingCap: Int): DataFrame = {
+    val sh = docs.withColumn("s", sort_array(trigramHashSetUdf(col("text"))))
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id"), col("s"))
+    val post = sh.select(col("doc_id").as("doc_b"), explode(col("s")).as("h"))
+    val ok = post.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= postingCap).select("h")
+    val n = size(col("s"))
+    val probe = sh.select(col("doc_id").as("doc_a"),
+      explode(slice(col("s"), lit(1),
+        n - ceil(n.cast("double") * lit(minContain)).cast("int") + lit(1))).as("h"))
+    val cand = probe.join(post.join(ok, "h"), "h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = size(array_intersect(col("a.s"), col("b.s")))
+    cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        inter.as("n_common"), size(col("a.s")).as("n_a"),
+        size(col("b.s")).as("n_b"),
+        (inter / size(col("a.s"))).as("contain_a"))
+      .filter(col("contain_a") >= minContain)
+  }
+
   /** Exact n-gram Jaccard over distinct hashed word-trigram sets, blocked by
     * a grouping column (at scale: always pre-blocked — by LSH bucket or
     * metadata key — never the raw cross product).

@@ -109,6 +109,15 @@ object EventAnalytics {
     * products; the carry-forward window is linear in events per user and
     * hash-parallel across users. This is the general pattern for joining
     * facts to interval dimensions derived from the same ordered stream.
+    *
+    * PRECONDITION: (user_id, tmicro) is unique. The two strategies break
+    * same-instant ties differently — when two events of one user share a
+    * tmicro across a regime change, the carry-forward window lets the
+    * earlier-id event keep its own type in the old regime, while the pure
+    * timestamp interval join assigns both to the new regime's interval.
+    * Event streams with sub-microsecond collisions need a (tmicro,
+    * event_id) composite time key on BOTH sides before the strategies
+    * agree on any input.
     */
   def eventsInRegimes(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tmicro", "event_id")

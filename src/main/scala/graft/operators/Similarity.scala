@@ -379,6 +379,8 @@ object Similarity {
   def pqCodebook(emb: DataFrame): Array[Array[Array[Double]]] = {
     val vs = emb.filter(col("vec_id") < PqK).orderBy("vec_id").select("embedding")
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(vs.length == PqK,
+      s"PQ codebook needs embeddings with vec_id 0..${PqK - 1} present; got ${vs.length}")
     val dsub = vs(0).length / PqM
     Array.tabulate(PqM)(m => Array.tabulate(PqK)(k =>
       java.util.Arrays.copyOfRange(vs(k), m * dsub, (m + 1) * dsub)))

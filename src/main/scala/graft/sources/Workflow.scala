@@ -57,8 +57,19 @@ object Workflow {
 
   /** Build both index tables for one scale-factor dir, then swap the
     * manifest. Returns the new manifest.
+    *
+    * `maxZoom`/`projections` size the tile pyramid: the default (z6, all
+    * four SRS) is the serving-store depth the sandbox data warrants; the
+    * reference's production build runs the same sequenced per-zoom job
+    * chain to z16 (TileMapBuilder.java:52-70 — 17 zooms × 4 projections),
+    * which callers get by passing maxZoom = 16. Each zoom still derives
+    * from the previous zoom's persisted level, so depth changes the job
+    * COUNT, not the per-job shape.
     */
-  def build(spark: SparkSession, sfDir: String, workDir: String): Manifest = {
+  def build(spark: SparkSession, sfDir: String, workDir: String,
+      projections: Seq[String] =
+        Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031"),
+      maxZoom: Int = 6): Manifest = {
     import graft.operators.{MapBuild, OccurrenceView, PointEncode, TileEncode}
     val version = readManifest(workDir).map(_.version + 1).getOrElse(1L)
     val pointsPath = s"$workDir/v$version/points"
@@ -95,10 +106,10 @@ object Workflow {
     // families (PrepareBackfill.java:88-93, TileMapBuilder.java:87-93).
     // Each zoom's pixels derive from the previous zoom's persisted level
     // (O3 compute-once pyramid).
-    Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031").foreach { epsg =>
-      var level = MapBuild.pixelAggAt(occSnapshot, epsg, 6)
+    projections.foreach { epsg =>
+      var level = MapBuild.pixelAggAt(occSnapshot, epsg, maxZoom)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var z = 6
+      var z = maxZoom
       while (z >= 0) {
         KeyedSink.writeSalted(
           TileEncode.mvtTiles(spark, level, z),

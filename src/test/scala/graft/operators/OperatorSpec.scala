@@ -110,10 +110,26 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryName("occ_pixels").outputMode("complete").start()
     try q.processAllAvailable()
     finally q.stop()
+    // state sizing: exactly one state row per LIVE (view, pixel, bor_year)
+    // group — the store tracks the live aggregate, nothing accumulates
+    // across batches beyond it (the z-bounded guarantee the docstring
+    // promises for serving zooms)
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators).map(_.numRowsTotal).sum
     val streamed = spark.table("occ_pixels").collect().map(_.toSeq).toSet
     val batch = MapBuild.rollupToZoom(
       MapBuild.pixelAgg(occ, "EPSG:4326"), 16, 6).collect().map(_.toSeq).toSet
     assert(streamed === batch)
+    assert(stateRows === batch.size.toLong,
+      s"state store holds $stateRows rows for ${batch.size} live pixel groups")
+    // and every live group sits inside the z6 grid (2×1 tile scheme: x has
+    // one extra bit) — the structural bound that makes serving-zoom state
+    // safe to keep online
+    val gpx = (1L << 6) * 512L
+    streamed.foreach { r =>
+      val px = r(1).asInstanceOf[Long]; val py = r(2).asInstanceOf[Long]
+      assert(px >= 0 && px < 2 * gpx && py >= 0 && py < gpx, s"pixel off-grid: $r")
+    }
   }
 
   test("MVT golden invariants: per-feature year-sum equals total; z5 parent " +
@@ -392,6 +408,33 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("click_id", "err_id", "user_id")
       .collect().map(_.toSeq).toSet
     assert(streamed === batch && batch.nonEmpty)
+  }
+
+  test("containmentBlockedPairs finds the quoted-snippet pair the LSH " +
+    "route misses (recall independent of the doc size ratio)") {
+    val ss = spark; import ss.implicits._
+    // a 20-token doc quoted verbatim inside a 2000-token doc: containment
+    // 1.0 but Jaccard ~1% — far below any band-collision reach
+    val snippet = (0 until 20).map(i => s"alpha$i").mkString(" ")
+    val filler = (0 until 2000).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, snippet, "a"),
+      (2L, filler + " " + snippet, "b"),
+      (3L, (0 until 50).map(i => s"gamma$i").mkString(" "), "c")
+    ).toDF("doc_id", "text", "source")
+    val viaLsh = Dedup.containmentPairs(docs, 0.5, 0.8)
+      .filter((col("doc_a") === 1 && col("doc_b") === 2) ||
+        (col("doc_a") === 2 && col("doc_b") === 1))
+    assert(viaLsh.count() === 0,
+      "LSH candidates unexpectedly reached the size-skewed pair — the " +
+        "dedicated pass no longer demonstrates its recall win")
+    val blocked = Dedup.containmentBlockedPairs(docs, 0.8, 50)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2).collect()
+    assert(blocked.length === 1)
+    assert(blocked(0).getAs[Double]("contain_a") === 1.0)
+    // and no false positive: the unrelated doc pairs with nothing
+    assert(Dedup.containmentBlockedPairs(docs, 0.8, 50)
+      .filter(col("doc_a") === 3 || col("doc_b") === 3).count() === 0)
   }
 
   test("kmeansStep conserves vectors and integer mass across cells") {

@@ -24,7 +24,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.setLogLevel("ERROR")
   }
 
-  override def afterAll(): Unit = if (spark != null) spark.stop()
+  override def afterAll(): Unit = if (spark != null) {
+    // some query builders persist+count eagerly at construction (q34/q59);
+    // drop their blocks so this suite leaves no cache behind
+    spark.catalog.clearCache()
+    spark.stop()
+  }
 
   private def planOf(q: String): String =
     graft.SparkEntry.queries(q)(spark, Dir)
@@ -89,6 +94,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (!ScalarCrossJoins(q))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$q plans an unexpected nested-loop join")
+    }
+  }
+
+  test("packing/budget running sums are sharded: no window partitioned by " +
+    "source alone (one task would sort a whole source)") {
+    Seq("q64_sequence_packing", "q88_token_budget").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, Dir)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.size == 1 &&
+              w.partitionSpec.head.references.exists(_.name == "source") => w
+      }
+      assert(bad.isEmpty, s"$q has a window partitioned by source alone")
     }
   }
 

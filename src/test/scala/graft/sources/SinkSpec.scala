@@ -75,6 +75,28 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalFromTiles === expected)
   }
 
+  test("full-depth build: the z0–z16 sequenced per-zoom lifecycle (one " +
+    "projection) conserves the view total at EVERY zoom") {
+    // the reference's production shape — 17 zooms derived level-from-level
+    // (TileMapBuilder.java:52-70); each zoom's decoded MVT totals must
+    // re-count the same view total, so a per-level rollup bug at any depth
+    // shows here
+    val deepWork = java.nio.file.Files.createTempDirectory("graft-deep")
+    val t0 = System.nanoTime()
+    val m = Workflow.build(spark, Dir, deepWork.toString,
+      projections = Seq("EPSG:4326"), maxZoom = 16)
+    info(f"z0-z16 build wall-time: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val expected = spark.read.parquet(m.points)
+      .filter(col("map_key") === "0:0").agg(sum("occ_count")).head.getLong(0)
+    (0 to 16).foreach { z =>
+      val tot = spark.read.parquet(s"${m.tiles}/srs=EPSG_4326/zoom=$z")
+        .filter(col("map_key") === "0:0").select("mvt").collect()
+        .map(r => graft.functions.Mvt.decodeTile(r.getAs[Array[Byte]](0))
+          .map(_.total).sum).sum
+      assert(tot === expected, s"zoom $z total $tot != $expected")
+    }
+  }
+
   test("build derives everything from one materialized snapshot (S2/O4): " +
     "plans over the persisted occ read the cache, not the source") {
     import graft.operators.{MapBuild, OccurrenceView}
