@@ -14,9 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object BenchScale {
 
+  // the bench's heaviest tail (sf0.1 timings are floor-dominated at ~0.2 s,
+  // so THESE are the queries whose true scaling the probe must expose):
+  // the original 9 plus the round-4 top-cost set — MVT roundtrip, cluster
+  // canonicalization, polar pixel agg, Mercator replicas, PageRank, and
+  // the deep iterative pyramid
   private val Heavy = Seq("q45_pyramid", "q42_mvt_tiles", "q36_tile_replicas",
     "q17_salted_keys", "q47_dup_clusters", "q29_lsh_neardup",
-    "q85_ingest_dedup", "q87_chunk_dedup", "q93_edit_verify")
+    "q85_ingest_dedup", "q87_chunk_dedup", "q93_edit_verify",
+    "q54_mvt_decoded", "q66_cluster_canonical", "q26_pixel_agg_3575",
+    "q59_tile_replicas_3857", "q106_pagerank", "q109_pyramid_deep")
 
   def main(args: Array[String]): Unit = {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
@@ -69,6 +76,14 @@ object BenchScale {
     }
 
     Heavy.foreach(time(baseDir, _)) // warmup + JIT on the unscaled data
+    // page the just-written replicas into the OS cache before ANY timed x10
+    // run: the first query slot otherwise absorbs the cold read of the
+    // whole scaled input and reports a fake super-linear ratio (measured:
+    // q45 first-slot 167 s cold vs 41 s steady-state on identical code)
+    Seq("lineitem", "documents").foreach { t =>
+      spark.read.parquet(s"$scaleDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+    }
     // min of two timed runs with a GC between — single x10 runs swing >2×
     // from GC debt and cold page cache on the just-written replicas
     def timed(dir: String, n: String): Double = {

@@ -270,7 +270,10 @@ object MapBuild {
     * of depth — one-pass wins for shallow pyramids (≤8 levels, the serving
     * z0–z6 case), iterative for deep ones (z16 builds). [[pyramid]]
     * dispatches on that. Levels are identical either way: sum grouped
-    * coarser ≡ summed fine sums.
+    * coarser ≡ summed fine sums. The crossover is SOFT in data volume:
+    * measured at 10× sf0.1 (z0–z6, warm cache, 320 partitions), one-pass
+    * 41.0 s vs iterative 37.7 s — within run noise, so depth stays the
+    * only dispatch input.
     */
   def pyramidOnePass(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
     val top = explodeMapKeys(withPixels(occ, epsg))
