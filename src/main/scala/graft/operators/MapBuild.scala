@@ -245,18 +245,50 @@ object MapBuild {
     * at scale each level is a separate job writing its own partition, but the
     * lineage shape (each zoom consumes the previous) is what matters.
     */
-  /** Tile stats for one zoom from bor-collapsed per-pixel rows
-    * (map_key, px, py, total): pixel rows ARE the per-pixel aggregate, so
-    * tiles need exactly one groupBy.
+  /** Tile stats for every zoom in [lowZ, highZ] from a zoom-`highZ`
+    * per-pixel table (map_key, px, py, total), in one explode + two keyed
+    * aggregations — the one-pass core shared by [[pyramidOnePass]] and each
+    * chunk of [[pyramidIterative]], so the two strategies agree by
+    * construction.
     */
-  private def tileStats(pixelsAtZ: DataFrame, z: Int): DataFrame =
-    pixelsAtZ
+  private def levelStats(top: DataFrame, lowZ: Int, highZ: Int): DataFrame = {
+    val zs = array((lowZ to highZ).map(lit): _*)
+    // NOTE (measured): fusing the pair below into one distinct aggregate
+    // (countDistinct(px, py) + sum at the tile key) ran 1.6× SLOWER at
+    // sf0.1 — mixing distinct and plain aggregates plans an Expand that
+    // doubles every input row before the exchange. Two lean keyed
+    // aggregations beat one Expand-doubled one; the q08 tileAssembly case
+    // wins with countDistinct only because it starts from raw records and
+    // drops TWO exchanges, not one.
+    top
+      .withColumn("z", explode(zs))
       .groupBy(
-        col("map_key"),
+        col("map_key"), col("z"),
+        expr(s"shiftright(px, $highZ - z)").as("px"),
+        expr(s"shiftright(py, $highZ - z)").as("py"))
+      .agg(sum("total").as("total"))
+      .groupBy(
+        col("map_key"), col("z"),
         (col("px") / TileSize).cast("long").as("tx"),
         (col("py") / TileSize).cast("long").as("ty"))
       .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
-      .withColumn("z", lit(z))
+      .select("map_key", "tx", "ty", "n_pixels", "total", "z")
+  }
+
+  /** Aggregate raw records ONCE, directly at (maxZoom, no-bor) granularity:
+    * the pyramid's tile stats never use bor_year and the top level sits
+    * below MaxZoom, so the shift runs before the only shuffle and map-side
+    * combine collapses the explode output straight to ~4^maxZoom groups
+    * (the old pixelAgg→collapse→rollup chain shuffled three times, the
+    * first at z16 where almost nothing combines).
+    */
+  private def topLevel(occ: DataFrame, epsg: String, maxZoom: Int): DataFrame =
+    explodeMapKeys(withPixels(occ, epsg))
+      .groupBy(
+        col("map_key"),
+        shiftright(col("px"), MaxZoom - maxZoom).as("px"),
+        shiftright(col("py"), MaxZoom - maxZoom).as("py"))
+      .agg(count(lit(1)).as("total"))
 
   /** Full pyramid in ONE aggregation pass: each top-level pixel row is
     * exploded to every requested zoom (z, px >> (maxZoom-z), py >> ...) and
@@ -275,78 +307,56 @@ object MapBuild {
     * 41.0 s vs iterative 37.7 s — within run noise, so depth stays the
     * only dispatch input.
     */
-  def pyramidOnePass(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
-    val top = explodeMapKeys(withPixels(occ, epsg))
-      .groupBy(
-        col("map_key"),
-        shiftright(col("px"), MaxZoom - maxZoom).as("px"),
-        shiftright(col("py"), MaxZoom - maxZoom).as("py"))
-      .agg(count(lit(1)).as("total"))
-    val zs = array((minZoom to maxZoom).map(lit): _*)
-    // NOTE (measured): fusing the pair below into one distinct aggregate
-    // (countDistinct(px, py) + sum at the tile key) ran 1.6× SLOWER at
-    // sf0.1 — mixing distinct and plain aggregates plans an Expand that
-    // doubles every input row before the exchange. Two lean keyed
-    // aggregations beat one Expand-doubled one; the q08 tileAssembly case
-    // wins with countDistinct only because it starts from raw records and
-    // drops TWO exchanges, not one.
-    top
-      .withColumn("z", explode(zs))
-      .groupBy(
-        col("map_key"), col("z"),
-        expr(s"shiftright(px, $maxZoom - z)").as("px"),
-        expr(s"shiftright(py, $maxZoom - z)").as("py"))
-      .agg(sum("total").as("total"))
-      .groupBy(
-        col("map_key"), col("z"),
-        (col("px") / TileSize).cast("long").as("tx"),
-        (col("py") / TileSize).cast("long").as("ty"))
-      .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
-      .select("map_key", "tx", "ty", "n_pixels", "total", "z")
-  }
+  def pyramidOnePass(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame =
+    levelStats(topLevel(occ, epsg, maxZoom), minZoom, maxZoom)
 
-  /** Pyramid strategy dispatch: one-pass for shallow pyramids, iterative
-    * halving (with per-level materialization barriers) for deep ones — see
-    * [[pyramidOnePass]] for the crossover argument.
+  /** Pyramid strategy dispatch: one-pass for shallow pyramids, chunked
+    * iterative halving (with per-chunk materialization barriers) for deep
+    * ones — see [[pyramidOnePass]] for the crossover argument.
     */
   def pyramid(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame =
     if (maxZoom - minZoom <= 8) pyramidOnePass(occ, epsg, minZoom, maxZoom)
     else pyramidIterative(occ, epsg, minZoom, maxZoom)
 
+  /** Deep-pyramid builder (the reference's z16 production shape,
+    * TileMapBuilder.java:52-70): processes the zoom range in CHUNKS of up
+    * to [[PyramidChunk]] levels. Each chunk is one [[levelStats]] pass over
+    * a persisted per-pixel top table; between chunks the top rolls up
+    * `chunk` levels in a single keyed aggregation. Compared to the previous
+    * one-barrier-per-level chain (z0–z10 = 11 sequential persist+count
+    * jobs; measured 13.2 s at sf0.1), this runs ⌈depth/7⌉ barriers (z0–z10
+    * = 2, z0–z16 = 3) while keeping the property that makes iterative win
+    * at depth: no explode span ever exceeds 7 levels, so per-chunk shuffle
+    * volume stays ~1.33× the chunk's top regardless of total depth. The
+    * persist is the materialization barrier each chunk AND the next rollup
+    * both consume (the reference writes each level to a table for the same
+    * reason — O4, MapBuilder.java:179-199); at production scale it becomes
+    * a parquet write per chunk, and the top shrinks ~4^7 per chunk.
+    */
   def pyramidIterative(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // The pyramid's tile stats never use bor_year, and the top level sits
-    // below MaxZoom — aggregate ONCE, directly at (maxZoom, no-bor)
-    // granularity: the shift runs before the only shuffle, so map-side
-    // combine collapses the explode output straight to ~4^maxZoom groups
-    // (the old pixelAgg→collapse→rollup chain shuffled three times, the
-    // first at z16 where almost nothing combines).
-    var level = explodeMapKeys(withPixels(occ, epsg))
-      .groupBy(
-        col("map_key"),
-        shiftright(col("px"), MaxZoom - maxZoom).as("px"),
-        shiftright(col("py"), MaxZoom - maxZoom).as("py"))
-      .agg(count(lit(1)).as("total"))
-    // Persist each level: every zoom's assembly AND the next rollup consume
-    // it, and without a materialization barrier each union branch would
-    // recompute the whole chain from the scan (the reference writes each
-    // level to a table for the same reason — O4, MapBuilder.java:179-199).
-    // At production scale this becomes a parquet write per level.
-    level.persist(StorageLevel.MEMORY_AND_DISK).count() // materialize barrier
-    var out = tileStats(level, maxZoom)
-    var z = maxZoom - 1
-    while (z >= minZoom) {
-      level = level.groupBy(
-        col("map_key"),
-        shiftright(col("px"), 1).as("px"),
-        shiftright(col("py"), 1).as("py"))
-        .agg(sum("total").as("total"))
-      // every level stays persisted until the result is consumed — the union
-      // output references all of them; sizes shrink ~4x per level
-      level.persist(StorageLevel.MEMORY_AND_DISK).count()
-      out = out.unionByName(tileStats(level, z))
-      z -= 1
+    var top = topLevel(occ, epsg, maxZoom)
+    top.persist(StorageLevel.MEMORY_AND_DISK).count() // materialize barrier
+    var highZ = maxZoom
+    var out: DataFrame = null
+    while (highZ >= minZoom) {
+      val lowZ = math.max(minZoom, highZ - PyramidChunk + 1)
+      val chunk = levelStats(top, lowZ, highZ)
+      out = if (out == null) chunk else out.unionByName(chunk)
+      if (lowZ > minZoom) {
+        // every chunk top stays persisted until the result is consumed —
+        // the union output references all of them; sizes shrink ~4^7/chunk
+        top = top.groupBy(
+          col("map_key"),
+          shiftright(col("px"), highZ - lowZ + 1).as("px"),
+          shiftright(col("py"), highZ - lowZ + 1).as("py"))
+          .agg(sum("total").as("total"))
+        top.persist(StorageLevel.MEMORY_AND_DISK).count()
+      }
+      highZ = lowZ - 1
     }
     out
   }
+
+  private val PyramidChunk = 7
 }

@@ -49,6 +49,12 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val iter = MapBuild.pyramidIterative(occ, "EPSG:4326", 0, 5)
     assert(one.exceptAll(iter).count() === 0)
     assert(iter.exceptAll(one).count() === 0)
+    // z0–z9 spans two 7-level chunks — exercises the inter-chunk rollup
+    // (a single-chunk range would leave the rollup branch untested)
+    val one9 = MapBuild.pyramidOnePass(occ, "EPSG:4326", 0, 9)
+    val iter9 = MapBuild.pyramidIterative(occ, "EPSG:4326", 0, 9)
+    assert(one9.exceptAll(iter9).count() === 0)
+    assert(iter9.exceptAll(one9).count() === 0)
     spark.catalog.clearCache() // drop the iterative chain's persisted levels
   }
 
