@@ -26,6 +26,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Dump a 1-row error marker so the driver's compare records a
+        // FAILING entry for this query (schema/hash mismatch) instead of
+        // silently omitting it — a round with a broken query must not
+        // present as all-green-but-smaller (the round-5 failure mode).
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName))
+            .toDF("__error").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       // builders may persist intermediates (pyramid levels, cluster rounds);
       // drop them so caches don't accumulate across the query sweep

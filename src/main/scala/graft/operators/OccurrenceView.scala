@@ -42,24 +42,31 @@ object OccurrenceView {
   def orders(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/orders.parquet")
 
-  /** `events` with `ts` normalized to a TIMESTAMP column `tstamp` and
-    * floor-seconds `tsec`. The table carries parquet TIMESTAMP(NANOS), which
-    * Spark only reads as long when `spark.sql.legacy.parquet.nanosAsLong` is
-    * set — handle both arrival types so any session config works.
+  /** Normalize an `events` frame's `ts` to `tsec` (floor seconds), `tmicro`
+    * (epoch micros) and `tstamp` (TIMESTAMP). The column arrives as one of:
+    *  - long nanos — parquet TIMESTAMP(NANOS) under
+    *    `spark.sql.legacy.parquet.nanosAsLong`;
+    *  - TIMESTAMP — tz-adjusted parquet micros/millis;
+    *  - TIMESTAMP_NTZ — tz-less parquet micros under Spark 4's default
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled`.
+    * `unix_micros` only accepts TIMESTAMP, so the NTZ case must cast first;
+    * the session TZ is pinned to UTC, making that cast value-preserving.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = fanOut(spark, spark.read.parquet(s"$dir/events.parquet"))
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("tsec", expr("ts div 1000000000"))
-          .withColumn("tmicro", expr("ts div 1000"))
-          .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
-      case _ =>
-        raw.withColumn("tsec", unix_timestamp(col("ts")))
-          .withColumn("tmicro", unix_micros(col("ts")))
-          .withColumn("tstamp", col("ts"))
-    }
+  def normalizeTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      raw.withColumn("tsec", expr("ts div 1000000000"))
+        .withColumn("tmicro", expr("ts div 1000"))
+        .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
+    case _ =>
+      val t = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+      raw.withColumn("tsec", unix_timestamp(t))
+        .withColumn("tmicro", unix_micros(t))
+        .withColumn("tstamp", t)
   }
+
+  /** `events` with `ts` normalized via [[normalizeTs]]. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(fanOut(spark, spark.read.parquet(s"$dir/events.parquet")))
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     fanOut(spark, spark.read.parquet(s"$dir/documents.parquet"))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming path over the events table: the same hourly
   * aggregation the batch side exposes (SparkEntry q24), expressed as a
@@ -15,21 +15,14 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object EventStream {
 
-  /** File-source stream of an events directory (parquet, TIMESTAMP(NANOS)
-    * read as long when nanosAsLong is set — normalized like
-    * OccurrenceView.events).
+  /** File-source stream of an events directory (parquet; `ts` may arrive as
+    * long nanos, TIMESTAMP, or TIMESTAMP_NTZ — normalized exactly like the
+    * batch side, OccurrenceView.normalizeTs, so streaming results compare
+    * equal to their batch formulations).
     */
-  def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-    val raw = spark.readStream.schema(schema).parquet(dir)
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("tsec", expr("ts div 1000000000"))
-          .withColumn("tstamp", timestamp_seconds(expr("ts div 1000000000")))
-      case _ =>
-        raw.withColumn("tsec", unix_timestamp(col("ts")))
-          .withColumn("tstamp", col("ts"))
-    }
-  }
+  def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    graft.operators.OccurrenceView.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir))
 
   /** Sliding-window counts (1h window, 15min slide) with a watermark —
     * out-of-order events land in all windows they overlap until the

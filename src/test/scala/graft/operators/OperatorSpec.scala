@@ -315,7 +315,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(tmp.toString + "/*/")
-    val withTs = raw.withColumn("tsec", expr("ts div 1000000000"))
+    val withTs = OccurrenceView.normalizeTs(raw)
     val q = graft.streaming.EventStream.sessionize(spark, withTs)
       .writeStream.format("memory").queryName("ev_sess").outputMode("update").start()
     try q.processAllAvailable()
@@ -642,7 +642,7 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(tmp.toString + "/*/")
-    val withT = raw.withColumn("tmicro", expr("ts div 1000"))
+    val withT = OccurrenceView.normalizeTs(raw)
     val q = graft.streaming.EventStream
       .funnelStream(spark, withT, ("view", "click", "purchase"))
       .writeStream.format("memory").queryName("ev_funnel")
