@@ -418,6 +418,26 @@ object SparkEntry {
     "q45_pyramid" -> ((s, dir) =>
       MapBuild.pyramid(occ(s, dir), "EPSG:4326", 0, 6)),
 
+    // Beyond-reference: INCREMENTAL pyramid maintenance. Split the corpus
+    // into an already-ingested base (90%) and a new ingest batch (10%);
+    // merge the batch into the stored sum-mergeable pixel state and
+    // recompute ONLY the tiles the batch touches (broadcast dirty-key
+    // semi-join), clean tiles passing through via anti-join. The oracle is
+    // q45's FULL-REBUILD SQL over base+delta — equality proves the
+    // incremental path reproduces the rebuild without corpus-grain work.
+    "q111_incremental_pyramid" -> ((s, dir) => {
+      val o = occ(s, dir)
+      val base = o.filter(col("l_orderkey") % 10 =!= 0)
+      val delta = o.filter(col("l_orderkey") % 10 === 0)
+      // barrier: the state feeds both the stored pyramid and the merge —
+      // persist so the base aggregation runs once (caller-owned lifetime,
+      // as with the other barrier-persisting builders)
+      val state = MapBuild.pyramidState(base, "EPSG:4326", 6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stored = MapBuild.pyramidFromState(state, 0, 6)
+      MapBuild.incrementalPyramid(state, stored, delta, "EPSG:4326", 0, 6)
+    }),
+
     // F8/A7: buffered tile-containment filter with dateline wrap, tile-local coords
     "q46_points_in_tile" -> ((s, dir) => {
       val pix = TileServe.renderPixels(rawPointsAll(s, dir), "EPSG:4326", 6)
@@ -923,6 +943,22 @@ pp AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, px % 512 AS lpx, py % 5
 tl AS (SELECT map_key, tx, ty, count(*) AS n_pixels, CAST(sum(pixel_total) AS BIGINT) AS total, 6 AS z
   FROM pp GROUP BY map_key, tx, ty)"""
 
+  /** Full z0–z6 pyramid rebuild (q45's oracle; also the oracle for the
+    * incremental-maintenance gate q111, whose base+delta = the whole
+    * corpus). */
+  private val PyramidSql = Ex + s""",
+px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
+  FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
+  GROUP BY ALL),
+pxc AS (SELECT map_key, px, py, CAST(sum(occ_count) AS BIGINT) AS total FROM px16 GROUP BY ALL),
+${(0 to 6).map { z => s"""
+lvl$z AS (SELECT map_key, px >> ${16 - z} AS px, py >> ${16 - z} AS py, CAST(sum(total) AS BIGINT) AS total
+  FROM pxc GROUP BY ALL),
+tl$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, count(*) AS n_pixels,
+  CAST(sum(total) AS BIGINT) AS total, $z AS z
+  FROM lvl$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
+${(6 to 0 by -1).map(z => s"SELECT * FROM tl$z").mkString("\nUNION ALL ")}"""
+
   /** renderPixels(4326, z10) over pts — mirror of TileServe.renderPixels. */
   private val RpZ10Sql = Pts + s""",
 ptsll AS (SELECT *, lat10/10.0 AS lat, lng10/10.0 AS lng FROM pts),
@@ -1382,18 +1418,11 @@ SELECT map_key, px // 512 AS tx, py // 512 AS ty, px % 512 AS lpx, py % 512 AS l
   CAST(bor_year % 100 AS INT) AS bor, CAST(bor_year // 100 AS INT) AS year, n
 FROM z6"""),
 
-    "q45_pyramid" -> (Ex + s""",
-px16 AS (SELECT map_key, ${px4326("lng")} AS px, ${py4326("lat")} AS py, bor_year, count(*) AS occ_count
-  FROM ex WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180
-  GROUP BY ALL),
-pxc AS (SELECT map_key, px, py, CAST(sum(occ_count) AS BIGINT) AS total FROM px16 GROUP BY ALL),
-${(0 to 6).map { z => s"""
-lvl$z AS (SELECT map_key, px >> ${16 - z} AS px, py >> ${16 - z} AS py, CAST(sum(total) AS BIGINT) AS total
-  FROM pxc GROUP BY ALL),
-tl$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, count(*) AS n_pixels,
-  CAST(sum(total) AS BIGINT) AS total, $z AS z
-  FROM lvl$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
-${(6 to 0 by -1).map(z => s"SELECT * FROM tl$z").mkString("\nUNION ALL ")}"""),
+    "q45_pyramid" -> PyramidSql,
+
+    // incremental maintenance must reproduce the full rebuild exactly —
+    // same oracle as q45 (base+delta = the whole corpus)
+    "q111_incremental_pyramid" -> PyramidSql,
 
     "q46_points_in_tile" -> (RpZ10Sql.replace(" >> 6 AS px", " >> 10 AS px").replace(" >> 6 AS py", " >> 10 AS py") + """,
 f0 AS (SELECT px, py, total FROM rp WHERE map_key = '0:0'),

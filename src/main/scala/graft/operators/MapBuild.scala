@@ -359,4 +359,87 @@ object MapBuild {
   }
 
   private val PyramidChunk = 7
+
+  /** log2(TileSize): global pixel → tile index is a right shift, so the
+    * zoom shift and the tile shift compose into ONE shiftright below. */
+  private val TileShift = Integer.numberOfTrailingZeros(TileSize)
+
+  /** Per-pixel top-level table for `epsg` at `maxZoom` — the SUM-MERGEABLE
+    * state representation of a pyramid: every level's tile stats are a
+    * deterministic function of it ([[levelStats]] / [[pyramidFromState]]),
+    * and a new ingest batch merges into it by keyed addition (counts only
+    * grow). This is the handle a long-lived tile store keeps between
+    * ingests for [[incrementalPyramid]]; the reference instead rebuilds the
+    * full pyramid per snapshot (TileMapBuilder.java:52-70) — incremental
+    * maintenance is the beyond-reference scale path.
+    */
+  def pyramidState(occ: DataFrame, epsg: String, maxZoom: Int): DataFrame =
+    topLevel(occ, epsg, maxZoom)
+
+  /** All-level tile stats from a [[pyramidState]] table (the second half of
+    * [[pyramidOnePass]], exposed so a stored state can be re-served without
+    * re-aggregating raw records).
+    */
+  def pyramidFromState(state: DataFrame, minZoom: Int, maxZoom: Int): DataFrame =
+    levelStats(state, minZoom, maxZoom)
+
+  /** Incremental pyramid maintenance: given the stored `state`
+    * ([[pyramidState]] over everything ingested so far), the `pyramid`
+    * built from it, and a new `deltaOcc` batch, produce the updated
+    * pyramid WITHOUT rebuilding clean tiles.
+    *
+    * Mechanics — all delta-proportional:
+    *  1. the delta's own top-level pixel table (one aggregation of the
+    *     batch);
+    *  2. dirty tile keys = the z-ancestor tiles of delta pixels, per zoom —
+    *     ≤ |delta pixels| × nLevels rows, collapsed by distinct and
+    *     broadcast;
+    *  3. state merge = keyed addition (union + sum at pixel grain);
+    *  4. recompute tile stats ONLY under dirty tiles: the broadcast
+    *     semi-join sits BEFORE the first exchange of the recompute, so the
+    *     shuffled volume is the pixels inside dirty tiles (the delta's
+    *     spatial footprint), not the corpus. A dirty z0 tile bounds the
+    *     recompute at TileSize² pixels per (view, tile) — tile grain, never
+    *     corpus grain.
+    *  5. clean tiles stream through from the stored pyramid via a
+    *     broadcast anti-join (no shuffle).
+    *
+    * n_pixels (count of live zoom-z pixels per tile) is NOT mergeable from
+    * tile stats alone — a delta can light up a pixel that already existed —
+    * which is exactly why the recompute works from the merged pixel-grain
+    * state rather than patching tile rows.
+    *
+    * The dirty set must stay broadcastable: an ingest batch whose distinct
+    * pixel footprint × nLevels exceeds the broadcast budget should fall
+    * back to [[pyramid]] (a rebuild is then cheaper anyway — the delta
+    * touches most tiles).
+    */
+  def incrementalPyramid(state: DataFrame, pyramid: DataFrame, deltaOcc: DataFrame,
+      epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
+    val deltaTop = topLevel(deltaOcc, epsg, maxZoom)
+    val zs = array((minZoom to maxZoom).map(lit): _*)
+    val dirty = deltaTop
+      .withColumn("z", explode(zs))
+      .select(col("map_key"), col("z"),
+        expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
+        expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
+      .distinct()
+    val merged = state.unionByName(deltaTop)
+      .groupBy("map_key", "px", "py").agg(sum("total").as("total"))
+    val recomputed = merged
+      .withColumn("z", explode(zs))
+      .withColumn("tx", expr(s"shiftright(px, $maxZoom - z + $TileShift)"))
+      .withColumn("ty", expr(s"shiftright(py, $maxZoom - z + $TileShift)"))
+      .join(broadcast(dirty), Seq("map_key", "z", "tx", "ty"), "left_semi")
+      .groupBy(col("map_key"), col("z"), col("tx"), col("ty"),
+        expr(s"shiftright(px, $maxZoom - z)").as("px"),
+        expr(s"shiftright(py, $maxZoom - z)").as("py"))
+      .agg(sum("total").as("total"))
+      .groupBy("map_key", "z", "tx", "ty")
+      .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
+      .select("map_key", "tx", "ty", "n_pixels", "total", "z")
+    pyramid.join(broadcast(dirty), Seq("map_key", "z", "tx", "ty"), "left_anti")
+      .select("map_key", "tx", "ty", "n_pixels", "total", "z")
+      .unionByName(recomputed)
+  }
 }

@@ -58,6 +58,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache() // drop the iterative chain's persisted levels
   }
 
+  test("incrementalPyramid equals the full rebuild at every delta ratio tried") {
+    // the q111 gate uses a 10% delta; exercise a fat delta (1 in 3) and a
+    // skinny one (1 in 50) too — dirty-tile coverage differs radically
+    // (a fat delta dirties nearly every tile, a skinny one almost none),
+    // and both paths (anti-join passthrough, semi-join recompute) must
+    // compose to the rebuild regardless
+    val o = OccurrenceView.occ(spark, Dir)
+    val full = MapBuild.pyramidOnePass(o, "EPSG:4326", 0, 6)
+    for (mod <- Seq(3, 50)) {
+      val base = o.filter(col("l_orderkey") % mod =!= 0)
+      val delta = o.filter(col("l_orderkey") % mod === 0)
+      val state = MapBuild.pyramidState(base, "EPSG:4326", 6).cache()
+      val stored = MapBuild.pyramidFromState(state, 0, 6)
+      val inc = MapBuild.incrementalPyramid(state, stored, delta, "EPSG:4326", 0, 6)
+      assert(inc.exceptAll(full).count() === 0, s"mod=$mod: extra rows")
+      assert(full.exceptAll(inc).count() === 0, s"mod=$mod: missing rows")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("incrementalPyramid with an empty delta is the stored pyramid unchanged") {
+    val o = OccurrenceView.occ(spark, Dir)
+    val state = MapBuild.pyramidState(o, "EPSG:4326", 6).cache()
+    val stored = MapBuild.pyramidFromState(state, 0, 6)
+    val inc = MapBuild.incrementalPyramid(
+      state, stored, o.filter(lit(false)), "EPSG:4326", 0, 6)
+    assert(inc.exceptAll(stored).count() === 0)
+    assert(stored.exceptAll(inc).count() === 0)
+    spark.catalog.clearCache()
+  }
+
   test("parent tile total equals the sum of its four children (z5 vs z6)") {
     val px16 = MapBuild.pixelAgg(OccurrenceView.occ(spark, Dir), "EPSG:4326").cache()
     val z6 = MapBuild.tileAssembly(MapBuild.rollupToZoom(px16, 16, 6), 6)

@@ -53,6 +53,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental pyramid: dirty-key joins broadcast (semi-join prune on " +
+      "the recompute, anti-join passthrough on clean tiles), no SMJ") {
+    val p = planOf("q111_incremental_pyramid")
+    assert(p.contains("BroadcastHashJoin"), s"dirty-key join not broadcast:\n$p")
+    assert(p.contains("LeftSemi"), s"lost the dirty-tile semi-join prune:\n$p")
+    assert(p.contains("LeftAnti"), s"lost the clean-tile anti-join passthrough:\n$p")
+    // either join degrading to a corpus-grain shuffle join would turn the
+    // delta-proportional maintenance back into a rebuild-shaped plan
+    assert(!p.contains("SortMergeJoin"), s"q111 fell back to SMJ:\n$p")
+  }
+
   // count logical Window nodes with an EMPTY partition spec — the
   // single-partition scale-killer. String-matching the formatted physical
   // plan CANNOT detect this (argString omits the empty partition list
