@@ -882,7 +882,16 @@ object SparkEntry {
     // contained side's sorted trigram hashes; recall is independent of the
     // doc size ratio, unlike the q98 LSH route
     "q110_containment_blocked" -> ((s, dir) =>
-      Dedup.containmentBlockedPairs(documents(s, dir), 0.8, 50))
+      Dedup.containmentBlockedPairs(documents(s, dir), 0.8, 50)),
+
+    // Sketch algebra HLL lacks: KMV bottom-k sketches support UNION and
+    // INTERSECTION (|U∩A∩B|/|U| Jaccard) — the train/eval-overlap
+    // estimator. Typed Aggregator with k-long-bounded mergeable state.
+    // k=16 (not the production KmvK=64) so the sf0.01 gate exercises BOTH
+    // estimator branches: sources hold ~25 distinct docs — below 64 every
+    // sketch would stay exact and the (k−1)·M/h_k path would ship untested
+    "q112_kmv_overlap" -> ((s, dir) =>
+      graft.operators.Sketch.kmvOverlap(documents(s, dir), 16))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2389,7 +2398,23 @@ res AS (SELECT cand.doc_a, cand.doc_b,
   CAST(len(a.s) AS INT) AS n_a, CAST(len(b.s) AS INT) AS n_b,
   len(list_intersect(a.s, b.s)) / len(a.s) AS contain_a
   FROM cand JOIN shc a ON cand.doc_a = a.doc_id JOIN shc b ON cand.doc_b = b.doc_id)
-SELECT * FROM res WHERE contain_a >= CAST('0.8' AS DOUBLE)"""
+SELECT * FROM res WHERE contain_a >= CAST('0.8' AS DOUBLE)""",
+
+    "q112_kmv_overlap" -> s"""WITH hs AS (SELECT source, ${javaHashSql("text")} AS h FROM documents),
+d AS (SELECT DISTINCT source, h FROM hs),
+rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM d),
+sk AS (SELECT source, list(h ORDER BY h) AS kmv FROM rk WHERE rn <= 16 GROUP BY source),
+pr AS (SELECT a.source AS source_a, b.source AS source_b, a.kmv AS ka, b.kmv AS kb
+  FROM sk a JOIN sk b ON a.source < b.source),
+uu AS (SELECT *, list_sort(list_distinct(list_concat(ka, kb)))[1:16] AS u FROM pr),
+cc AS (SELECT *, len(list_filter(u, x -> list_contains(ka, x) AND list_contains(kb, x))) AS inter FROM uu)
+SELECT source_a, source_b,
+  CAST(CASE WHEN len(ka) < 16 THEN len(ka) ELSE 64424509440 // ka[16] END AS BIGINT) AS est_a,
+  CAST(CASE WHEN len(kb) < 16 THEN len(kb) ELSE 64424509440 // kb[16] END AS BIGINT) AS est_b,
+  CAST(CASE WHEN len(u) < 16 THEN len(u) ELSE 64424509440 // u[16] END AS BIGINT) AS est_union,
+  CAST(inter * 1000000 // len(u) AS BIGINT) AS jacc_micro,
+  CAST(inter * (CASE WHEN len(u) < 16 THEN len(u) ELSE 64424509440 // u[16] END) // len(u) AS BIGINT) AS est_inter
+FROM cc"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -269,4 +269,101 @@ object Sketch {
       .groupBy("w", "true_cnt").agg(min("cell").as("est"))
       .orderBy(col("true_cnt").desc, col("w").asc)
   }
+
+  // ---------------------------------------------------------------- KMV
+
+  /** KMV sketch size: k smallest distinct hash values. 64 keeps the whole
+    * per-group aggregation state at 512 bytes while giving ~1/√(k−2) ≈ 13%
+    * relative error on distinct estimates (Beyer et al., "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations", SIGMOD'07).
+    */
+  val KmvK = 64
+  /** Hash domain for the KMV estimator — q23's fingerprint modulus. */
+  val KmvM = 4294967296L
+
+  /** Bottom-k (KMV) distinct sketch as a typed [[Aggregator]]: the buffer
+    * is the k smallest DISTINCT hash values seen so far, sorted ascending —
+    * bounded at k longs per group regardless of input size, merged by
+    * keeping the k smallest of the union. Insertion and merge are
+    * order-insensitive, so the result is deterministic under any
+    * partitioning / AQE re-plan — the property that lets the DuckDB oracle
+    * hash-match it exactly (unlike KLL/t-digest, whose compaction depends
+    * on arrival order). Registered per-use via `functions.udaf`, so Spark
+    * plans it with map-side partial aggregation: each partition ships at
+    * most k longs per group.
+    *
+    * Why KMV next to HLL (q90/q99): HLL unions perfectly but cannot
+    * intersect (inclusion–exclusion error explodes); KMV supports the full
+    * multiset algebra — the bottom-k of a UNION is computable from the two
+    * sketches alone, and the Jaccard estimator |U ∩ A ∩ B| / |U| gives
+    * intersections. That's the train/eval-overlap and cross-domain-leakage
+    * estimator a corpus pipeline needs.
+    */
+  class KmvAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], h: Long): Array[Long] =
+      if (buf.length >= k && h >= buf(buf.length - 1)) buf
+      else if (java.util.Arrays.binarySearch(buf, h) >= 0) buf
+      else {
+        val out = buf :+ h
+        java.util.Arrays.sort(out)
+        if (out.length > k) out.take(k) else out
+      }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val out = (a ++ b).distinct
+      java.util.Arrays.sort(out)
+      if (out.length > k) out.take(k) else out
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Distinct estimate from a KMV sketch column: exact size when the sketch
+    * isn't full (the group had < k distinct values), else the classic
+    * (k−1)·M / h_k — all integer division, exact in any engine.
+    */
+  private def kmvEst(name: String, k: Int): Column =
+    when(size(col(name)) < k, size(col(name)).cast("long"))
+      .otherwise(expr(s"${(k - 1).toLong * KmvM} div element_at($name, $k)"))
+
+  /** Per-source KMV sketches + pairwise set algebra over every source pair:
+    * distinct estimates per side, the union estimate from the merged
+    * bottom-k, and the KMV Jaccard / intersection estimators. Estimates in
+    * integer micro-units so the oracle matches bit-for-bit.
+    *
+    * Scale shape: ONE corpus pass into a k-long-bounded partial aggregate
+    * (the udaf's map-side combine), a driver collect bounded by #domains
+    * (the A1 TreeSet argument), then broadcast equi-joins over the
+    * domain-pair list — no corpus-sized stage after the sketch build, and
+    * the sketches themselves are what a 1000-executor run would ship to
+    * the driver (k·#domains longs).
+    */
+  def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kmv = udaf(new KmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    val sk = docs
+      .select(col("source"), docFpUdf(col("text")).as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("kmv"))
+      .persist() // tiny (#domains rows); feeds the pair collect AND both join sides
+    val srcs = sk.select("source").collect().map(_.getString(0)).sorted.toSeq
+    val pairs = (for { a <- srcs; b <- srcs if a < b } yield (a, b))
+      .toDF("source_a", "source_b")
+    pairs
+      .join(broadcast(sk.select(col("source").as("source_a"), col("kmv").as("ka"))), Seq("source_a"))
+      .join(broadcast(sk.select(col("source").as("source_b"), col("kmv").as("kb"))), Seq("source_b"))
+      .withColumn("u", slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .withColumn("inter",
+        size(array_intersect(array_intersect(col("u"), col("ka")), col("kb"))).cast("long"))
+      .withColumn("est_a", kmvEst("ka", k))
+      .withColumn("est_b", kmvEst("kb", k))
+      .withColumn("est_union", kmvEst("u", k))
+      .withColumn("jacc_micro", expr("inter * 1000000 div size(u)"))
+      .withColumn("est_inter", expr("inter * est_union div size(u)"))
+      .select("source_a", "source_b", "est_a", "est_b", "est_union",
+        "jacc_micro", "est_inter")
+  }
 }

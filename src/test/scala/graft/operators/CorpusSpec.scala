@@ -406,6 +406,41 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(un(("s0", "s1")) === phys)
   }
 
+  test("KmvAgg: bounded buffer, order-insensitive, bottom-k of distinct") {
+    val agg = new Sketch.KmvAgg(8)
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(500)(rnd.nextLong(100000L))
+    val fwd = vals.foldLeft(agg.zero)(agg.reduce)
+    val rev = vals.reverse.foldLeft(agg.zero)(agg.reduce)
+    // split-and-merge must equal the sequential fold (partition-shape
+    // independence — what makes the result deterministic under AQE)
+    val (l, r) = vals.splitAt(137)
+    val mrg = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    val expect = vals.distinct.sorted.take(8).toArray
+    assert(fwd.toSeq === expect.toSeq)
+    assert(rev.toSeq === expect.toSeq)
+    assert(mrg.toSeq === expect.toSeq)
+    assert(fwd.length <= 8)
+  }
+
+  test("kmvOverlap: below-k sketches are exact sets — estimates equal true " +
+    "distinct/union/intersection counts") {
+    // s0 = t0..t39, s1 = t20..t59 (overlap 20, union 60), s2 disjoint;
+    // all < KmvK=64 distinct, so every estimate must be EXACT
+    val rows =
+      (0L until 40L).map(i => (i, s"text num $i", "s0")) ++
+      (0L until 40L).map(i => (100L + i, s"text num ${i + 20}", "s1")) ++
+      (0L until 10L).map(i => (200L + i, s"other $i", "s2"))
+    val out = Sketch.kmvOverlap(docsDf(rows: _*)).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out(("s0", "s1")) === ((40L, 40L, 60L, 333333L, 20L)))
+    assert(out(("s0", "s2")) === ((40L, 10L, 50L, 0L, 0L)))
+    assert(out(("s1", "s2")) === ((40L, 10L, 50L, 0L, 0L)))
+  }
+
   test("booleanRetrieve: AND/NOT membership with exact phrase counts") {
     val docs = docsDf(
       (0L, "spark window spark window agg", "s"), // match, phrase twice
