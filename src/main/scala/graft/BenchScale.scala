@@ -23,7 +23,11 @@ object BenchScale {
     "q17_salted_keys", "q47_dup_clusters", "q29_lsh_neardup",
     "q85_ingest_dedup", "q87_chunk_dedup", "q93_edit_verify",
     "q54_mvt_decoded", "q66_cluster_canonical", "q26_pixel_agg_3575",
-    "q59_tile_replicas_3857", "q106_pagerank", "q109_pyramid_deep")
+    "q59_tile_replicas_3857", "q106_pagerank", "q109_pyramid_deep",
+    // incremental maintenance: its ratio should track the 10%-delta
+    // footprint + the stored-pyramid passthrough, NOT the corpus — the
+    // probe is exactly the instrument to catch it degrading to rebuild
+    "q111_incremental_pyramid")
 
   def main(args: Array[String]): Unit = {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt

@@ -891,7 +891,14 @@ object SparkEntry {
     // estimator branches: sources hold ~25 distinct docs — below 64 every
     // sketch would stay exact and the (k−1)·M/h_k path would ship untested
     "q112_kmv_overlap" -> ((s, dir) =>
-      graft.operators.Sketch.kmvOverlap(documents(s, dir), 16))
+      graft.operators.Sketch.kmvOverlap(documents(s, dir), 16)),
+
+    // Alignment-free substring-overlap detection via winnowed fingerprints
+    // (MOSS): any shared ≥11-char substring guarantees a shared
+    // fingerprint, shifts don't move untouched-region fingerprints (unlike
+    // q87's chunk boundaries), hot fingerprints capped like q29's buckets
+    "q113_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowOverlapPairs(documents(s, dir), 3, 50))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2414,7 +2421,27 @@ SELECT source_a, source_b,
   CAST(CASE WHEN len(u) < 16 THEN len(u) ELSE 64424509440 // u[16] END AS BIGINT) AS est_union,
   CAST(inter * 1000000 // len(u) AS BIGINT) AS jacc_micro,
   CAST(inter * (CASE WHEN len(u) < 16 THEN len(u) ELSE 64424509440 // u[16] END) // len(u) AS BIGINT) AS est_inter
-FROM cc"""
+FROM cc""",
+
+    "q113_winnow_overlap" -> """WITH base AS (
+  SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) >= 11),
+pos AS (SELECT doc_id, len, unnest(range(0, len - 7)) AS p, text FROM base),
+h AS (SELECT doc_id, len, p, list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(substr(text, CAST(p + 1 AS BIGINT), 8), '')]),
+    (a, b) -> (a * 31 + b) % 2147483647) AS hh FROM pos),
+c AS (SELECT doc_id, len, p, hh * 1048576 + (1048575 - p) AS comb FROM h),
+wm AS (SELECT doc_id, len, p, min(comb) OVER (
+    PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cmin FROM c),
+fp AS (SELECT DISTINCT doc_id, cmin // 1048576 AS fph FROM wm WHERE p <= len - 11),
+ok AS (SELECT fph FROM fp GROUP BY fph HAVING count(*) <= 50),
+fpo AS (SELECT f.doc_id, f.fph FROM fp f JOIN ok USING (fph)),
+cnt AS (SELECT doc_id, count(*) AS nfp FROM fpo GROUP BY doc_id),
+pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM fpo a JOIN fpo b ON a.fph = b.fph AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b HAVING count(*) >= 3)
+SELECT doc_a, doc_b, n_shared, ca.nfp AS n_a, cb.nfp AS n_b,
+  CAST(n_shared * 1000000 // least(ca.nfp, cb.nfp) AS BIGINT) AS overlap_micro
+FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id JOIN cnt cb ON pr.doc_b = cb.doc_id"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

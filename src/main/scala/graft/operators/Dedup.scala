@@ -488,4 +488,99 @@ object Dedup {
         (inter / (size(col("a.s")) + size(col("b.s")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  // ------------------------------------------------------------ winnowing
+
+  /** Winnowing k-gram length (characters) and window size (consecutive
+    * k-gram positions). Guarantee: any substring shared by two documents of
+    * length ≥ K+W−1 = 11 characters produces a shared fingerprint
+    * (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03 — the MOSS algorithm). Unlike the q23 whole-
+    * doc fingerprint or q87's disjoint chunks, winnowing is ALIGNMENT-FREE:
+    * an insertion early in a copy shifts every later chunk boundary but
+    * leaves winnowed fingerprints of untouched regions identical.
+    */
+  val WinnowK = 8
+  val WinnowW = 4
+  /** Positions pack into the low 20 bits of the window-min encoding —
+    * h·2^20 + (2^20−1−pos) < 2^51 stays long-exact in any engine. Documents
+    * are bounded at 2^20 characters (a corpus pipeline chunks anything
+    * bigger — q73 — long before fingerprinting).
+    */
+  private val PosBits = 20
+
+  /** All k-gram hashes of `text` in position order: h_p = 31-polynomial
+    * code-point fold mod [[M]] of text[p, p+K). One JIT pass per document
+    * (same rationale as the MinHash UDF above).
+    */
+  private val kgramHashesUdf = udf { (t: String) =>
+    if (t == null) Array.empty[Long]
+    else {
+      val cps = t.codePoints.toArray
+      val n = cps.length - WinnowK + 1
+      if (n <= 0) Array.empty[Long]
+      else Array.tabulate(n) { p =>
+        var a = 0L; var i = 0
+        while (i < WinnowK) { a = (a * 31 + cps(p + i)) % M; i += 1 }
+        a
+      }
+    }
+  }
+
+  /** Distinct winnowed fingerprints per document: every full window of W
+    * consecutive k-gram positions selects its minimal hash (ties → the
+    * RIGHTMOST position, the paper's robust-winnowing rule), encoded so one
+    * integer `min` does both jobs: min over h·2^20 + (2^20−1−pos) orders by
+    * hash first, then by DESCENDING position. The per-doc window sort
+    * partitions by doc_id — document-bounded, never corpus-bounded.
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shift = 1L << PosBits
+    val pos = docs
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        posexplode(kgramHashesUdf(col("text"))).as(Seq("pos", "h")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, WinnowW - 1)
+    pos
+      .withColumn("cmin",
+        min(col("h") * shift + (lit(shift - 1) - col("pos"))).over(w))
+      // only FULL windows select (wstart ≤ len−K−W+1) — the tail's partial
+      // frames would otherwise add selections the guarantee doesn't need
+      .filter(col("pos") <= col("len") - (WinnowK + WinnowW - 1))
+      .select(col("doc_id"), shiftright(col("cmin"), PosBits).as("fph"))
+      .distinct()
+  }
+
+  /** Substring-overlap candidate pairs from shared winnowed fingerprints:
+    * docs sharing ≥ `minShared` fingerprints, with per-doc fingerprint
+    * counts and the containment-style overlap ratio in integer micro-units.
+    * Fingerprints on more than `hotCap` docs are dropped first (boilerplate
+    * substrings — the same hot-key cap as the LSH bucket cap q29 ships on
+    * by default, and the reason the self-join below can never go
+    * quadratic in the corpus).
+    *
+    * Scale shape: fingerprint postings are linear in corpus characters /
+    * W; the cap bounds every join group at hotCap; pair aggregation is one
+    * keyed shuffle of candidate-local rows.
+    */
+  def winnowOverlapPairs(docs: DataFrame, minShared: Int, hotCap: Int): DataFrame = {
+    val fp = winnowFingerprints(docs)
+    val ok = fp.groupBy("fph").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= hotCap).select("fph")
+    val fpo = fp.join(ok, Seq("fph"), "left_semi")
+    val cnt = fpo.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val pairs = fpo.as("a")
+      .join(fpo.as("b"),
+        col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(cnt.select(col("doc_id").as("doc_a"), col("nfp").as("n_a")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("nfp").as("n_b")), Seq("doc_b"))
+      .withColumn("overlap_micro", expr("n_shared * 1000000 div least(n_a, n_b)"))
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "overlap_micro")
+  }
 }

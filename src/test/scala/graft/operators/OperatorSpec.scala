@@ -447,6 +447,32 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("winnowing is alignment-free: a shared ≥11-char substring is found " +
+    "at ANY offset, where fixed chunk boundaries would shift") {
+    val ss = spark; import ss.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, "AAAA " + shared + " BBBB", "a"),
+      // same substring, arbitrarily shifted by a long unrelated prefix —
+      // every fixed-width chunk boundary moves, winnowed fingerprints of
+      // the shared region do not
+      (2L, ("x" * 137) + " " + shared + " CCCC", "b"),
+      (3L, "zq jk wv xy qz kj vw yx zq jk wv xy qz kj vw yx", "c")
+    ).toDF("doc_id", "text", "source").withColumn("n_chars", length(col("text")))
+    val fp = Dedup.winnowFingerprints(docs)
+    val f1 = fp.filter(col("doc_id") === 1).select("fph").collect().map(_.getLong(0)).toSet
+    val f2 = fp.filter(col("doc_id") === 2).select("fph").collect().map(_.getLong(0)).toSet
+    val f3 = fp.filter(col("doc_id") === 3).select("fph").collect().map(_.getLong(0)).toSet
+    // the SIGMOD'03 guarantee: ≥ |shared| − (K+W−1) + 1 shared windows →
+    // plenty of common fingerprints despite the shift
+    assert((f1 & f2).size >= 3, s"shared region lost: ${(f1 & f2).size}")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty,
+      "disjoint-alphabet doc shares fingerprints — hash degeneracy")
+    val pairs = Dedup.winnowOverlapPairs(docs, 3, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("containmentBlockedPairs finds the quoted-snippet pair the LSH " +
     "route misses (recall independent of the doc size ratio)") {
     val ss = spark; import ss.implicits._
