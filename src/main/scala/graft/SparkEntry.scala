@@ -898,7 +898,14 @@ object SparkEntry {
     // fingerprint, shifts don't move untouched-region fingerprints (unlike
     // q87's chunk boundaries), hot fingerprints capped like q29's buckets
     "q113_winnow_overlap" -> ((s, dir) =>
-      Dedup.winnowOverlapPairs(documents(s, dir), 3, 50))
+      Dedup.winnowOverlapPairs(documents(s, dir), 3, 50)),
+
+    // Distinct-cardinality pyramid: HLL registers built once at z6, then
+    // register-MAX rolled up the tile tree (parent sketch = merge of
+    // children) — per-tile distinct species at every zoom in one corpus
+    // pass, with exact counts as ground truth
+    "q114_pyramid_distinct" -> ((s, dir) =>
+      MapBuild.pyramidDistinct(occ(s, dir), "EPSG:4326", 0, 6))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2441,7 +2448,29 @@ pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
   GROUP BY doc_a, doc_b HAVING count(*) >= 3)
 SELECT doc_a, doc_b, n_shared, ca.nfp AS n_a, cb.nfp AS n_b,
   CAST(n_shared * 1000000 // least(ca.nfp, cb.nfp) AS BIGINT) AS overlap_micro
-FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id JOIN cnt cb ON pr.doc_b = cb.doc_id"""
+FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id JOIN cnt cb ON pr.doc_b = cb.doc_id""",
+
+    "q114_pyramid_distinct" -> (OccSql + s""",
+px AS (SELECT ${px4326("lng")} >> 19 AS tx, ${py4326("lat")} >> 19 AS ty, l_partkey,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(CAST(l_partkey AS VARCHAR), '')]),
+    (a, b) -> (a * 31 + b) % 2147483647) AS h
+  FROM occ2 WHERE lat >= -90 AND lat <= 90 AND lng >= -180 AND lng <= 180),
+rr AS (SELECT tx, ty, h % 16 AS reg,
+  CASE WHEN h // 16 = 0 THEN 28
+       ELSE 27 - CAST(floor(log2(h // 16)) AS INT) END AS rho FROM px),
+regs6 AS (SELECT tx, ty, reg, max(rho) AS m_reg FROM rr GROUP BY tx, ty, reg),
+lv AS (SELECT z, regs6.tx >> (6 - z) AS tx, regs6.ty >> (6 - z) AS ty, reg, max(m_reg) AS m_reg
+  FROM regs6, (SELECT unnest(range(0, 7)) AS z) GROUP BY 1, 2, 3, reg),
+agg AS (SELECT z, tx, ty, count(*) AS n_regs, sum(power(2.0, -m_reg)) AS s_hit
+  FROM lv GROUP BY z, tx, ty),
+td AS (SELECT DISTINCT tx, ty, l_partkey FROM px),
+tl AS (SELECT DISTINCT z, td.tx >> (6 - z) AS tx, td.ty >> (6 - z) AS ty, l_partkey
+  FROM td, (SELECT unnest(range(0, 7)) AS z)),
+tru AS (SELECT z, tx, ty, count(*) AS true_distinct FROM tl GROUP BY z, tx, ty)
+SELECT tru.z, tru.tx, tru.ty, tru.true_distinct,
+  round(0.673 * 16 * 16 / (agg.s_hit + CAST(16 - agg.n_regs AS DOUBLE)), 4) AS est
+FROM tru JOIN agg USING (z, tx, ty)""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -414,6 +414,49 @@ object MapBuild {
     * back to [[pyramid]] (a rebuild is then cheaper anyway — the delta
     * touches most tiles).
     */
+  /** Distinct-cardinality pyramid (ALL view): for every (z, tx, ty) tile,
+    * the HLL estimate of DISTINCT part keys in it, with the exact count as
+    * ground truth. The analytics the count pyramid can't answer ("how many
+    * distinct species in this tile?") — and the sketch mergeability story
+    * composed with the pyramid: registers are built ONCE at the max zoom
+    * (one corpus pass, ≤ m rows per occupied tile after map-side partial
+    * max), and every coarser level derives by register-wise MAX up the
+    * tile tree — a parent's sketch is exactly the merge of its children's,
+    * so the rollup input shrinks 4× per level and the corpus is never
+    * re-read. Exact distinct at every zoom would re-shuffle corpus-grain
+    * (tile, key) pairs per level — the sketch path ships 16 ints per tile.
+    */
+  def pyramidDistinct(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
+    val shiftTop = MaxZoom - maxZoom + TileShift
+    val base = withPixels(occ, epsg).select(
+      shiftright(col("px"), shiftTop).as("tx"),
+      shiftright(col("py"), shiftTop).as("ty"),
+      Sketch.tokenHash(col("l_partkey").cast("string")).as("h"),
+      col("l_partkey"))
+    val zs = array((minZoom to maxZoom).map(lit): _*)
+    val topRegs = Sketch.hllRegisterRows(base, Seq("tx", "ty"), col("h"))
+    val regsAll = topRegs
+      .withColumn("z", explode(zs))
+      .groupBy(col("z"),
+        expr(s"shiftright(tx, $maxZoom - z)").as("tx"),
+        expr(s"shiftright(ty, $maxZoom - z)").as("ty"),
+        col("reg"))
+      .agg(max("m_reg").as("m_reg"))
+    val est = Sketch.hllEstimateRows(regsAll, Seq("z", "tx", "ty"), "est")
+    // exact ground truth, collapse-before-amplify: distinct at top grain
+    // first, then the ×levels explode over the collapsed set only
+    val tru = base.select("tx", "ty", "l_partkey").distinct()
+      .withColumn("z", explode(zs))
+      .select(col("z"),
+        expr(s"shiftright(tx, $maxZoom - z)").as("tx"),
+        expr(s"shiftright(ty, $maxZoom - z)").as("ty"),
+        col("l_partkey"))
+      .distinct()
+      .groupBy("z", "tx", "ty").agg(count(lit(1)).as("true_distinct"))
+    tru.join(est, Seq("z", "tx", "ty"))
+      .select("z", "tx", "ty", "true_distinct", "est")
+  }
+
   def incrementalPyramid(state: DataFrame, pyramid: DataFrame, deltaOcc: DataFrame,
       epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
     val deltaTop = topLevel(deltaOcc, epsg, maxZoom)

@@ -270,6 +270,21 @@ object Sketch {
       .orderBy(col("true_cnt").desc, col("w").asc)
   }
 
+  /** The per-source register builder over ARBITRARY grouping keys — exposed
+    * for hierarchical rollups (the q114 distinct-cardinality pyramid merges
+    * these rows register-wise up the tile tree).
+    */
+  def hllRegisterRows(df: DataFrame, keys: Seq[String], h: Column): DataFrame =
+    df.select(keys.map(col) :+ (h % HllM).as("reg") :+ hllRhoUdf(h).as("rho"): _*)
+      .groupBy((keys :+ "reg").map(col): _*).agg(max("rho").as("m_reg"))
+
+  /** [[hllEstimate]] over arbitrary keys, for callers outside this file. */
+  def hllEstimateRows(regs: DataFrame, keys: Seq[String], outCol: String): DataFrame =
+    hllEstimate(regs, keys, outCol)
+
+  /** The repo-convention 31-polynomial mod 2^31−1 hash as a Column. */
+  def tokenHash(c: Column): Column = tokenHashUdf(c)
+
   // ---------------------------------------------------------------- KMV
 
   /** KMV sketch size: k smallest distinct hash values. 64 keeps the whole

@@ -78,6 +78,16 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pyramidDistinct: register rollup equals building registers directly " +
+    "at the coarser zoom (parent sketch = merge of children)") {
+    val o = OccurrenceView.occ(spark, Dir)
+    val viaRollup = MapBuild.pyramidDistinct(o, "EPSG:4326", 0, 6)
+      .filter(col("z") === 5)
+    val direct = MapBuild.pyramidDistinct(o, "EPSG:4326", 5, 5)
+    assert(viaRollup.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(viaRollup).count() === 0)
+  }
+
   test("incrementalPyramid with an empty delta is the stored pyramid unchanged") {
     val o = OccurrenceView.occ(spark, Dir)
     val state = MapBuild.pyramidState(o, "EPSG:4326", 6).cache()
