@@ -285,6 +285,12 @@ object Sketch {
   /** The repo-convention 31-polynomial mod 2^31−1 hash as a Column. */
   def tokenHash(c: Column): Column = tokenHashUdf(c)
 
+  /** q23's whole-document content fingerprint as a Column — shared by the
+    * batch KMV (q112) and the streaming sketch maintainer so hash semantics
+    * can never drift between them.
+    */
+  def docContentHash(c: Column): Column = docFpUdf(c)
+
   // ---------------------------------------------------------------- KMV
 
   /** KMV sketch size: k smallest distinct hash values. 64 keeps the whole

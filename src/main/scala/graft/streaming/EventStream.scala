@@ -121,6 +121,23 @@ object EventStream {
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicates("text_hash")
 
+  /** Streaming KMV distinct-sketch maintenance: per-source bottom-k of the
+    * document content hashes, kept incrementally across micro-batches. The
+    * KmvAgg buffer is order- and partition-insensitive (bottom-k of a union
+    * is the merge of bottom-ks), so the streaming state after any batch
+    * split equals the batch sketch over the same prefix EXACTLY — and the
+    * state is k longs per source, the fixed-size-state shape of
+    * [[cmsSketch]]/[[bloomBits]]. Serving reads the latest snapshot and
+    * applies the same estimate/intersection algebra as the batch q112.
+    */
+  def kmvSketchStream(docStream: DataFrame, k: Int): DataFrame = {
+    val kmv = udaf(new graft.operators.Sketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    docStream
+      .select(col("source"), graft.operators.Sketch.docContentHash(col("text")).as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("kmv"))
+  }
+
   final case class SessState(lastTsec: Long, nSessions: Long, nEvents: Long)
 
   /** Stateful gap-based sessionization (30-min gap) via mapGroupsWithState —

@@ -341,6 +341,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size <= Sketch.D * Sketch.W)
   }
 
+  test("streaming KMV sketch equals the batch sketch after all batches " +
+    "(state = k longs per source)") {
+    import java.nio.file.Files
+    val docs = OccurrenceView.documents(spark, Dir)
+    val tmp = Files.createTempDirectory("kmvidx")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.kmvSketchStream(stream, 16)
+      .writeStream.format("memory").queryName("kmv_idx")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("kmv_idx")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).toMap
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new Sketch.KmvAgg(16), org.apache.spark.sql.Encoders.scalaLong)
+    val batch = docs
+      .select(col("source"), Sketch.docContentHash(col("text")).as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("kmv"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toSeq)).toMap
+    assert(streamed === batch)
+    streamed.values.foreach(v => assert(v.length <= 16))
+  }
+
   test("stateful streaming sessionization equals batch across micro-batches") {
     import java.nio.file.Files
     val ev = OccurrenceView.events(spark, Dir)
