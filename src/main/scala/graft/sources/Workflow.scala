@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S11 + §7.2 step 8: the prepare/build/finalise lifecycle with a manifest
@@ -69,6 +69,16 @@ object Workflow {
   def build(spark: SparkSession, sfDir: String, workDir: String,
       projections: Seq[String] =
         Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031"),
+      maxZoom: Int = 6): Manifest =
+    buildFrom(spark, graft.operators.OccurrenceView.occ(spark, sfDir),
+      workDir, projections, maxZoom)
+
+  /** [[build]] over a caller-prepared occurrence frame — the incremental
+    * lifecycle's fresh-rebuild comparator builds from a filtered base.
+    */
+  def buildFrom(spark: SparkSession, occ: DataFrame, workDir: String,
+      projections: Seq[String] =
+        Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031"),
       maxZoom: Int = 6): Manifest = {
     import graft.operators.{MapBuild, OccurrenceView, PointEncode, TileEncode}
     val version = readManifest(workDir).map(_.version + 1).getOrElse(1L)
@@ -82,7 +92,7 @@ object Workflow {
     // the input avro files to be read multiple times",
     // MapBuilder.java:184-199). At production scale this persist becomes a
     // parquet write of the snapshot.
-    val occSnapshot = OccurrenceView.occ(spark, sfDir)
+    val occSnapshot = occ
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     occSnapshot.count() // materialization barrier: one source scan, here
 
@@ -109,6 +119,11 @@ object Workflow {
     projections.foreach { epsg =>
       var level = MapBuild.pixelAggAt(occSnapshot, epsg, maxZoom)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the max-zoom pixel table IS the store's sum-mergeable state —
+      // written alongside the blobs so incrementalUpdate() can absorb the
+      // next ingest batch by keyed addition instead of a corpus rescan
+      level.write.mode("overwrite")
+        .parquet(s"$workDir/v$version/state/${srsDir(epsg)}")
       var z = maxZoom
       while (z >= 0) {
         KeyedSink.writeSalted(
@@ -127,8 +142,15 @@ object Workflow {
     }
 
     occSnapshot.unpersist()
-    val m = Manifest(version, pointsPath, tilesPath)
-    val tmp = Paths.get(workDir, s".manifest.v$version.tmp")
+    writeManifest(workDir, Manifest(version, pointsPath, tilesPath))
+  }
+
+  /** Atomic manifest swap (S5's table-pointer flip): write-then-rename so a
+    * concurrent reader sees either the old or the new version, never a
+    * partial file.
+    */
+  private def writeManifest(workDir: String, m: Manifest): Manifest = {
+    val tmp = Paths.get(workDir, s".manifest.v${m.version}.tmp")
     Files.createDirectories(Paths.get(workDir))
     Files.write(tmp,
       s"""{"version": ${m.version}, "points": "${jsonEscape(m.points)}", "tiles": "${jsonEscape(m.tiles)}"}"""
@@ -136,5 +158,119 @@ object Workflow {
     Files.move(tmp, manifestPath(workDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     m
+  }
+
+  private def srsDir(epsg: String) = s"srs=${epsg.replace(':', '_')}"
+
+  /** Incremental store update — the lifecycle the reference lacks (its
+    * "real-time" is a full rebuild + pointer swap, FinaliseBackfill.java:
+    * 64-106). Given the live store's manifest and a new ingest batch:
+    *
+    *  - POINTS: the store rows are already the aggregation state (one row
+    *    per (view, location, borYear) with a summed count), so the update
+    *    is old-rows ∪ delta-aggregate → keyed addition — no corpus scan.
+    *    The large/small blob bifurcation re-derives from the MERGED totals
+    *    (a view can cross the threshold and flip sides; recomputing the
+    *    split from state keeps that correct without touching raw records).
+    *  - TILES: per projection, the max-zoom pixel STATE (written by
+    *    [[build]] since this version) absorbs the delta by keyed addition;
+    *    only tiles in the delta's per-zoom ancestor footprint are
+    *    re-encoded (broadcast dirty-key semi-join BEFORE the expensive MVT
+    *    mapGroups), clean blob rows stream through from the previous
+    *    version via anti-join. The per-zoom rollup chain runs over the
+    *    state (shrinking 4× per level, never corpus-grain); the MVT
+    *    encode — the dominant cost — is delta-proportional.
+    *
+    * At production scale the clean-row passthrough becomes a file-level
+    * manifest reference (only dirty salt partitions rewritten); here the
+    * copy is the parquet-store analog. Falls back to [[build]] semantics
+    * only in that a huge delta simply dirties most tiles.
+    */
+  def incrementalUpdate(spark: SparkSession, deltaOcc: DataFrame, workDir: String,
+      projections: Seq[String] =
+        Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031"),
+      maxZoom: Int = 6): Manifest = {
+    import graft.operators.{MapBuild, OccurrenceView, PointEncode, TileEncode}
+    import org.apache.spark.storage.StorageLevel
+    val prev = readManifest(workDir).getOrElse(
+      throw new IllegalStateException(s"no manifest under $workDir — build() first"))
+    val version = prev.version + 1
+    val prevState = s"$workDir/v${prev.version}/state"
+    val pointsPath = s"$workDir/v$version/points"
+    val tilesPath = s"$workDir/v$version/tiles"
+    val statePath = s"$workDir/v$version/state"
+    val tshift = Integer.numberOfTrailingZeros(OccurrenceView.TileSize)
+
+    val delta = deltaOcc.persist(StorageLevel.MEMORY_AND_DISK)
+    delta.count() // snapshot barrier, as in build()
+
+    // ---- points store: state-merge, then re-derive the blob bifurcation
+    val oldPoints = spark.read.parquet(prev.points)
+      .select("map_key", "lat10", "lng10", "bor_year", "occ_count")
+    val mergedPoints = oldPoints
+      .unionByName(MapBuild.pointAgg(MapBuild.explodeMapKeys(delta)))
+      .groupBy("map_key", "lat10", "lng10", "bor_year")
+      .agg(sum("occ_count").as("occ_count"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    KeyedSink.writeSalted(mergedPoints, col("map_key"),
+      PointSaltModulus, pointsPath)
+    val smallKeys = mergedPoints.groupBy("map_key")
+      .agg(sum("occ_count").as("n"))
+      .filter(col("n") < OccurrenceView.Threshold).select("map_key")
+    KeyedSink.writeSalted(
+      PointEncode.pointBlobs(spark,
+        mergedPoints.join(broadcast(smallKeys), Seq("map_key"), "left_semi")),
+      col("map_key"), PointSaltModulus, s"${pointsPath}_blobs")
+
+    // ---- tiles store: per projection, merge state + dirty-only re-encode
+    projections.foreach { epsg =>
+      val deltaTop = MapBuild.pixelAggAt(delta, epsg, maxZoom)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val merged = spark.read.parquet(s"$prevState/${srsDir(epsg)}")
+        .unionByName(deltaTop)
+        .groupBy("map_key", "px", "py", "bor_year")
+        .agg(sum("occ_count").as("occ_count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      merged.write.mode("overwrite").parquet(s"$statePath/${srsDir(epsg)}")
+      val zs = array((0 to maxZoom).map(lit): _*)
+      val dirty = deltaTop
+        .withColumn("z", explode(zs))
+        .select(col("map_key"), col("z"),
+          expr(s"shiftright(px, $maxZoom - z + $tshift)").as("tx"),
+          expr(s"shiftright(py, $maxZoom - z + $tshift)").as("ty"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var level = merged
+      var z = maxZoom
+      while (z >= 0) {
+        val dirtyZ = dirty.filter(col("z") === z).select("map_key", "tx", "ty")
+        val levelDirty = level
+          .withColumn("tx", expr(s"shiftright(px, $tshift)"))
+          .withColumn("ty", expr(s"shiftright(py, $tshift)"))
+          .join(broadcast(dirtyZ), Seq("map_key", "tx", "ty"), "left_semi")
+          .drop("tx", "ty")
+        val fresh = TileEncode.mvtTiles(spark, levelDirty, z)
+        val kept = spark.read
+          .parquet(s"${prev.tiles}/${srsDir(epsg)}/zoom=$z")
+          .select("map_key", "z", "tx", "ty", "mvt")
+          .join(broadcast(dirtyZ), Seq("map_key", "tx", "ty"), "left_anti")
+          .select("map_key", "z", "tx", "ty", "mvt")
+        KeyedSink.writeSalted(
+          kept.unionByName(fresh.select("map_key", "z", "tx", "ty", "mvt")),
+          concat_ws(":", lit(epsg), col("map_key"), col("z"), col("tx"), col("ty")),
+          TileSaltModulus, s"$tilesPath/${srsDir(epsg)}/zoom=$z")
+        if (z > 0) {
+          val next = MapBuild.rollupToZoom(level, z, z - 1)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          if (!(level eq merged)) level.unpersist()
+          level = next
+        } else if (!(level eq merged)) level.unpersist()
+        z -= 1
+      }
+      merged.unpersist(); dirty.unpersist(); deltaTop.unpersist()
+    }
+    mergedPoints.unpersist(); delta.unpersist()
+    writeManifest(workDir, Manifest(version, pointsPath, tilesPath))
   }
 }

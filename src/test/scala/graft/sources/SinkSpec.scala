@@ -75,6 +75,46 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalFromTiles === expected)
   }
 
+  test("incremental store update equals a fresh rebuild over base+delta " +
+    "(points, blobs, every zoom's tiles, manifest bump)") {
+    val occ = graft.operators.OccurrenceView.occ(spark, Dir)
+    val base = occ.filter(col("l_orderkey") % 5 =!= 0)
+    val delta = occ.filter(col("l_orderkey") % 5 === 0)
+    val projs = Seq("EPSG:4326")
+    val incDir = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val freshDir = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+    val m1 = Workflow.buildFrom(spark, base, incDir, projs)
+    val mInc = Workflow.incrementalUpdate(spark, delta, incDir, projs)
+    val mFresh = Workflow.buildFrom(spark, occ, freshDir, projs)
+    assert(m1.version === 1L && mInc.version === 2L)
+    assert(Workflow.readManifest(incDir).get === mInc)
+
+    def rows(path: String, cols: String*) = {
+      val df = spark.read.parquet(path).select(cols.map(col): _*)
+      df.collect().map(_.toSeq).toSet
+    }
+    // points store rows identical (including salted keys)
+    assert(rows(mInc.points, "salted_key", "lat10", "lng10", "bor_year", "occ_count")
+      === rows(mFresh.points, "salted_key", "lat10", "lng10", "bor_year", "occ_count"))
+    // small-view blob store identical (bifurcation re-derived from merged totals)
+    assert(rows(s"${mInc.points}_blobs", "salted_key", "blob")
+        .map { s => Seq(s.head, s(1).asInstanceOf[Array[Byte]].toSeq) }
+      === rows(s"${mFresh.points}_blobs", "salted_key", "blob")
+        .map { s => Seq(s.head, s(1).asInstanceOf[Array[Byte]].toSeq) })
+    // every zoom's tile store identical — clean passthrough + dirty
+    // re-encode must compose to exactly the rebuild's blobs
+    (0 to 6).foreach { z =>
+      val a = rows(s"${mInc.tiles}/srs=EPSG_4326/zoom=$z", "salted_key", "mvt")
+        .map { s => (s.head, s(1).asInstanceOf[Array[Byte]].toSeq) }
+      val b = rows(s"${mFresh.tiles}/srs=EPSG_4326/zoom=$z", "salted_key", "mvt")
+        .map { s => (s.head, s(1).asInstanceOf[Array[Byte]].toSeq) }
+      assert(a === b, s"zoom $z diverged")
+    }
+    // the new state equals the fresh build's state (next ingest starts right)
+    assert(rows(s"$incDir/v2/state/srs=EPSG_4326", "map_key", "px", "py", "bor_year", "occ_count")
+      === rows(s"$freshDir/v1/state/srs=EPSG_4326", "map_key", "px", "py", "bor_year", "occ_count"))
+  }
+
   test("full-depth build: the z0–z16 sequenced per-zoom lifecycle (one " +
     "projection) conserves the view total at EVERY zoom") {
     // the reference's production shape — 17 zooms derived level-from-level
