@@ -214,12 +214,25 @@ object Workflow {
       .persist(StorageLevel.MEMORY_AND_DISK)
     KeyedSink.writeSalted(mergedPoints, col("map_key"),
       PointSaltModulus, pointsPath)
+    // blob store, delta-proportional: a view's blob can only change if the
+    // delta touched the view, and a view can only ENTER the small side if
+    // the delta touched it (counts grow monotonically) — so re-encode
+    // exactly smallKeys ∩ dirtyViews and pass every other small blob
+    // through from the previous version (views that LEFT the small side
+    // are in dirtyViews, so the passthrough can't resurrect them)
     val smallKeys = mergedPoints.groupBy("map_key")
       .agg(sum("occ_count").as("n"))
       .filter(col("n") < OccurrenceView.Threshold).select("map_key")
+    val dirtyViews = MapBuild.explodeMapKeys(delta).select("map_key").distinct()
+    val reEncode = PointEncode.pointBlobs(spark,
+      mergedPoints
+        .join(broadcast(smallKeys), Seq("map_key"), "left_semi")
+        .join(broadcast(dirtyViews), Seq("map_key"), "left_semi"))
+    val keptBlobs = spark.read.parquet(s"${prev.points}_blobs")
+      .select("map_key", "blob")
+      .join(broadcast(dirtyViews), Seq("map_key"), "left_anti")
     KeyedSink.writeSalted(
-      PointEncode.pointBlobs(spark,
-        mergedPoints.join(broadcast(smallKeys), Seq("map_key"), "left_semi")),
+      keptBlobs.unionByName(reEncode.select("map_key", "blob")),
       col("map_key"), PointSaltModulus, s"${pointsPath}_blobs")
 
     // ---- tiles store: per projection, merge state + dirty-only re-encode
