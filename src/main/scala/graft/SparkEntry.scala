@@ -905,7 +905,44 @@ object SparkEntry {
     // children) — per-tile distinct species at every zoom in one corpus
     // pass, with exact counts as ground truth
     "q114_pyramid_distinct" -> ((s, dir) =>
-      MapBuild.pyramidDistinct(occ(s, dir), "EPSG:4326", 0, 6))
+      MapBuild.pyramidDistinct(occ(s, dir), "EPSG:4326", 0, 6)),
+
+    // Great-circle radius query: per-view location/occurrence totals within
+    // 2000 km of a center — bbox prefilter (pushdown-friendly, mirrored
+    // literal-for-literal) then exact haversine, token-identical in both
+    // engines like the q26/q27 polar trig
+    "q115_radius_agg" -> ((s, dir) => {
+      val pts = MapBuild.pointAgg(exploded(s, dir))
+        .withColumn("lat", col("lat10") / 10.0)
+        .withColumn("lng", col("lng10") / 10.0)
+        .filter(col("lat") >= -18.5 && col("lat") <= 18.5 &&
+          col("lng") >= -19.0 && col("lng") <= 19.0)
+      val latr = col("lat") * lit(math.Pi / 180.0)
+      val lngr = col("lng") * lit(math.Pi / 180.0)
+      val dist = lit(2.0 * 6371000.0) *
+        asin(sqrt(pow(sin(latr / 2.0), 2.0) + cos(latr) * pow(sin(lngr / 2.0), 2.0)))
+      pts.withColumn("dist", dist)
+        .filter(col("dist") <= 2000000.0)
+        .groupBy("map_key")
+        .agg(count(lit(1)).as("n_locs"), sum("occ_count").as("total"))
+    }),
+
+    // k-nearest locations to the center with a deterministic total order
+    // (rounded distance, then the coordinates) — TakeOrderedAndProject,
+    // never a global sort of the full location set
+    "q116_knn_geo" -> ((s, dir) => {
+      val loc = occ(s, dir).select("lat10", "lng10").distinct()
+        .withColumn("lat", col("lat10") / 10.0)
+        .withColumn("lng", col("lng10") / 10.0)
+      val latr = col("lat") * lit(math.Pi / 180.0)
+      val lngr = col("lng") * lit(math.Pi / 180.0)
+      val dist = lit(2.0 * 6371000.0) *
+        asin(sqrt(pow(sin(latr / 2.0), 2.0) + cos(latr) * pow(sin(lngr / 2.0), 2.0)))
+      loc.withColumn("dist_m", round(dist, 4))
+        .select("lat10", "lng10", "dist_m")
+        .orderBy(col("dist_m"), col("lat10"), col("lng10"))
+        .limit(10)
+    })
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2470,7 +2507,27 @@ tl AS (SELECT DISTINCT z, td.tx >> (6 - z) AS tx, td.ty >> (6 - z) AS ty, l_part
 tru AS (SELECT z, tx, ty, count(*) AS true_distinct FROM tl GROUP BY z, tx, ty)
 SELECT tru.z, tru.tx, tru.ty, tru.true_distinct,
   round(0.673 * 16 * 16 / (agg.s_hit + CAST(16 - agg.n_regs AS DOUBLE)), 4) AS est
-FROM tru JOIN agg USING (z, tx, ty)""")
+FROM tru JOIN agg USING (z, tx, ty)"""),
+
+    "q115_radius_agg" -> (Pts + """,
+pll AS (SELECT map_key, lat10/10.0 AS lat, lng10/10.0 AS lng, occ_count FROM pts),
+pbb AS (SELECT * FROM pll
+  WHERE lat >= -18.5 AND lat <= 18.5 AND lng >= -19.0 AND lng <= 19.0),
+pd AS (SELECT map_key, occ_count,
+  2.0 * 6371000.0 * asin(sqrt(pow(sin((lat*(pi()/180.0))/2.0), 2.0)
+    + cos(lat*(pi()/180.0)) * pow(sin((lng*(pi()/180.0))/2.0), 2.0))) AS dist
+  FROM pbb)
+SELECT map_key, count(*) AS n_locs, CAST(sum(occ_count) AS BIGINT) AS total
+FROM pd WHERE dist <= 2000000.0 GROUP BY map_key"""),
+
+    "q116_knn_geo" -> (OccSql + """,
+loc AS (SELECT DISTINCT lat10, lng10 FROM occ2),
+lll AS (SELECT lat10, lng10, lat10/10.0 AS lat, lng10/10.0 AS lng FROM loc),
+ld AS (SELECT lat10, lng10,
+  round(2.0 * 6371000.0 * asin(sqrt(pow(sin((lat*(pi()/180.0))/2.0), 2.0)
+    + cos(lat*(pi()/180.0)) * pow(sin((lng*(pi()/180.0))/2.0), 2.0))), 4) AS dist_m
+  FROM lll)
+SELECT lat10, lng10, dist_m FROM ld ORDER BY dist_m, lat10, lng10 LIMIT 10""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the
