@@ -64,6 +64,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"q111 fell back to SMJ:\n$p")
   }
 
+  test("knn top-k is TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q116_knn_geo")
+    assert(p.contains("TakeOrderedAndProject"), s"q116 lost its top-k plan:\n$p")
+  }
+
   // count logical Window nodes with an EMPTY partition spec — the
   // single-partition scale-killer. String-matching the formatted physical
   // plan CANNOT detect this (argString omits the empty partition list
