@@ -441,6 +441,49 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("s1", "s2")) === ((40L, 10L, 50L, 0L, 0L)))
   }
 
+  test("seeded property: KMV merge law — sketch(A ∪ B) equals " +
+    "merge(sketch(A), sketch(B)) on random value sets") {
+    val agg = new Sketch.KmvAgg(32)
+    val rnd = new scala.util.Random(23)
+    (0 until 20).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(300))(rnd.nextLong(1000000L))
+      val b = Seq.fill(rnd.nextInt(300))(rnd.nextLong(1000000L))
+      val skUnion = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(skUnion.toSeq === merged.toSeq)
+    }
+  }
+
+  test("seeded property: full-sketch KMV estimate lands near the true " +
+    "distinct count (k=64 → ~13% expected error)") {
+    val agg = new Sketch.KmvAgg(64)
+    val rnd = new scala.util.Random(31)
+    val vals = Seq.fill(8000)(rnd.nextLong(Sketch.KmvM)).distinct
+    val sk = vals.foldLeft(agg.zero)(agg.reduce)
+    val est = 63L * Sketch.KmvM / sk(63)
+    assert(est > vals.size / 2 && est < vals.size * 2,
+      s"KMV estimate $est far from true ${vals.size}")
+  }
+
+  test("seeded property: winnowing guarantee — EVERY pair embedding a " +
+    "shared ≥11-char substring at random offsets shares a fingerprint") {
+    val rnd = new scala.util.Random(41)
+    def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (0 until 12).flatMap { i =>
+      val shared = randStr(11 + rnd.nextInt(30))
+      Seq(
+        (i * 2L, randStr(rnd.nextInt(60)) + shared + randStr(rnd.nextInt(60)), s"p$i"),
+        (i * 2L + 1, randStr(rnd.nextInt(60)) + shared + randStr(rnd.nextInt(60)), s"p$i"))
+    }
+    val fp = Dedup.winnowFingerprints(docsDf(rows: _*))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    (0 until 12).foreach { i =>
+      val common = fp(i * 2L) & fp(i * 2L + 1)
+      assert(common.nonEmpty, s"pair $i lost its guaranteed fingerprint")
+    }
+  }
+
   test("booleanRetrieve: AND/NOT membership with exact phrase counts") {
     val docs = docsDf(
       (0L, "spark window spark window agg", "s"), // match, phrase twice
