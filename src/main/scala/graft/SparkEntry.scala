@@ -927,6 +927,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_locs"), sum("occ_count").as("total"))
     }),
 
+    // Graph trio completion (with q47 components, q106 PageRank): triangle
+    // counts + local clustering coefficient over the capped near-dup edge
+    // list — ≈1 marks collapsible duplicate cliques, ≈0 marks template-hub
+    // false-positive stars
+    "q117_triangles" -> ((s, dir) =>
+      Dedup.triangleStats(documents(s, dir), 0.5)),
+
     // k-nearest locations to the center with a deterministic total order
     // (rounded distance, then the coordinates) — TakeOrderedAndProject,
     // never a global sort of the full location set
@@ -1071,7 +1078,11 @@ hs AS (SELECT doc_id, source,
     * `lbl(doc_id, cluster_id)` — shared by q47 (the labels) and q66 (the
     * canonical-corpus consumption).
     */
-  private val ClustersSql = SigSql.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+  /** Verified near-dup edge list (LSH candidates + minhash-agreement filter
+    * at 0.5) — the graph underlying q47/q66/q106/q117. Canonical a<b rows
+    * in `ed0`.
+    */
+  private val EdgesSql = SigSql + s""",
 bands AS (${(0 until Dedup.NumBands).map(b =>
     s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
     .mkString("\n  UNION ALL ")}),
@@ -1084,7 +1095,9 @@ ed0 AS (SELECT doc_a, doc_b FROM (
   SELECT doc_a, doc_b,
     (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0 AS est_sim
   FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id)
-  WHERE est_sim >= 0.5),
+  WHERE est_sim >= 0.5)"""
+
+  private val ClustersSql = EdgesSql.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
 ed AS (SELECT doc_a AS a, doc_b AS b FROM ed0 UNION SELECT doc_b, doc_a FROM ed0),
 cl AS (SELECT a, b FROM ed UNION SELECT cl.a, ed.b FROM cl JOIN ed ON cl.b = ed.a),
 lbl AS (SELECT d.doc_id, LEAST(d.doc_id, coalesce(min(cl.b), d.doc_id)) AS cluster_id
@@ -2527,7 +2540,22 @@ ld AS (SELECT lat10, lng10,
   round(2.0 * 6371000.0 * asin(sqrt(pow(sin((lat*(pi()/180.0))/2.0), 2.0)
     + cos(lat*(pi()/180.0)) * pow(sin((lng*(pi()/180.0))/2.0), 2.0))), 4) AS dist_m
   FROM lll)
-SELECT lat10, lng10, dist_m FROM ld ORDER BY dist_m, lat10, lng10 LIMIT 10""")
+SELECT lat10, lng10, dist_m FROM ld ORDER BY dist_m, lat10, lng10 LIMIT 10"""),
+
+    "q117_triangles" -> (EdgesSql + """,
+tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM ed0 e1 JOIN ed0 e2 ON e1.doc_b = e2.doc_a
+  JOIN ed0 e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+pn AS (SELECT doc_id, count(*) AS n_tri FROM (
+  SELECT a AS doc_id FROM tri UNION ALL SELECT b AS doc_id FROM tri
+  UNION ALL SELECT c AS doc_id FROM tri) GROUP BY doc_id),
+dg AS (SELECT doc_id, count(*) AS deg FROM (
+  SELECT doc_a AS doc_id FROM ed0 UNION ALL SELECT doc_b AS doc_id FROM ed0)
+  GROUP BY doc_id)
+SELECT pn.doc_id, pn.n_tri, dg.deg,
+  CAST(CASE WHEN dg.deg >= 2 THEN pn.n_tri * 2000000 // (dg.deg * (dg.deg - 1))
+       ELSE 0 END AS BIGINT) AS clust_micro
+FROM pn JOIN dg USING (doc_id)""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

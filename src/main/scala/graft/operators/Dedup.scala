@@ -489,6 +489,42 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Triangle counts and local clustering coefficient over the verified
+    * near-dup graph — with connected components (q47) and PageRank (q106)
+    * this completes the graph-analytics trio; the coefficient separates
+    * tight duplicate cliques (≈1, safe to collapse to one canonical doc)
+    * from hub-shaped false-positive stars (≈0, a template shared by many
+    * otherwise-unrelated docs — collapsing those loses real data).
+    *
+    * Scale shape: edges come from the capped LSH candidate join (never
+    * all-pairs), so the 3-way triangle join is bounded by the candidate
+    * edge list; the a<b<c canonical orientation counts each triangle once
+    * with plain equi-joins. Coefficient in exact integer micro-units.
+    */
+  def triangleStats(docs: DataFrame, minEst: Double): DataFrame = {
+    // the verified edge list feeds five plan branches (3 triangle arms + 2
+    // degree arms) — persist it, unlike the signature table (see the
+    // lshCandidatePairs note), because edges are candidate-sized, not
+    // corpus-sized, and the 5× recompute would repeat the band join
+    val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(e.as("e3"),
+        col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"), col("e2.doc_b").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    perNode.join(deg, Seq("doc_id"))
+      .withColumn("clust_micro",
+        expr("CASE WHEN deg >= 2 THEN n_tri * 2000000 div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
+      .select("doc_id", "n_tri", "deg", "clust_micro")
+  }
+
   // ------------------------------------------------------------ winnowing
 
   /** Winnowing k-gram length (characters) and window size (consecutive

@@ -485,6 +485,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("triangleStats: a 3-clique of near-identical docs scores coefficient " +
+    "1.0; a hub's spokes don't triangulate") {
+    val ss = spark; import ss.implicits._
+    val base = (0 until 60).map(i => s"common text body ${i % 7} alpha beta").mkString(" ")
+    val docs = Seq(
+      // three near-identical docs → a triangle, coefficient 1
+      (1L, base + " one", "s"), (2L, base + " two", "s"), (3L, base + " three", "s"),
+      // an unrelated doc → no edges at all
+      (9L, (0 until 80).map(i => s"zq$i").mkString(" "), "s")
+    ).toDF("doc_id", "text", "source").withColumn("n_chars", length(col("text")))
+    val out = Dedup.triangleStats(docs, 0.5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    out.values.foreach { case (nTri, deg, cl) =>
+      assert(nTri === 1L && deg === 2L && cl === 1000000L)
+    }
+  }
+
   test("winnowing is alignment-free: a shared ≥11-char substring is found " +
     "at ANY offset, where fixed chunk boundaries would shift") {
     val ss = spark; import ss.implicits._
