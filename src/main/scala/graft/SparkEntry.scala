@@ -927,6 +927,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_locs"), sum("occ_count").as("total"))
     }),
 
+    // Exact-k-per-stratum sampling WITHOUT per-group sorts: bottom-k of a
+    // bijective affine-mod-prime doc hash via the KMV aggregator (bounded
+    // mergeable state), membership by broadcast semi-join — the same
+    // sample falls out of any partitioning or batch split
+    "q118_bottomk_sample" -> ((s, dir) =>
+      graft.operators.Sketch.bottomKSample(documents(s, dir), 12)),
+
     // Graph trio completion (with q47 components, q106 PageRank): triangle
     // counts + local clustering coefficient over the capped near-dup edge
     // list — ≈1 marks collapsible duplicate cliques, ≈0 marks template-hub
@@ -2555,7 +2562,13 @@ dg AS (SELECT doc_id, count(*) AS deg FROM (
 SELECT pn.doc_id, pn.n_tri, dg.deg,
   CAST(CASE WHEN dg.deg >= 2 THEN pn.n_tri * 2000000 // (dg.deg * (dg.deg - 1))
        ELSE 0 END AS BIGINT) AS clust_micro
-FROM pn JOIN dg USING (doc_id)""")
+FROM pn JOIN dg USING (doc_id)"""),
+
+    "q118_bottomk_sample" -> """WITH hs AS (
+  SELECT source, doc_id, (1299721 * doc_id + 7) % 2147483647 AS h FROM documents),
+rk AS (SELECT source, doc_id,
+  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs)
+SELECT source, doc_id FROM rk WHERE rn <= 12"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

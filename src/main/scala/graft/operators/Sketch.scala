@@ -362,6 +362,28 @@ object Sketch {
     * the sketches themselves are what a 1000-executor run would ship to
     * the driver (k·#domains longs).
     */
+  /** Exact-k uniform sample per source WITHOUT a per-group sort: rank docs
+    * by an affine-mod-prime hash of doc_id — a BIJECTION (a·id+b mod p,
+    * p = 2^31−1 prime, ids < p), so ranks are collision-free and the sample
+    * is exactly min(k, n) docs per group — and select the bottom-k via the
+    * KMV aggregator. The selected hash set is k·#sources longs (broadcast),
+    * and membership is a semi-join; nothing ever sorts a whole stratum,
+    * unlike rank-window sampling, and the sketch state merges across
+    * partitions/batches (the same sample falls out of any split of the
+    * data — deterministic distributed sampling without replacement).
+    */
+  def bottomKSample(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val kmv = udaf(new KmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    val a = Dedup.As(0); val b = Dedup.Bs(0)
+    val h = (lit(a) * col("doc_id") + lit(b)) % Dedup.M
+    val hashed = docs.select(col("source"), col("doc_id"), h.as("h"))
+    val selected = hashed.groupBy("source").agg(kmv(col("h")).as("kmv"))
+      .select(col("source"), explode(col("kmv")).as("h"))
+    hashed.join(broadcast(selected), Seq("source", "h"), "left_semi")
+      .select("source", "doc_id")
+  }
+
   def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -466,6 +466,21 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"KMV estimate $est far from true ${vals.size}")
   }
 
+  test("bottomKSample: exactly min(k, n) docs per stratum, invariant under " +
+    "repartitioning") {
+    val rows = (0L until 5L).map(i => (i, s"a $i", "s0")) ++
+      (100L until 120L).map(i => (i, s"b $i", "s1")) ++
+      (200L until 240L).map(i => (i, s"c $i", "s2"))
+    val docs = docsDf(rows: _*)
+    val s1 = Sketch.bottomKSample(docs, 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val sizes = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes === Map("s0" -> 5, "s1" -> 12, "s2" -> 12))
+    val s2 = Sketch.bottomKSample(docs.repartition(7), 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 === s2)
+  }
+
   test("seeded property: winnowing guarantee — EVERY pair embedding a " +
     "shared ≥11-char substring at random offsets shares a fingerprint") {
     val rnd = new scala.util.Random(41)
