@@ -934,6 +934,12 @@ object SparkEntry {
     "q118_bottomk_sample" -> ((s, dir) =>
       graft.operators.Sketch.bottomKSample(documents(s, dir), 12)),
 
+    // q69's temperature quota, but MATERIALIZED: the actual sampled doc ids
+    // per source, selected as a prefix of the sorted bottom-k sketch —
+    // window-free, exact quotas, partitioning-invariant
+    "q119_quota_sample" -> ((s, dir) =>
+      graft.operators.Sketch.quotaSample(documents(s, dir), 3.0)),
+
     // Graph trio completion (with q47 components, q106 PageRank): triangle
     // counts + local clustering coefficient over the capped near-dup edge
     // list — ≈1 marks collapsible duplicate cliques, ≈0 marks template-hub
@@ -2568,7 +2574,17 @@ FROM pn JOIN dg USING (doc_id)"""),
   SELECT source, doc_id, (1299721 * doc_id + 7) % 2147483647 AS h FROM documents),
 rk AS (SELECT source, doc_id,
   row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs)
-SELECT source, doc_id FROM rk WHERE rn <= 12"""
+SELECT source, doc_id FROM rk WHERE rn <= 12""",
+
+    "q119_quota_sample" -> """WITH keep AS (
+  SELECT source,
+    least(count(*), CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)) * CAST('3.0' AS DOUBLE)) AS BIGINT)) AS n_keep
+  FROM documents GROUP BY source),
+hs AS (SELECT source, doc_id, (1299721 * doc_id + 7) % 2147483647 AS h FROM documents),
+rk AS (SELECT hs.source, hs.doc_id, keep.n_keep,
+  row_number() OVER (PARTITION BY hs.source ORDER BY h) AS rn
+  FROM hs JOIN keep USING (source))
+SELECT source, doc_id FROM rk WHERE rn <= n_keep"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -384,6 +384,37 @@ object Sketch {
       .select("source", "doc_id")
   }
 
+  /** Temperature-quota mixture sample, window-free: each source keeps
+    * exactly `min(c, ceil(sqrt(c)·boost))` docs (q69's temperature quota —
+    * but q69 only REPORTS the mixture counts; this materializes the sampled
+    * ids). Selection = the first n_keep positions of the source's SORTED
+    * bottom-k sketch (the sketch is ascending by construction, so a prefix
+    * IS the bottom-n_keep), membership via broadcast semi-join. The sketch
+    * size is derived from the actual max quota — a driver collect bounded
+    * by #sources (the A1 TreeSet argument) — so the prefix can never
+    * truncate; no stratum is ever sorted whole.
+    */
+  def quotaSample(docs: DataFrame, boost: Double): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .persist() // tiny (#sources); feeds the k computation AND the quotas
+    val kMax = counts.select(
+        least(col("c"), ceil(sqrt(col("c").cast("double")) * boost).cast("long")).as("q"))
+      .agg(max("q")).head.getLong(0).toInt
+    val kmv = udaf(new KmvAgg(kMax), org.apache.spark.sql.Encoders.scalaLong)
+    val a = Dedup.As(0); val b = Dedup.Bs(0)
+    val hashed = docs.select(col("source"), col("doc_id"),
+      ((lit(a) * col("doc_id") + lit(b)) % Dedup.M).as("h"))
+    val sel = hashed.groupBy("source").agg(kmv(col("h")).as("kmv"))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("source"),
+        least(col("c"), ceil(sqrt(col("c").cast("double")) * boost).cast("long")).as("n_keep"),
+        posexplode(col("kmv")).as(Seq("pos", "h")))
+      .filter(col("pos") < col("n_keep"))
+      .select("source", "h")
+    hashed.join(broadcast(sel), Seq("source", "h"), "left_semi")
+      .select("source", "doc_id")
+  }
+
   def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
