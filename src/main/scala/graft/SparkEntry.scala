@@ -940,6 +940,31 @@ object SparkEntry {
     "q119_quota_sample" -> ((s, dir) =>
       graft.operators.Sketch.quotaSample(documents(s, dir), 3.0)),
 
+    // Audio modality: stub-decoded PCM → framed short-time energy → VAD
+    // voiced-segment stats, ALL row-local (HOF folds over per-row sample
+    // arrays — zero shuffle; scan-and-emit at any corpus size)
+    "q120_audio_vad" -> ((s, dir) =>
+      graft.operators.Media.audioVad(documents(s, dir))),
+
+    // Image modality: perceptual difference-hash (9×8 stub grid → 64
+    // gradient bits → 4×16-bit words), pure codegen'd CASE arithmetic
+    // generated from ONE loop shared with the oracle SQL — no UDF
+    "q121_dhash" -> ((s, dir) =>
+      graft.operators.Media.dhash(documents(s, dir))),
+
+    // Image near-dup: Hamming-ball search via 4-band pigeonhole blocking
+    // (perfect recall at distance ≤ 3, unlike probabilistic MinHash bands)
+    // + bit_count(xor) verify; hot-band cap bounds the largest bucket
+    "q122_dhash_neardup" -> ((s, dir) =>
+      graft.operators.Media.dhashNearDup(documents(s, dir))),
+
+    // Inverted-index build: df + delta-encoded posting prefix per term; the
+    // prefix is the KMV aggregator's bottom-k of raw doc ids (k-long
+    // bounded partial-agg state — no term's posting list is ever sorted
+    // whole, unlike the rank-window formulation the oracle runs)
+    "q123_postings" -> ((s, dir) =>
+      graft.operators.Corpus.invertedIndex(documents(s, dir))),
+
     // Graph trio completion (with q47 components, q106 PageRank): triangle
     // counts + local clustering coefficient over the capped near-dup edge
     // list — ≈1 marks collapsible duplicate cliques, ≈0 marks template-hub
@@ -2584,7 +2609,32 @@ hs AS (SELECT source, doc_id, (1299721 * doc_id + 7) % 2147483647 AS h FROM docu
 rk AS (SELECT hs.source, hs.doc_id, keep.n_keep,
   row_number() OVER (PARTITION BY hs.source ORDER BY h) AS rn
   FROM hs JOIN keep USING (source))
-SELECT source, doc_id FROM rk WHERE rn <= n_keep"""
+SELECT source, doc_id FROM rk WHERE rn <= n_keep""",
+
+    "q120_audio_vad" -> graft.operators.Media.AudioVadSql,
+
+    "q121_dhash" -> graft.operators.Media.dhashHashSql,
+
+    "q122_dhash_neardup" -> graft.operators.Media.dhashNearDupSql(),
+
+    "q123_postings" -> """WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+words AS (SELECT DISTINCT doc_id, w FROM (
+  SELECT doc_id, unnest(toks) AS w FROM tk WHERE len(toks) > 0)
+  WHERE length(w) >= 4),
+dfreq AS (SELECT w, COUNT(*) AS df FROM words GROUP BY w),
+rk AS (SELECT w, doc_id,
+  row_number() OVER (PARTITION BY w ORDER BY doc_id) AS rn FROM words),
+del AS (SELECT w, doc_id,
+  doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY w ORDER BY doc_id), 0) AS delta
+  FROM (SELECT * FROM rk WHERE rn <= 16)),
+post AS (SELECT w, string_agg(CAST(delta AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM del GROUP BY w)
+SELECT dfreq.w, CAST(df AS BIGINT) AS df, post.postings
+FROM dfreq JOIN post USING (w) WHERE df >= 2"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -718,4 +718,35 @@ object Corpus {
     }
     ranked.groupBy("source").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Inverted-index build: term → document frequency + a delta-encoded
+    * posting list of the first `k` doc ids (the on-disk block shape every
+    * search index uses — BM25/boolean retrieval above SCAN the corpus;
+    * this materializes the index they'd serve from).
+    *
+    * Scale shape: the posting prefix comes from the KMV bottom-k
+    * aggregator ([[Sketch.KmvAgg]] fed raw doc ids — its bottom-k of
+    * distinct values IS the smallest-k posting prefix), so per-term state
+    * is bounded at k longs through map-side partial aggregation and NO
+    * term's full posting list is ever collected or sorted — the classic
+    * rank-window formulation sorts every posting list end-to-end, which at
+    * 100 TB serializes the stopword terms' lists through single tasks.
+    * df stays the full count. Delta encoding is a row-local transform over
+    * the sorted k-array.
+    */
+  def invertedIndex(docs: DataFrame, minLen: Int = 4, minDf: Long = 2, k: Int = 16): DataFrame = {
+    val kmv = udaf(new Sketch.KmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= minLen)
+      .distinct()
+      .groupBy("w")
+      .agg(count(lit(1)).as("df"), kmv(col("doc_id")).as("ids"))
+      .filter(col("df") >= minDf)
+      .select(col("w"),
+        col("df").cast("long").as("df"),
+        concat_ws(",", expr(
+          "transform(ids, (x, i) -> string(if(i = 0, x, x - element_at(ids, i))))"))
+          .as("postings"))
+  }
 }

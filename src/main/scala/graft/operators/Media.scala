@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Audio + image analysis over multimodal payloads — the two modalities
+  * [[Multimodal]] doesn't cover (it does image/video metadata, frames,
+  * resize, features). As there, the DECODE step is a deterministic stub
+  * (this environment ships no codecs): PCM samples and grayscale pixels are
+  * derived arithmetically from the row's (doc_id, n_chars). Everything
+  * downstream of decode is the real algorithm and the real Spark shape:
+  *
+  *  - voice-activity detection: framed short-time energy → threshold →
+  *    voiced-segment statistics, ALL row-local (higher-order functions over
+  *    per-row sample arrays — zero shuffle; a 1000-executor run scans and
+  *    emits, nothing exchanges);
+  *  - perceptual difference-hash (dHash): 9×8 grayscale grid → 64
+  *    horizontal-gradient bits → 4×16-bit words, pure codegen'd integer
+  *    CASE/arithmetic (no UDF);
+  *  - near-duplicate images via Hamming-ball search: split the 64-bit hash
+  *    into 4 bands — by pigeonhole any pair at Hamming distance ≤ 3 agrees
+  *    exactly on ≥ 1 band — equi-join per band (never all-pairs), then
+  *    verify with bit_count(xor). Same blocked-join scale shape as the
+  *    MinHash-LSH text path (Dedup), including its hot-bucket skew cap.
+  *
+  * The hash expressions are GENERATED (one Scala loop emits both the Spark
+  * and the DuckDB SQL text with precomputed per-pixel constants), so the
+  * engine and the oracle can never drift.
+  */
+object Media {
+
+  /** Frame length in samples; threshold on per-frame energy (E[s²]≈5461
+    * for uniform ±128 ⇒ expected frame energy ≈ 349 000 — the threshold
+    * sits at the mean so voiced/unvoiced bitmaps are genuinely mixed). */
+  val FrameLen = 64
+  val EnergyThreshold = 350000L
+
+  /** Stubbed PCM decode + framed energy + VAD segmentation, one row per
+    * doc. n_frames = 4 + n_chars % 8 (4..11 frames of 64 samples);
+    * sample(i) = ((2·(doc_id%97)+1)·(13·i² + 29·i) + 31·doc_id) % 256 − 128
+    * (odd multiplier ⇒ the quadratic sweep mixes per doc). Emits per doc:
+    * frame count, voiced-frame count, longest voiced run (the
+    * gaps-and-islands statistic, folded row-locally with a struct
+    * accumulator), and peak frame energy. All integer math ⇒ the oracle
+    * (lateral generate_series + window gaps-islands) matches exactly.
+    */
+  def audioVad(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("nf", expr("int(4 + n_chars % 8)"))
+      .withColumn("energies", expr(s"""
+        transform(sequence(0, nf - 1), f ->
+          aggregate(sequence(bigint(f) * $FrameLen, bigint(f) * $FrameLen + ${FrameLen - 1}),
+            bigint(0), (acc, i) ->
+              acc + (((2 * (doc_id % 97) + 1) * (13 * i * i + 29 * i) + 31 * doc_id) % 256 - 128)
+                  * (((2 * (doc_id % 97) + 1) * (13 * i * i + 29 * i) + 31 * doc_id) % 256 - 128)))"""))
+      .select(
+        col("doc_id"),
+        col("nf").as("n_frames"),
+        expr(s"size(filter(energies, e -> e > $EnergyThreshold))").as("voiced_cnt"),
+        expr(s"""aggregate(energies, named_struct('cur', 0, 'best', 0),
+          (acc, e) -> named_struct(
+            'cur',  if(e > $EnergyThreshold, acc.cur + 1, 0),
+            'best', greatest(acc.best, if(e > $EnergyThreshold, acc.cur + 1, 0))),
+          acc -> acc.best)""").as("longest_run"),
+        expr("array_max(energies)").as("max_energy"))
+
+  /** Oracle for [[audioVad]]: the same integer arithmetic via a lateral
+    * sample expansion, longest run via the classic gaps-and-islands
+    * `fi − row_number()` grouping. `documents` is the registered table.
+    */
+  val AudioVadSql: String = s"""WITH d AS (
+  SELECT doc_id, CAST(4 + n_chars % 8 AS BIGINT) AS nf FROM documents),
+fr AS (SELECT doc_id, nf, fi FROM d, LATERAL (
+  SELECT unnest(generate_series(0, nf - 1)) AS fi)),
+en AS (SELECT doc_id, nf, fi,
+  SUM( (((2 * (doc_id % 97) + 1) * (13 * i * i + 29 * i) + 31 * doc_id) % 256 - 128)
+     * (((2 * (doc_id % 97) + 1) * (13 * i * i + 29 * i) + 31 * doc_id) % 256 - 128)) AS energy
+  FROM fr, LATERAL (SELECT unnest(generate_series(fi * $FrameLen, fi * $FrameLen + ${FrameLen - 1})) AS i)
+  GROUP BY doc_id, nf, fi),
+v AS (SELECT doc_id, nf, fi, energy, energy > $EnergyThreshold AS vo FROM en),
+runs AS (SELECT doc_id, fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+  FROM v WHERE vo),
+rl AS (SELECT doc_id, MAX(cnt) AS longest FROM (
+  SELECT doc_id, grp, COUNT(*) AS cnt FROM runs GROUP BY doc_id, grp) GROUP BY doc_id),
+agg AS (SELECT doc_id, CAST(MAX(nf) AS INT) AS n_frames,
+  CAST(SUM(CASE WHEN vo THEN 1 ELSE 0 END) AS INT) AS voiced_cnt,
+  CAST(MAX(energy) AS BIGINT) AS max_energy FROM v GROUP BY doc_id)
+SELECT agg.doc_id, agg.n_frames, agg.voiced_cnt,
+  CAST(COALESCE(rl.longest, 0) AS INT) AS longest_run, agg.max_energy
+FROM agg LEFT JOIN rl ON agg.doc_id = rl.doc_id"""
+
+  // ---------------------------------------------------------------- dHash
+
+  /** Stub grayscale at grid position (x, y) — constants precomputed per
+    * pixel so both engines see plain `(n_q·A + m·B + C) % 256` terms. The
+    * "image content" is n_chars quantized by 8 (so docs of similar length
+    * decode to the SAME image — the planted duplicate classes the near-dup
+    * join finds) plus a weak doc_id%3 style term. `divTok` is `div` for
+    * Spark SQL, `//` for DuckDB.
+    */
+  private def graySql(x: Int, y: Int, divTok: String): String = {
+    val a = x + 9 * y + 1
+    val b = x * y + 1
+    val c = 29 * x + 57 * y
+    s"(((n_chars $divTok 8) * $a + (doc_id % 3) * $b + $c) % 256)"
+  }
+
+  /** 16-bit word j (j = 0..3) of the 64-bit dHash: bit b = 16·j + k set
+    * when gray(x+1, y) > gray(x, y) at x = b % 8, y = b / 8. */
+  def dhashWordSql(j: Int, divTok: String): String =
+    (0 until 16).map { k =>
+      val b = 16 * j + k
+      val x = b % 8
+      val y = b / 8
+      s"(CASE WHEN ${graySql(x + 1, y, divTok)} > ${graySql(x, y, divTok)} THEN ${1 << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Per-doc perceptual hash: 4 packed 16-bit words, all codegen'd integer
+    * CASE arithmetic (64 comparisons inlined — no UDF, no shuffle). */
+  def dhash(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id") +:
+      (0 until 4).map(j => expr(dhashWordSql(j, "div")).cast("int").as(s"w$j")): _*)
+
+  /** The h CTE both dHash oracles share. */
+  def dhashHashSql: String =
+    "SELECT doc_id, " +
+      (0 until 4).map(j => s"CAST(${dhashWordSql(j, "//")} AS INT) AS w$j").mkString(", ") +
+      " FROM documents"
+
+  /** Hot-band cap: as in the MinHash path (Dedup.DefaultBucketCap doc), a
+    * band value shared by a huge fraction of the corpus makes the blocked
+    * join quadratic in that bucket; members of a dropped band can still
+    * pair through their other 3 bands. */
+  val BandCap = 32
+
+  /** Near-duplicate images: band equi-join (4 bands × 16 bits — by
+    * pigeonhole a pair with Hamming distance ≤ 3 has its ≤ 3 differing
+    * bits spread over 4 bands, so at least one band matches EXACTLY; the
+    * blocking has perfect recall within the ball, unlike probabilistic
+    * MinHash banding), distinct candidate pairs, exact Hamming verify via
+    * bit_count(xor). Never all-pairs; the per-band join is the only
+    * exchange and the cap bounds its largest bucket.
+    */
+  def dhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val h = dhash(docs)
+    val bands = h.select(col("doc_id"), col("w0"), col("w1"), col("w2"), col("w3"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"), col(s"w$j").as("bw"))): _*)).as("bk"))
+      .select(col("doc_id"), col("w0"), col("w1"), col("w2"), col("w3"),
+        col("bk.band").as("band"), col("bk.bw").as("bw"))
+    val hot = bands.groupBy("band", "bw").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > BandCap).select("band", "bw")
+    val capped = bands.join(broadcast(hot), Seq("band", "bw"), "left_anti")
+    val ham: Column = (0 until 4)
+      .map(j => bit_count(col(s"a.w$j").bitwiseXOR(col(s"b.w$j"))))
+      .reduce(_ + _)
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle for [[dhashNearDup]]: same generated hash SQL, band union,
+    * NOT EXISTS hot-cap, self-join, xor/bit_count verify. */
+  def dhashNearDupSql(maxHamming: Int = 3): String = s"""WITH h AS ($dhashHashSql),
+bands AS (
+  ${(0 until 4).map(j => s"SELECT doc_id, w0, w1, w2, w3, $j AS band, w$j AS bw FROM h")
+    .mkString("\n  UNION ALL\n  ")}),
+hot AS (SELECT band, bw FROM bands GROUP BY band, bw HAVING COUNT(*) > $BandCap),
+capped AS (SELECT * FROM bands b WHERE NOT EXISTS (
+  SELECT 1 FROM hot WHERE hot.band = b.band AND hot.bw = b.bw)),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bw = b.bw AND a.doc_id < b.doc_id),
+j AS (SELECT p.doc_a, p.doc_b,
+  ${(0 until 4).map(j => s"bit_count(xor(ha.w$j, hb.w$j))").mkString(" + ")} AS hamming
+  FROM pairs p JOIN h ha ON p.doc_a = ha.doc_id JOIN h hb ON p.doc_b = hb.doc_id)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM j WHERE hamming <= $maxHamming"""
+}

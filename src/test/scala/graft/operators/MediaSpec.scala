@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the audio/image media operators (Media): VAD segment
+  * statistics against a direct Scala re-computation, dHash determinism, the
+  * Hamming-ball pigeonhole recall guarantee, and the posting-prefix/delta
+  * contract of the inverted index.
+  */
+class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("media-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsDf(rows: (Long, Long)*) = {
+    val ss = spark; import ss.implicits._
+    rows.toDF("doc_id", "n_chars")
+  }
+
+  /** Direct Scala model of the stubbed PCM decode + VAD. */
+  private def vadModel(d: Long, n: Long): (Int, Int, Int, Long) = {
+    val nf = (4 + n % 8).toInt
+    val energies = (0 until nf).map { f =>
+      (f * 64 until f * 64 + 64).map { i =>
+        val s = ((2 * (d % 97) + 1) * (13L * i * i + 29L * i) + 31 * d) % 256 - 128
+        s * s
+      }.sum
+    }
+    val voiced = energies.map(_ > Media.EnergyThreshold)
+    var cur = 0; var best = 0
+    voiced.foreach { v => cur = if (v) cur + 1 else 0; best = math.max(best, cur) }
+    (nf, voiced.count(identity), best, energies.max)
+  }
+
+  test("audioVad matches a direct per-row recomputation") {
+    val rows = Seq((1L, 47L), (2L, 200L), (17L, 555L), (100000007L, 83L), (0L, 0L))
+    val got = Media.audioVad(docsDf(rows: _*))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    rows.foreach { case (d, n) =>
+      assert(got(d) === vadModel(d, n), s"doc $d n_chars $n")
+    }
+  }
+
+  test("dhash is deterministic and word-packed in [0, 65536)") {
+    val df = docsDf((1L, 100L), (2L, 101L), (3L, 800L))
+    val a = Media.dhash(df).collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val b = Media.dhash(df).collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(a.toSeq === b.toSeq)
+    a.foreach { case (_, w0, w1, w2, w3) =>
+      Seq(w0, w1, w2, w3).foreach(w => assert(w >= 0 && w < 65536)) }
+  }
+
+  test("dhashNearDup finds every pair within Hamming 3 (pigeonhole recall)") {
+    // brute-force ground truth over a doc set small enough to enumerate
+    val rows = (0L until 60L).map(i => (i, 40L + i * 7 % 120))
+    val df = docsDf(rows: _*)
+    val hashes = Media.dhash(df).collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val expect = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      h = hashes(a).zip(hashes(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expect.nonEmpty, "test corpus must contain near pairs")
+    val got = Media.dhashNearDup(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expect)
+  }
+
+  test("invertedIndex: df is the full count while postings is the bottom-k prefix, delta-encoded") {
+    val ss = spark; import ss.implicits._
+    // term "alpha" in 20 docs (df 20 > k=16); ids descending on purpose —
+    // the prefix must be the SMALLEST ids regardless of arrival order
+    val docs = (1L to 20L).reverse.map(i => (i * 10, "alpha beta")) :+ (999L, "beta")
+    val df = docs.toDF("doc_id", "text")
+    val got = Corpus.invertedIndex(df, minLen = 4, minDf = 2, k = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got("alpha")._1 === 20L)
+    // bottom-16 of {10,20,...,200} delta-encoded: 10 then fifteen 10s
+    assert(got("alpha")._2 === (Seq("10") ++ Seq.fill(15)("10")).mkString(","))
+    assert(got("beta")._1 === 21L)
+  }
+}
