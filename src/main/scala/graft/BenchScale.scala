@@ -29,7 +29,40 @@ object BenchScale {
     // probe is exactly the instrument to catch it degrading to rebuild
     "q111_incremental_pyramid")
 
+  /** Per-stage totals between two markers — shuffle volume and spill are
+    * the quantities that separate "the exchange really carries 7× the
+    * data" from "page-cache/GC noise" when a ratio comes back super-linear.
+    */
+  private final class StageMetrics extends org.apache.spark.scheduler.SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    @volatile var stageTimeMs = 0L
+    def reset(): Unit = { shuffleWrite = 0; shuffleRead = 0; memSpill = 0; diskSpill = 0; stageTimeMs = 0 }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        stageTimeMs += m.executorRunTime
+      }
+    }
+    def line: String = f"shufW=${shuffleWrite / 1e6}%.0fMB shufR=${shuffleRead / 1e6}%.0fMB " +
+      f"spillMem=${memSpill / 1e6}%.0fMB spillDisk=${diskSpill / 1e6}%.0fMB execTime=${stageTimeMs / 1e3}%.1fs"
+  }
+
   def main(args: Array[String]): Unit = {
+    // dev loop: SPARK_GRAFT_SCALE_ONLY=q45_pyramid,q109_pyramid_deep
+    // restricts the probe; SPARK_GRAFT_SCALE_DEBUG=1 prints per-run stage
+    // totals (shuffle/spill/exec-time) to stderr. The driver sets neither.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSet).getOrElse(Heavy.toSet)
+    val heavy = Heavy.filter(only)
+    val debug = sys.env.get("SPARK_GRAFT_SCALE_DEBUG").contains("1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaleDir = s"/tmp/graft-scale-x$reps"
@@ -71,15 +104,20 @@ object BenchScale {
         .withColumn("text",
           translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
 
+    val metrics = new StageMetrics
+    if (debug) spark.sparkContext.addSparkListener(metrics)
+
     def time(dir: String, name: String): Double = {
+      metrics.reset()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      if (debug) System.err.println(f"[scale-debug] $name $dir ${dt}%.1fs ${metrics.line}")
       dt
     }
 
-    Heavy.foreach(time(baseDir, _)) // warmup + JIT on the unscaled data
+    heavy.foreach(time(baseDir, _)) // warmup + JIT on the unscaled data
     // page the just-written replicas into the OS cache before ANY timed x10
     // run: the first query slot otherwise absorbs the cold read of the
     // whole scaled input and reports a fake super-linear ratio (measured:
@@ -96,7 +134,7 @@ object BenchScale {
       System.gc()
       math.min(a, time(dir, n))
     }
-    val baseTimes = Heavy.map(n => n -> timed(baseDir, n)).toMap
+    val baseTimes = heavy.map(n => n -> timed(baseDir, n)).toMap
     // hold per-partition data constant across the scale-up, as a real
     // deployment does (AQE's initialPartitionNum serves exactly this):
     // with partitions pinned while input grows reps×, per-task aggregation
@@ -104,10 +142,10 @@ object BenchScale {
     // operator's scaling
     val scaleParts = math.min(cpus.toInt * reps, 512)
     spark.conf.set("spark.sql.shuffle.partitions", scaleParts)
-    val scaleTimes = Heavy.map(n => n -> timed(scaleDir, n)).toMap
+    val scaleTimes = heavy.map(n => n -> timed(scaleDir, n)).toMap
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
-    val qs = Heavy.map { n =>
+    val qs = heavy.map { n =>
       val ratio = scaleTimes(n) / math.max(baseTimes(n), 1e-9)
       f""""$n":{"base_sec":${baseTimes(n)}%.3f,"x${reps}_sec":${scaleTimes(n)}%.3f,"ratio":$ratio%.2f}"""
     }.mkString("{", ",", "}")
