@@ -965,6 +965,22 @@ object SparkEntry {
     "q123_postings" -> ((s, dir) =>
       graft.operators.Corpus.invertedIndex(documents(s, dir))),
 
+    // Cross-modal pair curation (CLIP-style): text-quality gates AND an
+    // embedding spikiness screen, each pushed below the id equi-join
+    "q124_pair_curation" -> ((s, dir) =>
+      Similarity.pairCuration(documents(s, dir), embeddings(s, dir))),
+
+    // Key-skew profile: exact p50/p99/max of the per-key count distribution
+    // via a count-of-counts histogram — the salting-decision diagnostic,
+    // windows over value-domain rows only
+    "q125_skew_profile" -> ((s, dir) =>
+      graft.operators.DataQuality.skewProfile(events(s, dir))),
+
+    // Freshness-weighted activity: exact power-of-two half-life decay
+    // (integer shift), scalar max-timestamp broadcast, one keyed agg
+    "q126_decay_weights" -> ((s, dir) =>
+      graft.operators.EventAnalytics.decayedActivity(events(s, dir))),
+
     // Graph trio completion (with q47 components, q106 PageRank): triangle
     // counts + local clustering coefficient over the capped near-dup edge
     // list — ≈1 marks collapsible duplicate cliques, ≈0 marks template-hub
@@ -2634,7 +2650,44 @@ del AS (SELECT w, doc_id,
 post AS (SELECT w, string_agg(CAST(delta AS VARCHAR), ',' ORDER BY doc_id) AS postings
   FROM del GROUP BY w)
 SELECT dfreq.w, CAST(df AS BIGINT) AS df, post.postings
-FROM dfreq JOIN post USING (w) WHERE df >= 2"""
+FROM dfreq JOIN post USING (w) WHERE df >= 2""",
+
+    "q124_pair_curation" -> """WITH t AS (SELECT doc_id, source,
+  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+  round(CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text), 6) AS alpha_ratio
+  FROM documents),
+e AS (SELECT vec_id AS doc_id, label,
+  round(list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in range(1,65)]), 6) AS max_comp
+  FROM embeddings)
+SELECT t.doc_id, t.source, t.n_words, t.alpha_ratio, e.label, e.max_comp
+FROM t JOIN e USING (doc_id)
+WHERE n_words >= 12 AND alpha_ratio >= 0.82 AND max_comp <= 0.35""",
+
+    "q125_skew_profile" -> """WITH kc AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total,
+  MAX(cnt) AS max_cnt FROM kc GROUP BY 1),
+hist AS (SELECT event_type, cnt, COUNT(*) AS nk FROM kc GROUP BY 1, 2),
+r AS (SELECT event_type, cnt,
+  SUM(nk) OVER (PARTITION BY event_type ORDER BY cnt) AS hi,
+  SUM(nk) OVER (PARTITION BY event_type) AS nks FROM hist),
+ps AS (SELECT event_type,
+  CAST(MIN(CASE WHEN hi >= ceil(0.5 * nks) THEN cnt END) AS BIGINT) AS p50_cnt,
+  CAST(MIN(CASE WHEN hi >= ceil(0.99 * nks) THEN cnt END) AS BIGINT) AS p99_cnt
+  FROM r GROUP BY 1)
+SELECT tot.event_type, tot.n_keys, tot.total, tot.max_cnt,
+  CAST(max_cnt * 1000000 // total AS BIGINT) AS top_share_micro, ps.p50_cnt, ps.p99_cnt
+FROM tot JOIN ps USING (event_type)""",
+
+    "q126_decay_weights" -> """WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+m AS (SELECT MAX(tsec) AS mx FROM e),
+w AS (SELECT user_id,
+  CAST(1000000 >> CAST(least(((mx - tsec) // 3600) // 48, 20) AS INT) AS BIGINT) AS w_micro
+  FROM e, m)
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(w_micro) AS BIGINT) AS fresh_score,
+  MAX(w_micro) AS latest_w
+FROM w GROUP BY user_id"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -53,4 +53,37 @@ object DataQuality {
       nulls("lineitem_null_shipdate", lineitem, "l_shipdate"))
       .reduce(_ unionByName _)
   }
+
+  /** Key-skew profile — the diagnostic that decides whether a key needs
+    * salting BEFORE a 100 TB job hits the skewed shuffle: per group, the
+    * key count, total rows, hottest key's count and its share (integer
+    * micro-units), and exact p50/p99 of the per-key count distribution.
+    *
+    * Scale shape: the percentiles come from a COUNT-OF-COUNTS histogram
+    * (cnt → how many keys have that cnt) — value-domain-sized, not
+    * key-domain-sized — so the only windows run over histogram rows (the
+    * q86 pattern); both corpus-sized stages are keyed aggregations with
+    * map-side partials. Nothing ever sorts the key set.
+    */
+  def skewProfile(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = events.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val tot = kc.groupBy("event_type").agg(
+      count(lit(1)).as("n_keys"), sum("cnt").as("total"), max("cnt").as("max_cnt"))
+    val hist = kc.groupBy("event_type", "cnt").agg(count(lit(1)).as("nk"))
+    val cum = Window.partitionBy("event_type").orderBy("cnt")
+    val whole = Window.partitionBy("event_type")
+    val ps = hist
+      .withColumn("hi", sum("nk").over(cum))
+      .withColumn("nks", sum("nk").over(whole))
+      .groupBy("event_type").agg(
+        min(when(col("hi") >= ceil(lit(0.5) * col("nks")), col("cnt")))
+          .cast("long").as("p50_cnt"),
+        min(when(col("hi") >= ceil(lit(0.99) * col("nks")), col("cnt")))
+          .cast("long").as("p99_cnt"))
+    tot.join(ps, Seq("event_type"))
+      .select(col("event_type"), col("n_keys"), col("total"), col("max_cnt"),
+        expr("max_cnt * 1000000 div total").as("top_share_micro"),
+        col("p50_cnt"), col("p99_cnt"))
+  }
 }

@@ -153,4 +153,27 @@ object EventAnalytics {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Freshness-weighted activity: each event carries a half-life decayed
+    * weight `1e6 >> min(age/halfLife, 20)` (exact integer shift — the
+    * power-of-two decay schedule that keeps recency weighting
+    * engine-portable where `exp(-λΔt)` would not hash-match), summed per
+    * user. The recency-weighted per-source/user scores every
+    * freshness-aware sampling mix needs, with an exact oracle.
+    *
+    * Scale shape: the corpus-wide max timestamp is a 1-row broadcast
+    * crossJoin (the whitelisted scalar pattern); everything else is one
+    * keyed aggregation with map-side partials.
+    */
+  def decayedActivity(events: DataFrame, halfLifeHours: Int = 48): DataFrame = {
+    val mx = events.agg(max("tsec").as("mx"))
+    events.crossJoin(broadcast(mx))
+      .withColumn("k",
+        least(expr(s"((mx - tsec) div 3600) div $halfLifeHours"), lit(20L)).cast("int"))
+      .withColumn("w_micro", expr("shiftright(1000000, k)").cast("long"))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum("w_micro").as("fresh_score"),
+        max("w_micro").as("latest_w"))
+  }
 }

@@ -448,4 +448,33 @@ object Similarity {
         round(lookups.reduceLeft(_ + _), 6).as("adist"))
       .orderBy(col("adist").asc, col("vec_id")).limit(k)
   }
+
+  /** Cross-modal pair curation (the CLIP-style text↔embedding filter): a
+    * pair survives when the TEXT side passes quality gates (word count,
+    * alpha ratio — the q22 signals) AND the EMBEDDING side isn't
+    * degenerate (max |component| bounded — the spikiness screen; norms are
+    * unit here so a norm gate would be vacuous). Emits the surviving pairs
+    * with both sides' scores.
+    *
+    * Scale shape: one equi-join on the shared id — at 100 TB both sides
+    * are bucketed by id so the join is co-located; every gate is row-local
+    * column math pushed below the join (each side filters BEFORE joining,
+    * so the exchange carries survivors only). max over |components| is
+    * order-independent, so float exactness needs no fold-order mirroring.
+    */
+  def pairCuration(docs: DataFrame, emb: DataFrame,
+      minWords: Long = 12, minAlpha: Double = 0.82, maxComp: Double = 0.35): DataFrame = {
+    val textSide = docs.select(
+        col("doc_id"), col("source"),
+        regexp_count(lower(col("text")), lit("[a-z]+")).as("n_words"),
+        round(length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+          / length(col("text")), 6).as("alpha_ratio"))
+      .filter(col("n_words") >= minWords && col("alpha_ratio") >= minAlpha)
+    val embSide = emb.select(
+        col("vec_id").as("doc_id"), col("label"),
+        round(expr("array_max(transform(embedding, x -> abs(double(x))))"), 6)
+          .as("max_comp"))
+      .filter(col("max_comp") <= maxComp)
+    textSide.join(embSide, Seq("doc_id"))
+  }
 }

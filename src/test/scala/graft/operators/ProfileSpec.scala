@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-checkable invariants for the profiling/curation operators added
+  * with q124–q126: key-skew percentiles, half-life decay weights, and the
+  * cross-modal pair gates.
+  */
+class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("profile-spec").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("skewProfile: one hot key dominating is reported exactly") {
+    val ss = spark; import ss.implicits._
+    // type A: user 1 has 6 events, users 2..5 have 1 each → 5 keys,
+    // total 10, max 6, top share 600000, p50 = 1, p99 = 6
+    val rows = Seq.fill(6)(("A", 1L)) ++ (2L to 5L).map(u => ("A", u))
+    val df = rows.toDF("event_type", "user_id")
+    val got = DataQuality.skewProfile(df).collect().head
+    assert(got.getAs[Long]("n_keys") === 5L)
+    assert(got.getAs[Long]("total") === 10L)
+    assert(got.getAs[Long]("max_cnt") === 6L)
+    assert(got.getAs[Long]("top_share_micro") === 600000L)
+    assert(got.getAs[Long]("p50_cnt") === 1L)
+    assert(got.getAs[Long]("p99_cnt") === 6L)
+  }
+
+  test("decayedActivity: weights halve per half-life and floor at >>20") {
+    val ss = spark; import ss.implicits._
+    val h = 3600L
+    // newest event at t0; others exactly 1, 2 and 30 half-lives (48 h) back
+    val t0 = 1000000000L
+    val df = Seq(
+      (1L, t0), (1L, t0 - 48 * h), (1L, t0 - 96 * h), (2L, t0 - 30 * 48 * h)
+    ).toDF("user_id", "tsec")
+    val got = EventAnalytics.decayedActivity(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((3L, 1000000L + 500000L + 250000L, 1000000L)))
+    // 30 half-lives clamps at k=20: 1000000 >> 20 = 0
+    assert(got(2L) === ((1L, 0L, 0L)))
+  }
+
+  test("pairCuration keeps exactly the rows passing all three gates") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu", "s"),
+      (2L, "a b!!!! 1234 ...", "s"), // fails words + alpha
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu", "s")
+    ).toDF("doc_id", "text", "source")
+    val emb = Seq(
+      (1L, Array.fill(64)(0.125f), 7),            // flat — passes
+      (3L, Array.fill(63)(0.01f) :+ 0.99f, 8)      // spiky — fails
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.pairCuration(docs, emb).select("doc_id").as[Long].collect()
+    assert(got.toSeq === Seq(1L))
+  }
+}
