@@ -981,6 +981,12 @@ object SparkEntry {
     "q126_decay_weights" -> ((s, dir) =>
       graft.operators.EventAnalytics.decayedActivity(events(s, dir))),
 
+    // Grouped top-k WITHOUT a rank window: packed order key through the
+    // KMV bottom-k aggregator — k longs of mergeable state per group where
+    // the window formulation (the oracle) sorts each source whole
+    "q127_grouped_topk" -> ((s, dir) =>
+      graft.operators.Sketch.groupedTopK(documents(s, dir), 5)),
+
     // Graph trio completion (with q47 components, q106 PageRank): triangle
     // counts + local clustering coefficient over the capped near-dup edge
     // list — ≈1 marks collapsible duplicate cliques, ≈0 marks template-hub
@@ -2687,7 +2693,12 @@ w AS (SELECT user_id,
   FROM e, m)
 SELECT user_id, COUNT(*) AS n_events, CAST(SUM(w_micro) AS BIGINT) AS fresh_score,
   MAX(w_micro) AS latest_w
-FROM w GROUP BY user_id"""
+FROM w GROUP BY user_id""",
+
+    "q127_grouped_topk" -> """WITH rk AS (SELECT source, doc_id, n_chars,
+  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents)
+SELECT source, CAST(rn AS INT) AS rn, doc_id, n_chars FROM rk WHERE rn <= 5"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -415,6 +415,30 @@ object Sketch {
       .select("source", "doc_id")
   }
 
+  /** Grouped top-k WITHOUT a rank window: top `k` docs per source by
+    * (n_chars desc, doc_id asc), as the bottom-k of a PACKED order key
+    * `(2^20 − n_chars)·2^40 + doc_id` through the same KMV aggregator —
+    * score inversion makes "largest score, then smallest id" the packed
+    * minimum, and unpacking is exact integer arithmetic.
+    *
+    * Scale shape: this is the grouped-top-k primitive for keys too hot to
+    * window — `Window.partitionBy(source).orderBy(...)` sorts EVERY row of
+    * the hottest source through one task, while the packed-KMV state is k
+    * longs per group, merged associatively map-side (and across streaming
+    * micro-batches, like every sketch here). One aggregation, one
+    * explode — no join, no sort, no window.
+    */
+  def groupedTopK(docs: DataFrame, k: Int): DataFrame = {
+    val kmv = udaf(new KmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    val packed = docs.select(col("source"),
+      (((lit(1048576L) - col("n_chars")) * lit(1099511627776L)) + col("doc_id")).as("pk"))
+    packed.groupBy("source").agg(kmv(col("pk")).as("topk"))
+      .select(col("source"), posexplode(col("topk")).as(Seq("pos", "pk")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rn"),
+        expr("pk % 1099511627776").as("doc_id"),
+        expr("1048576 - (pk div 1099511627776)").as("n_chars"))
+  }
+
   def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

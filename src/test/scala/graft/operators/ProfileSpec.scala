@@ -54,6 +54,23 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) === ((1L, 0L, 0L)))
   }
 
+  test("groupedTopK equals the rank-window formulation and is partition-invariant") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 40L).map(i => (i, s"src${i % 3}", (i * 37) % 900 + 10))
+      .toDF("doc_id", "source", "n_chars")
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val expect = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars").cast("long"))
+      .collect().map(_.toSeq).toSet
+    val a = Sketch.groupedTopK(docs, 5).collect().map(_.toSeq).toSet
+    val b = Sketch.groupedTopK(docs.repartition(7), 5).collect().map(_.toSeq).toSet
+    assert(a === expect)
+    assert(b === expect) // bottom-k state merges associatively across any split
+  }
+
   test("pairCuration keeps exactly the rows passing all three gates") {
     val ss = spark; import ss.implicits._
     val docs = Seq(
