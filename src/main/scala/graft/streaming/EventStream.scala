@@ -138,6 +138,23 @@ object EventStream {
       .groupBy("source").agg(kmv(col("h")).as("kmv"))
   }
 
+  /** Incremental inverted-index maintenance: per term, the running df and
+    * the KMV bottom-k posting prefix over document APPENDS — the streaming
+    * twin of Corpus.invertedIndex (q123), possible precisely because both
+    * aggregates are mergeable (count; bottom-k state of k longs). Each doc
+    * arrives once, so within-row `array_distinct` IS the batch build's
+    * per-(doc, term) distinct — no cross-batch dedup state needed.
+    */
+  def invertedIndexStream(docStream: DataFrame, minLen: Int, k: Int): DataFrame = {
+    val kmv = udaf(new graft.operators.Sketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    docStream
+      .select(col("doc_id"),
+        explode(array_distinct(graft.operators.Corpus.tokens(col("text")))).as("w"))
+      .filter(length(col("w")) >= minLen)
+      .groupBy("w").agg(count(lit(1)).as("df"), kmv(col("doc_id")).as("ids"))
+  }
+
   final case class SessState(lastTsec: Long, nSessions: Long, nEvents: Long)
 
   /** Stateful gap-based sessionization (30-min gap) via mapGroupsWithState —

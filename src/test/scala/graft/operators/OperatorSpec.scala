@@ -369,6 +369,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     streamed.values.foreach(v => assert(v.length <= 16))
   }
 
+  test("streaming inverted-index maintenance equals the batch build " +
+    "(df + bottom-k posting prefix both merge across micro-batches)") {
+    import java.nio.file.Files
+    val docs = OccurrenceView.documents(spark, Dir)
+    val tmp = Files.createTempDirectory("invidx")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.invertedIndexStream(stream, 4, 16)
+      .writeStream.format("memory").queryName("inv_idx")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("inv_idx")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getSeq[Long](2).toSeq))).toMap
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new Sketch.KmvAgg(16), org.apache.spark.sql.Encoders.scalaLong)
+    val batch = docs
+      .select(col("doc_id"), explode(Corpus.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 4).distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"), kmv(col("doc_id")).as("ids"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getSeq[Long](2).toSeq))).toMap
+    assert(streamed === batch)
+    streamed.values.foreach { case (_, ids) => assert(ids.length <= 16) }
+  }
+
   test("stateful streaming sessionization equals batch across micro-batches") {
     import java.nio.file.Files
     val ev = OccurrenceView.events(spark, Dir)
