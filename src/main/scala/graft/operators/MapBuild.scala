@@ -251,7 +251,28 @@ object MapBuild {
     * chunk of [[pyramidIterative]], so the two strategies agree by
     * construction.
     */
-  private def levelStats(top: DataFrame, lowZ: Int, highZ: Int): DataFrame = {
+  /** Repartition by the exact aggregation keys with the session's
+    * configured shuffle-partition count pinned EXPLICITLY. AQE never
+    * coalesces a user-specified partition number, so the final aggregation
+    * downstream keeps enough parallelism for its IN-MEMORY state even
+    * though the coalescer's estimate (compressed shuffle bytes) says the
+    * partitions are mergeable — on the pyramid family that byte-sized
+    * estimate under-sizes agg state 10–20× and the 10×-sf0.1 probe spilled
+    * 50 GB (q45 63–100 s); with the agg exchanges pinned the same run
+    * spills nothing (24 s) at ~1.3× the shuffle bytes. Pinning ONLY these
+    * exchanges (not coalescing globally) keeps AQE coalescing for the
+    * iterative graph queries, where tiny per-round shuffles NEED merging
+    * (q47/q66 measured 2× slower with coalescing off suite-wide). The
+    * partial half of each aggregate runs after this exchange on co-located
+    * keys, where it combines perfectly instead of building a
+    * one-entry-per-row map.
+    */
+  private def pinByKeys(df: DataFrame, keys: Column*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, keys: _*)
+  }
+
+  private[graft] def levelStats(top: DataFrame, lowZ: Int, highZ: Int): DataFrame = {
     val zs = array((lowZ to highZ).map(lit): _*)
     // NOTE (measured): fusing the pair below into one distinct aggregate
     // (countDistinct(px, py) + sum at the tile key) ran 1.6× SLOWER at
@@ -260,17 +281,23 @@ object MapBuild {
     // aggregations beat one Expand-doubled one; the q08 tileAssembly case
     // wins with countDistinct only because it starts from raw records and
     // drops TWO exchanges, not one.
-    top
-      .withColumn("z", explode(zs))
-      .groupBy(
-        col("map_key"), col("z"),
-        expr(s"shiftright(px, $highZ - z)").as("px"),
-        expr(s"shiftright(py, $highZ - z)").as("py"))
+    val perPixel = pinByKeys(
+      top
+        .withColumn("z", explode(zs))
+        .select(col("map_key"), col("z"),
+          expr(s"shiftright(px, $highZ - z)").as("px"),
+          expr(s"shiftright(py, $highZ - z)").as("py"),
+          col("total")),
+      col("map_key"), col("z"), col("px"), col("py"))
+      .groupBy("map_key", "z", "px", "py")
       .agg(sum("total").as("total"))
-      .groupBy(
-        col("map_key"), col("z"),
+    pinByKeys(
+      perPixel.select(col("map_key"), col("z"),
         (col("px") / TileSize).cast("long").as("tx"),
-        (col("py") / TileSize).cast("long").as("ty"))
+        (col("py") / TileSize).cast("long").as("ty"),
+        col("total")),
+      col("map_key"), col("z"), col("tx"), col("ty"))
+      .groupBy("map_key", "z", "tx", "ty")
       .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
       .select("map_key", "tx", "ty", "n_pixels", "total", "z")
   }
@@ -283,11 +310,14 @@ object MapBuild {
     * first at z16 where almost nothing combines).
     */
   private def topLevel(occ: DataFrame, epsg: String, maxZoom: Int): DataFrame =
-    explodeMapKeys(withPixels(occ, epsg))
-      .groupBy(
-        col("map_key"),
-        shiftright(col("px"), MaxZoom - maxZoom).as("px"),
-        shiftright(col("py"), MaxZoom - maxZoom).as("py"))
+    pinByKeys(
+      explodeMapKeys(withPixels(occ, epsg))
+        .select(
+          col("map_key"),
+          shiftright(col("px"), MaxZoom - maxZoom).as("px"),
+          shiftright(col("py"), MaxZoom - maxZoom).as("py")),
+      col("map_key"), col("px"), col("py"))
+      .groupBy("map_key", "px", "py")
       .agg(count(lit(1)).as("total"))
 
   /** Full pyramid in ONE aggregation pass: each top-level pixel row is
@@ -346,10 +376,14 @@ object MapBuild {
       if (lowZ > minZoom) {
         // every chunk top stays persisted until the result is consumed —
         // the union output references all of them; sizes shrink ~4^7/chunk
-        top = top.groupBy(
-          col("map_key"),
-          shiftright(col("px"), highZ - lowZ + 1).as("px"),
-          shiftright(col("py"), highZ - lowZ + 1).as("py"))
+        top = pinByKeys(
+          top.select(
+            col("map_key"),
+            shiftright(col("px"), highZ - lowZ + 1).as("px"),
+            shiftright(col("py"), highZ - lowZ + 1).as("py"),
+            col("total")),
+          col("map_key"), col("px"), col("py"))
+          .groupBy("map_key", "px", "py")
           .agg(sum("total").as("total"))
         top.persist(StorageLevel.MEMORY_AND_DISK).count()
       }
@@ -467,7 +501,8 @@ object MapBuild {
         expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
         expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
       .distinct()
-    val merged = state.unionByName(deltaTop)
+    val merged = pinByKeys(state.unionByName(deltaTop),
+        col("map_key"), col("px"), col("py"))
       .groupBy("map_key", "px", "py").agg(sum("total").as("total"))
     val recomputed = merged
       .withColumn("z", explode(zs))

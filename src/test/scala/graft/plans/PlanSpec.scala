@@ -45,6 +45,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"over-wide scan: $read")
   }
 
+  test("pyramid aggregation exchanges are PINNED (REPARTITION_BY_NUM — the " +
+    "marker AQE's coalescer must not merge; byte-sized coalescing " +
+    "under-sizes this family's agg state 10-20x and spilled 50 GB at x10)") {
+    Seq("q45_pyramid", "q109_pyramid_deep").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$q lost its pinned aggregation exchange (MapBuild.pinByKeys):\n$p")
+    }
+  }
+
   test("small-side joins broadcast: q35 (anti), q40/q46 (top-tile)") {
     Seq("q35_small_views", "q40_tile_render", "q46_points_in_tile").foreach { q =>
       val p = planOf(q)
@@ -86,7 +96,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // crossJoin against a BROADCAST ONE-ROW scalar (top tile / corpus stats)
   private val ScalarCrossJoins =
     Set("q46_points_in_tile", "q71_tfidf_terms", "q78_bm25_topk",
-      "q91_bigram_lm", "q97_pmi_pairs")
+      "q91_bigram_lm", "q97_pmi_pairs",
+      // q126: the corpus-wide max timestamp is a broadcast 1-row scalar
+      "q126_decay_weights")
 
   test("suite-wide plan shapes: no single-partition global Window, no " +
     "CartesianProduct, nested-loop joins only for broadcast one-row scalars") {
