@@ -1009,7 +1009,25 @@ object SparkEntry {
         .select("lat10", "lng10", "dist_m")
         .orderBy(col("dist_m"), col("lat10"), col("lng10"))
         .limit(10)
-    })
+    }),
+
+    // Distant supervision: mine a bounded gazetteer (top-20 bigrams by df),
+    // broadcast it, tag the corpus in one scan — the per-(entity, source)
+    // mention matrix
+    "q128_gazetteer_mentions" -> ((s, dir) =>
+      graft.operators.Corpus.gazetteerMentions(documents(s, dir), 20)),
+
+    // Leakage-free split: 80/10/10 assigned by LCG of the near-dup CLUSTER
+    // id (q47's labels), so no near-dup pair straddles train/eval — the
+    // audit totals per split
+    "q129_leakage_split" -> ((s, dir) =>
+      Dedup.leakageFreeSplit(documents(s, dir), 0.5)),
+
+    // Mergeable sample-quantile estimator: per-source KMV bottom-16 sample
+    // median vs the exact rank statistic, with the absolute error column —
+    // bounded state even when the value domain isn't
+    "q130_sample_quantiles" -> ((s, dir) =>
+      graft.operators.Sketch.sampleQuantiles(documents(s, dir), 16))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2698,7 +2716,62 @@ FROM w GROUP BY user_id""",
     "q127_grouped_topk" -> """WITH rk AS (SELECT source, doc_id, n_chars,
   row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
   FROM documents)
-SELECT source, CAST(rn AS INT) AS rn, doc_id, n_chars FROM rk WHERE rn <= 5"""
+SELECT source, CAST(rn AS INT) AS rn, doc_id, n_chars FROM rk WHERE rn <= 5""",
+
+    "q128_gazetteer_mentions" -> """WITH tk AS (SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+base AS (SELECT doc_id, source, toks FROM tk WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, source,
+    unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS entity
+  FROM base),
+pds AS (SELECT entity, source, doc_id, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
+dict AS (SELECT entity, count(*) AS df FROM pds GROUP BY entity
+  ORDER BY df DESC, entity ASC LIMIT 20)
+SELECT p.entity, p.source, CAST(d.df AS BIGINT) AS df,
+  CAST(sum(p.occ) AS BIGINT) AS n_mentions, count(*) AS n_docs
+FROM pds p JOIN dict d USING (entity)
+GROUP BY 1, 2, 3""",
+
+    "q129_leakage_split" -> (ClustersSql + """,
+sp AS (SELECT l.doc_id, l.cluster_id,
+  CASE WHEN (l.cluster_id * 1103515245 + 12345) % 2147483648 % 100 < 80 THEN 'train'
+       WHEN (l.cluster_id * 1103515245 + 12345) % 2147483648 % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split FROM lbl l),
+pc AS (SELECT sp.split, sp.cluster_id, count(*) AS nd,
+    CAST(sum(d.n_chars) AS BIGINT) AS sc
+  FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+  GROUP BY 1, 2)
+SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs, count(*) AS n_clusters,
+  CAST(sum(sc) AS BIGINT) AS sum_chars
+FROM pc GROUP BY split"""),
+
+    "q130_sample_quantiles" -> """WITH tk AS (SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+hs AS (SELECT source, doc_id, (1299721 * doc_id + 7) % 2147483647 AS h FROM documents),
+rk AS (SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs),
+smp AS (SELECT source, doc_id FROM rk WHERE rn <= 16),
+sv AS (SELECT t.source, t.n_tokens,
+    row_number() OVER (PARTITION BY t.source ORDER BY t.n_tokens, t.doc_id) AS rn,
+    count(*) OVER (PARTITION BY t.source) AS m
+  FROM smp s JOIN tk t ON s.source = t.source AND s.doc_id = t.doc_id),
+est AS (SELECT source, CAST(max(m) AS BIGINT) AS n_sample,
+    CAST(max(CASE WHEN rn = (m + 1) // 2 THEN n_tokens END) AS BIGINT) AS est_p50
+  FROM sv GROUP BY source),
+ev AS (SELECT source, n_tokens,
+    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM tk),
+ex AS (SELECT source,
+    CAST(max(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS BIGINT) AS exact_p50
+  FROM ev GROUP BY source)
+SELECT e.source, e.n_sample, e.est_p50, x.exact_p50,
+  abs(e.est_p50 - x.exact_p50) AS abs_err
+FROM est e JOIN ex x ON e.source = x.source"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

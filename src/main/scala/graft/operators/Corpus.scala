@@ -749,4 +749,36 @@ object Corpus {
           "transform(ids, (x, i) -> string(if(i = 0, x, x - element_at(ids, i))))"))
           .as("postings"))
   }
+
+  /** Mined-gazetteer entity mentions (distant supervision): the entity
+    * dictionary is the corpus's own top-`k` bigrams by document frequency
+    * (deterministic (df desc, entity asc) tiebreak), and the output is the
+    * per-(entity, source) mention matrix — occurrence and document counts.
+    * This is the gazetteer-tagging pass an NER/curation pipeline runs to
+    * weakly label spans: mine a bounded phrase dictionary, broadcast it,
+    * tag the whole corpus in one scan.
+    *
+    * Scale shape: df comes from a two-level keyed aggregate (per-doc gram
+    * counts → distinct-doc counts, no Expand); the dictionary is top-k —
+    * bounded by `k` regardless of corpus size — and BROADCAST back, so the
+    * tag pass is a map-side join over the bigram explode. No all-pairs
+    * stage; the only corpus-wide exchanges are keyed aggregations with
+    * map-side combine.
+    */
+  def gazetteerMentions(docs: DataFrame, k: Int): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+    val docBg = base.select(col("doc_id"), col("source"),
+      explode(allNgrams("toks", 2)).as("entity"))
+    val perDocSrc = docBg.groupBy("entity", "source", "doc_id")
+      .agg(count(lit(1)).as("occ"))
+    val dict = perDocSrc.groupBy("entity").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("entity").asc).limit(k)
+    perDocSrc.join(broadcast(dict), Seq("entity"))
+      .groupBy("entity", "source")
+      .agg(max("df").as("df"), sum("occ").as("n_mentions"),
+        count(lit(1)).as("n_docs"))
+      .select(col("entity"), col("source"), col("df"),
+        col("n_mentions"), col("n_docs"))
+  }
 }

@@ -619,4 +619,30 @@ object Dedup {
       .withColumn("overlap_micro", expr("n_shared * 1000000 div least(n_a, n_b)"))
       .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "overlap_micro")
   }
+
+  /** Cluster-integral train/val/test split: the 80/10/10 assignment hashes
+    * the near-dup CLUSTER id ([[duplicateClusters]]'s label), not the doc
+    * id — so no near-duplicate pair can straddle a split boundary. The
+    * naive per-doc split (q51) leaks eval content into training whenever a
+    * near-dup pair lands on both sides; splitting by connected-component
+    * label is the leakage-free formulation a benchmark-grade corpus needs.
+    * Emits per-split doc/cluster/char totals as the audit evidence.
+    *
+    * Scale shape: labeling is the q47 pointer-jumping iteration; the split
+    * itself is a row-local hash of the label, and both aggregates are
+    * keyed with map-side combine. The doc_id equi-join back to the corpus
+    * is hash-partitioned on the key — no window, no driver state.
+    */
+  def leakageFreeSplit(docs: DataFrame, minEst: Double): DataFrame = {
+    val b = Corpus.lcg(col("cluster_id")) % 100
+    duplicateClusters(docs, minEst)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .groupBy("split", "cluster_id")
+      .agg(count(lit(1)).as("nd"), sum("n_chars").as("sc"))
+      .groupBy("split")
+      .agg(sum("nd").as("n_docs"), count(lit(1)).as("n_clusters"),
+        sum("sc").as("sum_chars"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable sketch operators. A count-min sketch answers frequency point
@@ -463,5 +464,43 @@ object Sketch {
       .withColumn("est_inter", expr("inter * est_union div size(u)"))
       .select("source_a", "source_b", "est_a", "est_b", "est_union",
         "jacc_micro", "est_inter")
+  }
+
+  /** Sample-based quantile estimation from the KMV sketch: the per-source
+    * bottom-k-by-hash member set ([[bottomKSample]]) is a uniform k-sample
+    * of the source, so the sample's rank statistic estimates the source
+    * quantile with O(1/√k) rank error — k values of mergeable state per
+    * source, the third point on the repo's quantile spectrum after q75
+    * (exact, per-source sort) and q86 (exact, value-domain histogram):
+    * this one stays bounded even when the VALUE domain is unbounded.
+    * Emits the estimate beside the exact statistic and the absolute error
+    * so the estimator is auditable per source.
+    *
+    * Both medians are the lower-median rank ⌈m/2⌉ = (m+1) div 2, integer
+    * arithmetic mirrored in the oracle. The exact side reuses q75's
+    * rank-window formulation — it is the AUDIT column; at corpus scale the
+    * estimate column is the product and the exact side drops away (or
+    * becomes q86's histogram).
+    */
+  def sampleQuantiles(docs: DataFrame, k: Int): DataFrame = {
+    val tk = docs.select(col("doc_id"), col("source"),
+      size(Corpus.tokens(col("text"))).as("n_tokens"))
+    val est = bottomKSample(docs, k)
+      .join(tk, Seq("source", "doc_id"))
+      .groupBy("source")
+      .agg(sort_array(collect_list(col("n_tokens"))).as("sv"))
+      .select(col("source"), size(col("sv")).cast("long").as("n_sample"),
+        expr("element_at(sv, int((size(sv) + 1) div 2))").cast("long").as("est_p50"))
+    val w = Window.partitionBy("source").orderBy(col("n_tokens"), col("doc_id"))
+    val whole = Window.partitionBy("source")
+    val exact = tk
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(whole))
+      .groupBy("source")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens")))
+        .cast("long").as("exact_p50"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), col("n_sample"), col("est_p50"),
+        col("exact_p50"), abs(col("est_p50") - col("exact_p50")).as("abs_err"))
   }
 }
