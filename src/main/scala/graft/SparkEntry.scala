@@ -415,8 +415,14 @@ object SparkEntry {
 
     // O3 full chain: the z6→z0 tile pyramid in one lineage (each level
     // consumes the previous level's output — input halves per level)
-    "q45_pyramid" -> ((s, dir) =>
-      MapBuild.pyramid(occ(s, dir), "EPSG:4326", 0, 6)),
+    "q45_pyramid" -> ((s, dir) => {
+      // the pyramid family builds on a forked session with AQE partition
+      // coalescing OFF (MapBuild.noCoalesceSession): the byte-sized
+      // coalescer under-sizes these explode-amplified agg states 10-20x
+      // and sort-spills at scale (probe-measured; see MapBuild.sumAgg)
+      val s2 = MapBuild.noCoalesceSession(s)
+      MapBuild.pyramid(occ(s2, dir), "EPSG:4326", 0, 6)
+    }),
 
     // Beyond-reference: INCREMENTAL pyramid maintenance. Split the corpus
     // into an already-ingested base (90%) and a new ingest batch (10%);
@@ -426,7 +432,7 @@ object SparkEntry {
     // q45's FULL-REBUILD SQL over base+delta — equality proves the
     // incremental path reproduces the rebuild without corpus-grain work.
     "q111_incremental_pyramid" -> ((s, dir) => {
-      val o = occ(s, dir)
+      val o = occ(MapBuild.noCoalesceSession(s), dir) // see q45 comment
       val base = o.filter(col("l_orderkey") % 10 =!= 0)
       val delta = o.filter(col("l_orderkey") % 10 === 0)
       // barrier: the state feeds both the stored pyramid and the merge —
@@ -875,8 +881,10 @@ object SparkEntry {
     // O3 deep pyramid: >8 levels forces the ITERATIVE per-level halving
     // chain (the reference's z16 production shape) — same rollup semantics
     // as q45's one-pass, gated by the same grouped-rollup oracle family
-    "q109_pyramid_deep" -> ((s, dir) =>
-      MapBuild.pyramid(occ(s, dir), "EPSG:4326", 0, 10)),
+    "q109_pyramid_deep" -> ((s, dir) => {
+      val s2 = MapBuild.noCoalesceSession(s) // see q45 comment
+      MapBuild.pyramid(occ(s2, dir), "EPSG:4326", 0, 10)
+    }),
 
     // Dedup: containment-DEDICATED blocking — exact prefix filter on the
     // contained side's sorted trigram hashes; recall is independent of the
@@ -1027,7 +1035,29 @@ object SparkEntry {
     // median vs the exact rank statistic, with the absolute error column —
     // bounded state even when the value domain isn't
     "q130_sample_quantiles" -> ((s, dir) =>
-      graft.operators.Sketch.sampleQuantiles(documents(s, dir), 16))
+      graft.operators.Sketch.sampleQuantiles(documents(s, dir), 16)),
+
+    // Point-in-time-correct per-event training features: previous event
+    // type, gap, and the trailing-hour count EXCLUSIVE of the current
+    // second — leakage-safe behavioral features, user-keyed windows
+    "q131_user_features" -> ((s, dir) =>
+      graft.operators.EventAnalytics.pointInTimeFeatures(events(s, dir))),
+
+    // Distribution-shift monitor: PSI of each source's token-length
+    // histogram vs the src0 baseline, add-one smoothed, integer micro-nats
+    "q132_psi_drift" -> ((s, dir) =>
+      graft.operators.Corpus.psiDrift(documents(s, dir), "src0")),
+
+    // Export lifecycle: deterministic 16-shard manifest with counts, token
+    // totals, id ranges, and an order-insensitive content checksum
+    "q133_export_shards" -> ((s, dir) =>
+      graft.operators.Corpus.exportShards(documents(s, dir), 16)),
+
+    // Batch ANN serving: top-5 neighbours for EVERY query (vec_id%100==0)
+    // in one corpus scan — broadcast query set, codegen dot products,
+    // per-query top-k as bounded KMV state (never a per-query sort)
+    "q134_query_ann" -> ((s, dir) =>
+      Similarity.queryAnnJoin(embeddings(s, dir), 5))
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2771,7 +2801,73 @@ ex AS (SELECT source,
   FROM ev GROUP BY source)
 SELECT e.source, e.n_sample, e.est_p50, x.exact_p50,
   abs(e.est_p50 - x.exact_p50) AS abs_err
-FROM est e JOIN ex x ON e.source = x.source"""
+FROM est e JOIN ex x ON e.source = x.source""",
+
+    "q131_user_features" -> """WITH ev AS (SELECT event_id, user_id, event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+f AS (SELECT event_id, user_id,
+    coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY tsec, event_id), 'none') AS prev_type,
+    coalesce(tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id), -1) AS gap_sec,
+    count(*) OVER (PARTITION BY user_id ORDER BY tsec
+      RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS n_prev_1h
+  FROM ev)
+SELECT event_id, user_id, prev_type, CAST(gap_sec AS BIGINT) AS gap_sec,
+  CAST(n_prev_1h AS BIGINT) AS n_prev_1h
+FROM f""",
+
+    "q132_psi_drift" -> """WITH tk AS (SELECT source,
+    (CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\s+')) END // 16) * 16 AS bucket
+  FROM documents),
+cnt AS (SELECT source, bucket, count(*) AS c FROM tk GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+nb AS (SELECT count(*) AS nb FROM (SELECT DISTINCT bucket FROM cnt)),
+bt AS (SELECT b.bucket, c0.c AS c0
+  FROM (SELECT DISTINCT bucket FROM cnt) b
+  LEFT JOIN (SELECT bucket, c FROM cnt WHERE source = 'src0') c0 USING (bucket)),
+n0 AS (SELECT n AS n0 FROM tot WHERE source = 'src0'),
+grid AS (SELECT t.source, t.n, bt.bucket, bt.c0, c.c, nb.nb, n0.n0
+  FROM tot t CROSS JOIN bt CROSS JOIN nb CROSS JOIN n0
+  LEFT JOIN cnt c ON c.source = t.source AND c.bucket = bt.bucket
+  WHERE t.source <> 'src0'),
+term AS (SELECT source, nb,
+    CAST(round(((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / CAST(n + nb AS DOUBLE)
+      - (CAST(coalesce(c0, 0) AS DOUBLE) + 1.0) / CAST(n0 + nb AS DOUBLE))
+      * round(ln(((CAST(coalesce(c, 0) AS DOUBLE) + 1.0) / CAST(n + nb AS DOUBLE))
+        / ((CAST(coalesce(c0, 0) AS DOUBLE) + 1.0) / CAST(n0 + nb AS DOUBLE))), 6)
+      * 1e6, 0) AS BIGINT) AS t
+  FROM grid)
+SELECT source, CAST(max(nb) AS BIGINT) AS n_buckets,
+  CAST(sum(t) AS BIGINT) AS psi_micro
+FROM term GROUP BY source""",
+
+    "q133_export_shards" -> (s"""WITH tk AS (SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    ${javaHashSql("text")} AS fp,
+    (doc_id * 1103515245 + 12345) % 2147483648 % 16 AS shard
+  FROM documents)
+SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+  CAST(sum(fp) % 4294967296 AS BIGINT) AS checksum
+FROM tk GROUP BY shard"""),
+
+    "q134_query_ann" -> s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+    ${dotSql("embedding", "embedding")} AS sq
+  FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS se
+  FROM embeddings WHERE vec_id % 100 <> 0),
+sims AS (SELECT q.query_id, c.vec_id,
+    CAST(round(round(${dotSql("c.embedding", "q.qv")}
+      / (sqrt(c.se) * sqrt(q.sq)), 6) * 1000000, 0) AS BIGINT) AS sm
+  FROM c CROSS JOIN q),
+pk AS (SELECT query_id, (1000000 - sm) * 1099511627776 + vec_id AS pk FROM sims),
+rk AS (SELECT query_id, pk,
+    row_number() OVER (PARTITION BY query_id ORDER BY pk) AS rn FROM pk)
+SELECT query_id, CAST(rn AS INT) AS rn, pk % 1099511627776 AS vec_id,
+  round(CAST(1000000 - pk // 1099511627776 AS DOUBLE) / 1000000, 6) AS sim
+FROM rk WHERE rn <= 5"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -781,4 +781,75 @@ object Corpus {
       .select(col("entity"), col("source"), col("df"),
         col("n_mentions"), col("n_docs"))
   }
+
+  /** Population-stability-index drift of each source's token-length
+    * distribution against a `baseline` source, over q52's 16-token
+    * buckets with add-one smoothing on the shared bucket set — the
+    * distribution-shift monitor a continuously-ingesting corpus runs to
+    * catch a source silently changing shape between snapshots
+    * (PSI < 0.1 stable / > 0.25 shifted, in micro-nats here).
+    *
+    * Scale shape: the corpus collapses to a (source, bucket) histogram in
+    * one keyed aggregate — everything after is arithmetic over a table
+    * bounded by #sources × #buckets, joined hash-wise on a constant key
+    * (never a nested-loop pairing) with the two 1-row totals broadcast.
+    * Double discipline: p and q are exact-int divisions, ln is rounded to
+    * 6 digits before the product, and each term becomes an integer
+    * micro-nat before the sum — no order-dependent double accumulation.
+    */
+  def psiDrift(docs: DataFrame, baseline: String): DataFrame = {
+    val counts = docs
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .select(col("source"), (expr("n_tokens div 16") * 16).cast("long").as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum("c").as("n"))
+    val nb = counts.select("bucket").distinct().agg(count(lit(1)).as("nb"))
+    val bucketTable = counts.select("bucket").distinct()
+      .join(counts.filter(col("source") === baseline)
+        .select(col("bucket"), col("c").as("c0")), Seq("bucket"), "left")
+    val n0 = totals.filter(col("source") === baseline).select(col("n").as("n0"))
+    val grid = totals.filter(col("source") =!= baseline)
+      .withColumn("jk", lit(1))
+      .join(broadcast(bucketTable.withColumn("jk", lit(1))), Seq("jk"))
+      .drop("jk")
+      .join(counts, Seq("source", "bucket"), "left")
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(n0))
+    val p = (coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+      (col("n") + col("nb")).cast("double")
+    val q = (coalesce(col("c0"), lit(0L)).cast("double") + 1.0) /
+      (col("n0") + col("nb")).cast("double")
+    val term = round((p - q) * round(log(p / q), 6) * 1e6, 0).cast("long")
+    grid.withColumn("t", term)
+      .groupBy("source")
+      .agg(max("nb").as("n_buckets"), sum("t").as("psi_micro"))
+  }
+
+  /** Deterministic training-export shard manifest (the webdataset /
+    * tar-shard publication step): docs assign to `nShards` shards by the
+    * LCG id hash, and each shard's manifest row carries doc count, token
+    * total, the id range, and an ORDER-INSENSITIVE content checksum (sum
+    * of per-doc 31-poly text hashes mod 2³²) — what an export publishes so
+    * a consumer can verify a shard set without re-reading it.
+    *
+    * Scale shape: one keyed aggregate; every manifest column is
+    * commutative-mergeable so map-side combine applies, and the checksum's
+    * order-insensitivity is exactly what makes it computable without
+    * imposing any row order on the export. (The BIGINT hash sum stays
+    * exact to 2³¹ docs per shard; past that a production manifest reduces
+    * partials mod 2³² — same value, same algebra.)
+    */
+  def exportShards(docs: DataFrame, nShards: Int): DataFrame = {
+    val fp = udf { (t: String) => Dedup.cpFold(t, 4294967296L) }
+    docs
+      .withColumn("shard", (lcg(col("doc_id")) % nShards).cast("int"))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("fp", fp(col("text")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        (sum("fp") % 4294967296L).as("checksum"))
+  }
 }

@@ -176,4 +176,30 @@ object EventAnalytics {
         sum("w_micro").as("fresh_score"),
         max("w_micro").as("latest_w"))
   }
+
+  /** Point-in-time-correct training features per event: the previous event
+    * type, the gap to it, and the count of the user's events in the
+    * trailing hour EXCLUSIVE of the current second — the leakage-safe
+    * feature join a behavioral model trains on (each row sees only strictly
+    * earlier data, the batch analog of the as-of join's semantics).
+    *
+    * Scale shape: both windows partition by `user_id` — millions of small
+    * partitions, the natural parallel unit (unlike the per-source corpus
+    * windows the round-4 audit flagged, user histories are bounded). The
+    * trailing count is a RANGE frame over the numeric second, so ties
+    * resolve by value, not row order — deterministic under any
+    * partitioning.
+    */
+  def pointInTimeFeatures(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("event_id"))
+    val rw = Window.partitionBy("user_id").orderBy(col("tsec"))
+      .rangeBetween(-3600L, -1L)
+    ev.select(col("event_id"), col("user_id"), col("event_type"), col("tsec"))
+      .withColumn("prev_type",
+        coalesce(lag(col("event_type"), 1).over(w), lit("none")))
+      .withColumn("gap_sec",
+        coalesce(col("tsec") - lag(col("tsec"), 1).over(w), lit(-1L)))
+      .withColumn("n_prev_1h", count(lit(1)).over(rw))
+      .select("event_id", "user_id", "prev_type", "gap_sec", "n_prev_1h")
+  }
 }

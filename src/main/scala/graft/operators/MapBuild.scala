@@ -251,25 +251,55 @@ object MapBuild {
     * chunk of [[pyramidIterative]], so the two strategies agree by
     * construction.
     */
-  /** Repartition by the exact aggregation keys with the session's
-    * configured shuffle-partition count pinned EXPLICITLY. AQE never
-    * coalesces a user-specified partition number, so the final aggregation
-    * downstream keeps enough parallelism for its IN-MEMORY state even
-    * though the coalescer's estimate (compressed shuffle bytes) says the
-    * partitions are mergeable — on the pyramid family that byte-sized
-    * estimate under-sizes agg state 10–20× and the 10×-sf0.1 probe spilled
-    * 50 GB (q45 63–100 s); with the agg exchanges pinned the same run
-    * spills nothing (24 s) at ~1.3× the shuffle bytes. Pinning ONLY these
-    * exchanges (not coalescing globally) keeps AQE coalescing for the
-    * iterative graph queries, where tiny per-round shuffles NEED merging
-    * (q47/q66 measured 2× slower with coalescing off suite-wide). The
-    * partial half of each aggregate runs after this exchange on co-located
-    * keys, where it combines perfectly instead of building a
-    * one-entry-per-row map.
+  /** Plain keyed long-sum aggregation (partial + final, map-side combine
+    * intact), for callers that route through [[noCoalesceSession]].
+    *
+    * History of the AQE interaction, so the two rejected fixes aren't
+    * re-tried: the 10× probe showed AQE's byte-sized partition coalescer
+    * merging the pyramid's aggregation exchanges until the in-memory agg
+    * state (10–20× the compressed shuffle bytes) sort-spilled 50 GB
+    * (q45 63–100 s vs 24 s with coalescing off). Fix #1 —
+    * repartition-by-keys BEFORE the groupBy (REPARTITION_BY_NUM, which the
+    * coalescer never touches) — pinned the exchange but moved it BELOW the
+    * partial aggregate: the raw explode-amplified stream crossed the wire
+    * uncombined and the BASE-scale pyramid regressed ~2.4× (probe-measured
+    * 5.8→14.2 s). Fix #2 — a mapPartitions hash pre-combiner feeding the
+    * pinned exchange — restored combine but paid boxed-row overhead for
+    * every exploded row and OOM'd the 32-thread base run outright. The
+    * shipped fix scopes the COALESCER off per pyramid QUERY via a forked
+    * session ([[noCoalesceSession]]): partial aggregation, exchange
+    * placement, and codegen all stay exactly as Catalyst plans them, and
+    * the iterative graph queries (whose shrinking per-round shuffles NEED
+    * coalescing — q47/q66 measured 2× slower without it) keep it on.
     */
-  private def pinByKeys(df: DataFrame, keys: Column*): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartition(n, keys: _*)
+  private def sumAgg(df: DataFrame, keyN: Seq[String],
+      valN: Seq[String]): DataFrame = {
+    val sums = valN.map(c => sum(col(c)).as(c))
+    df.groupBy(keyN.map(col): _*).agg(sums.head, sums.tail: _*)
+  }
+
+  /** A session forked off `s` (shared SparkContext, cache and catalog
+    * state; independent SQLConf) with AQE partition coalescing DISABLED —
+    * the per-query scope for the pyramid family's explode-amplified
+    * aggregations (see [[sumAgg]]'s history note). Callers build the WHOLE
+    * query on the returned session so every exchange in the pyramid plan
+    * keeps its full partition count.
+    */
+  def noCoalesceSession(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val s2 = s.newSession()
+    // newSession() seeds its SQLConf from the BUILDER-time configs, not the
+    // parent's runtime state — without this copy a harness that re-sizes
+    // spark.sql.shuffle.partitions at runtime (BenchScale does, to hold
+    // per-partition volume constant across the scale-up) would silently run
+    // the pyramid at the stale width (probe-measured: 10x data in the
+    // builder-time 32 partitions spilled 49 GB)
+    s.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () } // static confs
+    }
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2
   }
 
   private[graft] def levelStats(top: DataFrame, lowZ: Int, highZ: Int): DataFrame = {
@@ -281,24 +311,21 @@ object MapBuild {
     // aggregations beat one Expand-doubled one; the q08 tileAssembly case
     // wins with countDistinct only because it starts from raw records and
     // drops TWO exchanges, not one.
-    val perPixel = pinByKeys(
+    val perPixel = sumAgg(
       top
         .withColumn("z", explode(zs))
         .select(col("map_key"), col("z"),
           expr(s"shiftright(px, $highZ - z)").as("px"),
           expr(s"shiftright(py, $highZ - z)").as("py"),
           col("total")),
-      col("map_key"), col("z"), col("px"), col("py"))
-      .groupBy("map_key", "z", "px", "py")
-      .agg(sum("total").as("total"))
-    pinByKeys(
+      Seq("map_key", "z", "px", "py"), Seq("total"))
+    sumAgg(
       perPixel.select(col("map_key"), col("z"),
         (col("px") / TileSize).cast("long").as("tx"),
         (col("py") / TileSize).cast("long").as("ty"),
+        lit(1L).as("n_pixels"),
         col("total")),
-      col("map_key"), col("z"), col("tx"), col("ty"))
-      .groupBy("map_key", "z", "tx", "ty")
-      .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
+      Seq("map_key", "z", "tx", "ty"), Seq("n_pixels", "total"))
       .select("map_key", "tx", "ty", "n_pixels", "total", "z")
   }
 
@@ -310,15 +337,14 @@ object MapBuild {
     * first at z16 where almost nothing combines).
     */
   private def topLevel(occ: DataFrame, epsg: String, maxZoom: Int): DataFrame =
-    pinByKeys(
+    sumAgg(
       explodeMapKeys(withPixels(occ, epsg))
         .select(
           col("map_key"),
           shiftright(col("px"), MaxZoom - maxZoom).as("px"),
-          shiftright(col("py"), MaxZoom - maxZoom).as("py")),
-      col("map_key"), col("px"), col("py"))
-      .groupBy("map_key", "px", "py")
-      .agg(count(lit(1)).as("total"))
+          shiftright(col("py"), MaxZoom - maxZoom).as("py"),
+          lit(1L).as("total")),
+      Seq("map_key", "px", "py"), Seq("total"))
 
   /** Full pyramid in ONE aggregation pass: each top-level pixel row is
     * exploded to every requested zoom (z, px >> (maxZoom-z), py >> ...) and
@@ -376,15 +402,13 @@ object MapBuild {
       if (lowZ > minZoom) {
         // every chunk top stays persisted until the result is consumed —
         // the union output references all of them; sizes shrink ~4^7/chunk
-        top = pinByKeys(
+        top = sumAgg(
           top.select(
             col("map_key"),
             shiftright(col("px"), highZ - lowZ + 1).as("px"),
             shiftright(col("py"), highZ - lowZ + 1).as("py"),
             col("total")),
-          col("map_key"), col("px"), col("py"))
-          .groupBy("map_key", "px", "py")
-          .agg(sum("total").as("total"))
+          Seq("map_key", "px", "py"), Seq("total"))
         top.persist(StorageLevel.MEMORY_AND_DISK).count()
       }
       highZ = lowZ - 1
@@ -501,9 +525,8 @@ object MapBuild {
         expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
         expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
       .distinct()
-    val merged = pinByKeys(state.unionByName(deltaTop),
-        col("map_key"), col("px"), col("py"))
-      .groupBy("map_key", "px", "py").agg(sum("total").as("total"))
+    val merged = sumAgg(state.unionByName(deltaTop),
+      Seq("map_key", "px", "py"), Seq("total"))
     val recomputed = merged
       .withColumn("z", explode(zs))
       .withColumn("tx", expr(s"shiftright(px, $maxZoom - z + $TileShift)"))

@@ -477,4 +477,44 @@ object Similarity {
       .filter(col("max_comp") <= maxComp)
     textSide.join(embSide, Seq("doc_id"))
   }
+
+  /** Batch ANN serving: top-`k` cosine neighbours for EVERY query in a
+    * bounded query set (the vec_id % 100 == 0 vectors) in ONE corpus scan
+    * — the retrieval-curation shape where queries ≪ corpus. The query set
+    * is broadcast on a constant key (a broadcast HASH join, never a
+    * nested loop), each (candidate, query) pair costs one codegen dot
+    * product, and the per-query top-k is the q127 packed-key KMV bottom-k
+    * — k longs of mergeable, map-side-combining state per query, never a
+    * per-query sort of the corpus (a rank window partitioned by query
+    * would pull the ENTIRE corpus through #queries tasks).
+    *
+    * Packing: pk = (10⁶ − sim_micro)·2⁴⁰ + vec_id, so ascending pk order
+    * is (sim desc, vec_id asc) and bottom-k IS the top-k with
+    * deterministic tiebreak; sim_micro ∈ [−10⁶, 10⁶] keeps pk < 2⁶².
+    */
+  def queryAnnJoin(emb: DataFrame, k: Int): DataFrame = {
+    val kmv = udaf(new Sketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(sqNorm(col("embedding"))).as("nrm"))
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val simMicro = round(
+      round(dotCols(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+        * 1e6, 0).cast("long")
+    base.filter(col("vec_id") % 100 =!= 0)
+      .withColumn("jk", lit(1))
+      .join(broadcast(queries.withColumn("jk", lit(1))), Seq("jk"))
+      .drop("jk")
+      .select(col("query_id"),
+        ((lit(1000000L) - simMicro) * lit(1099511627776L) + col("vec_id"))
+          .as("pk"))
+      .groupBy("query_id").agg(kmv(col("pk")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rn"),
+        expr("pk % 1099511627776").as("vec_id"),
+        round((lit(1000000L) - expr("pk div 1099511627776")).cast("double")
+          / 1e6, 6).as("sim"))
+  }
 }

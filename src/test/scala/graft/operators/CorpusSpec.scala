@@ -666,4 +666,39 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out === out2, "estimator must not depend on partitioning")
   }
+
+  test("psiDrift: identical distribution scores 0; a shifted source scores " +
+    "strictly positive and larger than a mildly-perturbed one") {
+    // src0 baseline and s_same have the same length histogram; s_mild
+    // moves one doc a bucket over; s_far moves everything far away
+    val rows =
+      (0L until 20L).map(i => (i, ("w " * 8).trim, "src0")) ++      // bucket 0
+      (100L until 120L).map(i => (i, ("w " * 8).trim, "s_same")) ++
+      (200L until 219L).map(i => (i, ("w " * 8).trim, "s_mild")) ++
+      Seq((219L, ("w " * 40).trim, "s_mild")) ++                    // 1 doc out
+      (300L until 320L).map(i => (i, ("w " * 100).trim, "s_far"))
+    val out = Corpus.psiDrift(docsDf(rows: _*), "src0").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("s_same") === 0L)
+    assert(out("s_mild") > 0L)
+    assert(out("s_far") > out("s_mild"))
+    assert(!out.contains("src0"), "baseline must not score itself")
+  }
+
+  test("exportShards: manifest conserves the corpus and is partition- and " +
+    "order-invariant") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 200L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "), s"s${i % 3}"))
+    val docs = docsDf(rows: _*)
+    val m1 = Corpus.exportShards(docs, 16).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(m1.values.map(_._1).sum === 200L, "every doc lands in a shard")
+    val m2 = Corpus.exportShards(
+      docs.repartition(7).sortWithinPartitions(col("text")), 16).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(m1 === m2, "checksums must be order-insensitive")
+  }
 }

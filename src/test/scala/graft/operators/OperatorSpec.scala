@@ -827,4 +827,75 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
     assert(streamed.size <= Sketch.BloomM)
   }
+
+  test("pointInTimeFeatures: strictly-earlier trailing window, no same-" +
+    "second leakage, lag honors event_id tiebreak") {
+    val ss = spark; import ss.implicits._
+    val ev = Seq(
+      (10L, 1L, "view", 1000L),
+      (11L, 1L, "click", 1000L),  // same second as 10 → excluded from its rw
+      (12L, 1L, "view", 2500L),   // 1500s later: within 1h of both
+      (13L, 1L, "buy", 9999L),    // > 1h after everything
+      (20L, 2L, "view", 1000L))   // other user, invisible to user 1
+      .toDF("event_id", "user_id", "event_type", "tsec")
+    val out = EventAnalytics.pointInTimeFeatures(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(10L) === (("none", -1L, 0L)))
+    assert(out(11L) === (("view", 0L, 0L))) // same-second peer NOT counted
+    assert(out(12L) === (("click", 1500L, 2L)))
+    assert(out(13L) === (("view", 7499L, 0L))) // window expired
+    assert(out(20L) === (("none", -1L, 0L)))
+  }
+
+  test("watermark drops late events: a row older than the advanced " +
+    "watermark never reaches its finalized hourly window") {
+    import java.nio.file.Files
+    val ss = spark; import ss.implicits._
+    def evDf(rows: (Long, Long, String)*) =
+      rows.toDF("event_id", "sec", "event_type")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+        .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+        .drop("sec")
+    val tmp = Files.createTempDirectory("evlate")
+    // Watermark semantics pinned by this test (measured, not assumed): a
+    // late row merges into its window as long as the window's STATE is
+    // still live — the watermark is a lower bound for dropping, not an
+    // exact cutoff — so the drop needs the late row to arrive in a batch
+    // AFTER the one whose start-of-batch watermark evicted the window.
+    // b1 seeds hour 0; b2 (03:00) raises the watermark to 02:00 at its
+    // end; b3 runs under wm=02:00 → hour-0 state evicted + emitted (n=1);
+    // b4's 00:20 row then finds no state and sits behind the watermark →
+    // dropped, and hour 0 is NOT re-emitted (append-mode exactly-once).
+    evDf((1L, 600L, "view")).coalesce(1)
+      .write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100) // file-source orders batches by modification time
+    evDf((2L, 3600L * 3, "view")).coalesce(1)
+      .write.parquet(tmp.resolve("b2").toString)
+    Thread.sleep(1100)
+    evDf((4L, 3600L * 3 + 600, "view")).coalesce(1)
+      .write.parquet(tmp.resolve("b3").toString)
+    Thread.sleep(1100)
+    evDf((3L, 1200L, "view")).coalesce(1)
+      .write.parquet(tmp.resolve("b4").toString)
+    val schema = spark.read.parquet(tmp.resolve("b1").toString).schema
+    val raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.hourlyCounts(
+        OccurrenceView.normalizeTs(raw))
+      .writeStream.format("memory").queryName("ev_late")
+      .outputMode("append").start()
+    val dropped =
+      try {
+        q.processAllAvailable()
+        q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq)
+          .flatMap(_.toSeq).map(_.numRowsDroppedByWatermark).sum
+      } finally q.stop()
+    val rows = spark.table("ev_late")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    // hour 0 finalized ONCE with only the on-time event; hour 3 still open
+    // (the watermark never passed 04:00), so unemitted
+    assert(rows === Map("1970-01-01 00" -> 1L))
+    assert(dropped === 1L, s"expected exactly the one late row dropped, got $dropped")
+  }
 }

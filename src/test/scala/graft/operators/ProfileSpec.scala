@@ -85,4 +85,37 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Similarity.pairCuration(docs, emb).select("doc_id").as[Long].collect()
     assert(got.toSeq === Seq(1L))
   }
+
+  test("queryAnnJoin equals the rank-window formulation and is " +
+    "partition-invariant") {
+    val ss = spark; import ss.implicits._
+    val rnd = new scala.util.Random(19)
+    val emb = (0L until 250L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f), i.toInt % 4))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.queryAnnJoin(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // reference: same sims through a rank window (fine at test size)
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(Similarity.sqNorm(col("embedding"))).as("nrm"))
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val sim = round(Similarity.dotCols(col("embedding"), col("qv"))
+      / (col("nrm") * col("qn")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val want = base.filter(col("vec_id") % 100 =!= 0).crossJoin(q)
+      .select(col("query_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got === want)
+    val got2 = Similarity.queryAnnJoin(emb.repartition(7), 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === got2)
+  }
 }

@@ -45,14 +45,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"over-wide scan: $read")
   }
 
-  test("pyramid aggregation exchanges are PINNED (REPARTITION_BY_NUM — the " +
-    "marker AQE's coalescer must not merge; byte-sized coalescing " +
-    "under-sizes this family's agg state 10-20x and spilled 50 GB at x10)") {
-    Seq("q45_pyramid", "q109_pyramid_deep").foreach { q =>
-      val p = planOf(q)
-      assert(p.contains("REPARTITION_BY_NUM"),
-        s"$q lost its pinned aggregation exchange (MapBuild.pinByKeys):\n$p")
-    }
+  test("pyramid queries run on a forked no-coalesce session (AQE's " +
+    "byte-sized coalescer under-sizes this family's agg state 10-20x and " +
+    "spilled 50 GB at x10) while the parent session keeps coalescing ON") {
+    Seq("q45_pyramid", "q109_pyramid_deep", "q111_incremental_pyramid")
+      .foreach { q =>
+        val df = graft.SparkEntry.queries(q)(spark, Dir)
+        assert(df.sparkSession.conf
+          .get("spark.sql.adaptive.coalescePartitions.enabled") === "false",
+          s"$q lost its no-coalesce session scope (MapBuild.noCoalesceSession)")
+        // scope, not a global switch: the iterative graph queries NEED
+        // coalescing (q47/q66 measured 2x slower without it)
+        assert(spark.conf
+          .get("spark.sql.adaptive.coalescePartitions.enabled") !== "false",
+          "the no-coalesce scope leaked into the parent session")
+      }
   }
 
   test("small-side joins broadcast: q35 (anti), q40/q46 (top-tile)") {
@@ -98,7 +105,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     Set("q46_points_in_tile", "q71_tfidf_terms", "q78_bm25_topk",
       "q91_bigram_lm", "q97_pmi_pairs",
       // q126: the corpus-wide max timestamp is a broadcast 1-row scalar
-      "q126_decay_weights")
+      "q126_decay_weights",
+      // q132: the bucket-count and baseline-total 1-row scalars; the
+      // sources×buckets grid itself is a constant-key HASH join, not BNLJ
+      "q132_psi_drift")
 
   test("suite-wide plan shapes: no single-partition global Window, no " +
     "CartesianProduct, nested-loop joins only for broadcast one-row scalars") {
