@@ -1057,7 +1057,19 @@ object SparkEntry {
     // in one corpus scan — broadcast query set, codegen dot products,
     // per-query top-k as bounded KMV state (never a per-query sort)
     "q134_query_ann" -> ((s, dir) =>
-      Similarity.queryAnnJoin(embeddings(s, dir), 5))
+      Similarity.queryAnnJoin(embeddings(s, dir), 5)),
+
+    // Skew remedy q125 prescribes: salted shuffle-hash join — the "0:0"
+    // ALL view (in EVERY record) is the deliberate hot key; 16 salts
+    // spread its probe work while staying row-identical to the plain join
+    "q135_salted_join" -> ((s, dir) => {
+      val f = exploded(s, dir)
+      val dim = f.groupBy("map_key").agg(min("lat10").as("anchor_lat"))
+      graft.operators.DataQuality
+        .saltedJoin(f, dim, "map_key", 16, col("l_orderkey"))
+        .groupBy("map_key")
+        .agg(count(lit(1)).as("n_rows"), max("anchor_lat").as("anchor_lat"))
+    })
   )
 
   /** q78's query terms; q79's vocab size (the synthetic corpus has 31
@@ -2867,7 +2879,13 @@ rk AS (SELECT query_id, pk,
     row_number() OVER (PARTITION BY query_id ORDER BY pk) AS rn FROM pk)
 SELECT query_id, CAST(rn AS INT) AS rn, pk % 1099511627776 AS vec_id,
   round(CAST(1000000 - pk // 1099511627776 AS DOUBLE) / 1000000, 6) AS sim
-FROM rk WHERE rn <= 5"""
+FROM rk WHERE rn <= 5""",
+
+    "q135_salted_join" -> (Ex + """,
+vc AS (SELECT map_key, min(lat10) AS anchor_lat FROM ex GROUP BY map_key)
+SELECT e.map_key, count(*) AS n_rows, max(vc.anchor_lat) AS anchor_lat
+FROM ex e JOIN vc ON e.map_key = vc.map_key
+GROUP BY e.map_key""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality audit over the star schema — the dbt-style test suite an
@@ -85,5 +85,27 @@ object DataQuality {
       .select(col("event_type"), col("n_keys"), col("total"), col("max_cnt"),
         expr("max_cnt * 1000000 div total").as("top_share_micro"),
         col("p50_cnt"), col("p99_cnt"))
+  }
+
+  /** Skew-safe salted shuffle equi-join: each dim row is replicated for
+    * all `s` salt values and the fact side scatters uniformly across them
+    * (`factSalt` — any deterministic per-row expression), so a hot key's
+    * probe work spreads over `s` tasks instead of serializing through
+    * one. This is the remedy [[skewProfile]] (q125) prescribes for the
+    * case AQE's skew-join split and a broadcast can't cover: the dim side
+    * too large to broadcast, the join pinned to shuffle-hash. Each fact
+    * row meets exactly ONE replica of its dim row (the replica carrying
+    * its salt), so the output is row-identical to the plain join; the
+    * `shuffle_hash` hints keep the planner from silently broadcasting the
+    * toy-scale dim and vacating the pattern under test.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, s: Int,
+      factSalt: Column): DataFrame = {
+    val sf = fact.withColumn("__salt", pmod(factSalt, lit(s)).cast("int"))
+    val sd = dim.withColumn("__salt",
+      explode(array((0 until s).map(lit): _*)))
+    sf.hint("shuffle_hash")
+      .join(sd.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 }

@@ -508,6 +508,16 @@ object Dedup {
     // corpus-sized, and the 5× recompute would repeat the band join
     val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // measured negative result (don't re-try): DEGREE-ordered orientation
+    // (Chiba–Nishizeki — orient each edge lower→higher (deg, id) so every
+    // node's out-degree caps at O(√m) and wedge work at O(m^1.5)) ran
+    // 19.4 s vs 13.8 s for this ID-ordered enumeration at sf0.1. The
+    // hot-bucket cap already bounds candidate density, and THIS corpus's
+    // near-dup graph is uniformly dense (628k edges / 5k docs — degrees
+    // near-equal), so the orientation's two extra deg joins + persist buy
+    // nothing. On a hub-skewed graph (bounded cliques + star templates)
+    // the orientation wins asymptotically — re-measure before porting this
+    // operator to a corpus whose skewProfile (q125) shows a hot tail.
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
       .join(e.as("e3"),

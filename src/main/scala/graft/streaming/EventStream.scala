@@ -121,6 +121,21 @@ object EventStream {
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicates("text_hash")
 
+  /** Streaming dedup with BOUNDED state — the variant [[dedupStream]]'s
+    * doc promises: `dropDuplicatesWithinWatermark` keeps a hash's state
+    * only until the watermark passes its event time + delay, so state is
+    * proportional to the duplicate-arrival window (here 1 hour), not to
+    * all history. The semantics weaken accordingly: duplicates separated
+    * by MORE than the watermark delay re-emit — the right trade for
+    * at-ingest stream hygiene where near-in-time duplicate bursts (retry
+    * storms, double-sends) are the target and corpus-history dedup runs
+    * in batch (q19/q85).
+    */
+  def dedupStreamBounded(eventStream: DataFrame): DataFrame =
+    eventStream
+      .withWatermark("tstamp", "1 hour")
+      .dropDuplicatesWithinWatermark("event_type", "value")
+
   /** Streaming KMV distinct-sketch maintenance: per-source bottom-k of the
     * document content hashes, kept incrementally across micro-batches. The
     * KmvAgg buffer is order- and partition-insensitive (bottom-k of a union

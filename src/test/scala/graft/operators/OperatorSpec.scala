@@ -898,4 +898,47 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Map("1970-01-01 00" -> 1L))
     assert(dropped === 1L, s"expected exactly the one late row dropped, got $dropped")
   }
+
+  test("dropDuplicatesWithinWatermark: in-window duplicates collapse, a " +
+    "duplicate beyond the watermark delay re-emits (bounded dedup state)") {
+    import java.nio.file.Files
+    val ss = spark; import ss.implicits._
+    def evDf(rows: (Long, Long, String, Double)*) =
+      rows.toDF("event_id", "sec", "event_type", "value")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val tmp = Files.createTempDirectory("evdwm")
+    // b0/b1 repeat ("view", 1.0) 30 min apart → in-window duplicates, one
+    // survives (WHICH one is batch-order-dependent — not the semantics
+    // under test); b2 advances the watermark to 02:00, past the entry's
+    // event-time + 1h expiry; b3 is a padding batch whose commit REMOVES
+    // the expired entry (expiry is applied at end-of-batch, a semantics
+    // this test pins deliberately); b4 then repeats ("view", 1.0) → state
+    // gone, re-emits: bounded state, window-bounded dedup
+    Seq(
+      Seq((1L, 0L, "view", 1.0)),
+      Seq((2L, 1800L, "view", 1.0)),
+      Seq((3L, 3600L * 3, "click", 2.0)),
+      Seq((5L, 3600L * 3 + 60, "click", 3.0)),
+      Seq((4L, 3600L * 3 + 1800, "view", 1.0))
+    ).zipWithIndex.foreach { case (rows, i) =>
+      if (i > 0) Thread.sleep(1100)
+      evDf(rows: _*).coalesce(1).write.parquet(tmp.resolve(s"b$i").toString)
+    }
+    val schema = spark.read.parquet(tmp.resolve("b0").toString).schema
+    val raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.dedupStreamBounded(
+        OccurrenceView.normalizeTs(raw))
+      .select("event_id")
+      .writeStream.format("memory").queryName("ev_dwm")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("ev_dwm").collect().map(_.getLong(0)).toSet
+    assert(got.intersect(Set(1L, 2L)).size === 1,
+      s"exactly one of the in-window duplicates must survive, got $got")
+    assert(got.contains(3L) && got.contains(5L), s"distinct keys must pass, got $got")
+    assert(got.contains(4L),
+      s"the repeat BEYOND the watermark delay must re-emit (state evicted), got $got")
+  }
 }

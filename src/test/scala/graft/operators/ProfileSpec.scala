@@ -118,4 +118,23 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap
     assert(got === got2)
   }
+
+  test("saltedJoin is row-identical to the plain join for any salt count, " +
+    "including a hot key carrying most of the fact side") {
+    val ss = spark; import ss.implicits._
+    // key "hot" carries 90% of the fact rows; dim has one row per key
+    val fact = ((0L until 180L).map(i => ("hot", i)) ++
+      (0L until 20L).map(i => (s"k${i % 5}", 1000L + i)))
+      .toDF("k", "payload")
+    val dim = Seq(("hot", 1), ("k0", 2), ("k1", 3), ("k2", 4), ("k3", 5), ("k4", 6))
+      .toDF("k", "attr")
+    val want = fact.join(dim, Seq("k"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    Seq(1, 4, 16).foreach { s =>
+      val got = DataQuality.saltedJoin(fact, dim, "k", s, col("payload"))
+        .select("k", "payload", "attr")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(got === want, s"salt count $s changed the join result")
+    }
+  }
 }

@@ -62,6 +62,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("q135 salted join stays a SHUFFLED hash join on the salted key — a " +
+    "silent broadcast of the toy-scale dim would vacate the skew pattern") {
+    val p = planOf("q135_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"q135 lost its shuffle-hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"q135 fell back to broadcast:\n$p")
+  }
+
   test("small-side joins broadcast: q35 (anti), q40/q46 (top-tile)") {
     Seq("q35_small_views", "q40_tile_render", "q46_points_in_tile").foreach { q =>
       val p = planOf(q)
