@@ -27,7 +27,11 @@ object BenchScale {
     // incremental maintenance: its ratio should track the 10%-delta
     // footprint + the stored-pyramid passthrough, NOT the corpus — the
     // probe is exactly the instrument to catch it degrading to rebuild
-    "q111_incremental_pyramid")
+    "q111_incremental_pyramid",
+    // the bench's new slowest query (13.8 s alone at sf0.1): the triangle
+    // join's work is Σ wedge over a dense near-dup graph — the probe must
+    // say whether the hot-bucket cap keeps that growth linear
+    "q117_triangles")
 
   /** Per-stage totals between two markers — shuffle volume and spill are
     * the quantities that separate "the exchange really carries 7× the

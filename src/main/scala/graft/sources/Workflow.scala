@@ -69,9 +69,16 @@ object Workflow {
   def build(spark: SparkSession, sfDir: String, workDir: String,
       projections: Seq[String] =
         Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031"),
-      maxZoom: Int = 6): Manifest =
-    buildFrom(spark, graft.operators.OccurrenceView.occ(spark, sfDir),
+      maxZoom: Int = 6): Manifest = {
+    // the store build runs on the pyramid family's no-coalesce fork: at
+    // production depth the max-zoom pixel aggregation has the same
+    // byte-underestimated agg state that AQE's coalescer spilled on the
+    // one-pass pyramid (see MapBuild.sumAgg) — the fork scopes the
+    // coalescer off for THIS build without touching the caller's session
+    val s2 = graft.operators.MapBuild.noCoalesceSession(spark)
+    buildFrom(s2, graft.operators.OccurrenceView.occ(s2, sfDir),
       workDir, projections, maxZoom)
+  }
 
   /** [[build]] over a caller-prepared occurrence frame — the incremental
     * lifecycle's fresh-rebuild comparator builds from a filtered base.
