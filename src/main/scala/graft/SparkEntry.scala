@@ -1059,6 +1059,21 @@ object SparkEntry {
     "q134_query_ann" -> ((s, dir) =>
       Similarity.queryAnnJoin(embeddings(s, dir), 5)),
 
+    // Embedding class prototypes + per-dim variance in exact micro-units —
+    // nearest-class-mean / dead-dimension diagnostics, one keyed aggregate
+    "q136_label_stats" -> ((s, dir) =>
+      Similarity.labelStats(embeddings(s, dir))),
+
+    // Word2vec negative-sampling table: unigram^0.75 micro-weights and
+    // integer sampling probabilities over the top-30 vocabulary
+    "q137_negative_sampling" -> ((s, dir) =>
+      graft.operators.Corpus.negativeSampling(documents(s, dir), 30)),
+
+    // QA span extraction: every 0-based token position of "key value" —
+    // (context, answer_start) training pairs, row-local HOF filter
+    "q138_span_positions" -> ((s, dir) =>
+      graft.operators.Corpus.spanPositions(documents(s, dir), "key", "value")),
+
     // Skew remedy q125 prescribes: salted shuffle-hash join — the "0:0"
     // ALL view (in EVERY record) is the deliberate hot key; 16 salts
     // spread its probe work while staying row-identical to the plain join
@@ -2885,7 +2900,40 @@ FROM rk WHERE rn <= 5""",
 vc AS (SELECT map_key, min(lat10) AS anchor_lat FROM ex GROUP BY map_key)
 SELECT e.map_key, count(*) AS n_rows, max(vc.anchor_lat) AS anchor_lat
 FROM ex e JOIN vc ON e.map_key = vc.map_key
-GROUP BY e.map_key""")
+GROUP BY e.map_key"""),
+
+    "q136_label_stats" -> """WITH px AS (SELECT label,
+    CAST(u.i - 1 AS INT) AS pos,
+    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)),
+ag AS (SELECT label, pos, count(*) AS n, CAST(sum(xm) AS BIGINT) AS s,
+    CAST(sum(xm * xm) AS BIGINT) AS ss
+  FROM px GROUP BY 1, 2)
+SELECT label, pos, n, s // n AS centroid_micro,
+  (ss // n) - (s // n) * (s // n) AS var_micro2
+FROM ag""",
+
+    "q137_negative_sampling" -> """WITH tk AS (SELECT
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+wc AS (SELECT unnest(toks) AS w FROM tk),
+c AS (SELECT w, count(*) AS c,
+    CAST(round(round(pow(CAST(count(*) AS DOUBLE), 0.75), 6) * 1000000, 0) AS BIGINT) AS w_micro
+  FROM wc GROUP BY w),
+tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot FROM c)
+SELECT c.w, c.c, c.w_micro, c.w_micro * 1000000 // tot.tot AS prob_micro
+FROM c CROSS JOIN tot
+ORDER BY c.c DESC, c.w ASC LIMIT 30""",
+
+    "q138_span_positions" -> """WITH tk AS (SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+m AS (SELECT doc_id, source,
+    unnest([i - 1 for i in range(1, len(toks)) if toks[i] = 'key' AND toks[i+1] = 'value']) AS pos
+  FROM tk WHERE len(toks) >= 2)
+SELECT doc_id, source, CAST(pos AS BIGINT) AS pos FROM m"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

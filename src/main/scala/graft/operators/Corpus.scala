@@ -839,6 +839,46 @@ object Corpus {
     * exact to 2³¹ docs per shard; past that a production manifest reduces
     * partials mod 2³² — same value, same algebra.)
     */
+  /** Word2vec-style negative-sampling table: the top-`k` vocabulary words
+    * with unigram^0.75 weights and their sampling probability — the
+    * smoothed distribution contrastive/skip-gram training draws negatives
+    * from (raising rare words, damping stopwords).
+    *
+    * Double discipline: pow(c, 0.75) quantizes to an integer micro-weight
+    * PER WORD before any sum, so the normalizer Σw is exact long addition
+    * (a double Σ pow would be order-dependent); prob = w·10⁶ div Σw is
+    * integer arithmetic. Scale shape: one keyed count, one bounded top-k,
+    * one broadcast 1-row normalizer.
+    */
+  def negativeSampling(docs: DataFrame, k: Int): DataFrame = {
+    val wc = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .withColumn("w_micro",
+        round(round(pow(col("c").cast("double"), 0.75), 6) * 1e6, 0).cast("long"))
+    val tot = wc.agg(sum("w_micro").as("tot"))
+    wc.crossJoin(broadcast(tot))
+      .select(col("w"), col("c"), col("w_micro"),
+        expr("w_micro * 1000000 div tot").as("prob_micro"))
+      .orderBy(col("c").desc, col("w").asc).limit(k)
+  }
+
+  /** Answer-span extraction for QA/grounding training data: every token
+    * position where the two-token `phrase` occurs, one row per match —
+    * the span-labeling pass that turns a corpus plus an answer string
+    * into (context, answer_start) training pairs. Entirely row-local (a
+    * single HOF filter over the token array inside the scan); positions
+    * are 0-based token offsets.
+    */
+  def spanPositions(docs: DataFrame, w1: String, w2: String): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"filter(sequence(0, size(toks) - 2), i -> " +
+          s"element_at(toks, i + 1) = '$w1' AND element_at(toks, i + 2) = '$w2')"))
+          .as("pos"))
+      .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"))
+
   def exportShards(docs: DataFrame, nShards: Int): DataFrame = {
     val fp = udf { (t: String) => Dedup.cpFold(t, 4294967296L) }
     docs

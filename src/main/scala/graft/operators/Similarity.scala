@@ -517,4 +517,29 @@ object Similarity {
         round((lit(1000000L) - expr("pk div 1099511627776")).cast("double")
           / 1e6, 6).as("sim"))
   }
+
+  /** Per-label embedding statistics — the class prototype (nearest-class-
+    * mean classification, contrastive anchor means) and per-dimension
+    * variance (feature-collapse / dead-dimension detection) a training
+    * pipeline derives from a labeled embedding table.
+    *
+    * Integer discipline: each component quantizes to micro-units FIRST
+    * (round(x·10⁶)), so the per-(label, dim) sums are exact long
+    * arithmetic — a double mean over rows would be order-dependent and
+    * hash-unstable. centroid = sum div n and var = E[x²] − E[x]² use
+    * integer division, mirrored in the oracle.
+    *
+    * Scale shape: posexplode emits dim-many rows per vector and ONE keyed
+    * aggregate with map-side combine collapses them; output is
+    * #labels × dim rows. No window, no collect.
+    */
+  def labelStats(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xm", round(col("x").cast("double") * 1e6, 0).cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("xm").as("s"),
+        sum(col("xm") * col("xm")).as("ss"))
+      .select(col("label"), col("pos"), col("n"),
+        expr("s div n").as("centroid_micro"),
+        expr("(ss div n) - (s div n) * (s div n)").as("var_micro2"))
 }

@@ -667,6 +667,38 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === out2, "estimator must not depend on partitioning")
   }
 
+  test("spanPositions: overlapping and repeated matches, 0-based offsets, " +
+    "non-matching docs drop out") {
+    val docs = docsDf(
+      (0L, "key value key value", "s"),   // positions 0 and 2
+      (1L, "a key value b", "s"),         // position 1
+      (2L, "value key", "s"),             // reversed — no match
+      (3L, "", "s"))
+    val got = Corpus.spanPositions(docs, "key", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === Set((0L, 0L), (0L, 2L), (1L, 1L)))
+  }
+
+  test("negativeSampling: 0.75-smoothing damps the head — weight ratios " +
+    "compress relative to count ratios; probs are a normalized partition") {
+    val docs = docsDf(
+      (0L, ("hot " * 16).trim + " a b", "s"),
+      (1L, "a b c", "s"))
+    val out = Corpus.negativeSampling(docs, 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(out.head._1 === "hot") // count order, not weight order
+    val m = out.toMap
+    val (cHot, wHot, _) = m("hot")
+    val (cA, wA, _) = m("a")
+    assert(cHot === 16L && cA === 2L)
+    // pow(16,.75)/pow(2,.75) = 8^0.75... ratio 4.75..; < 16/2
+    assert(wHot.toDouble / wA < cHot.toDouble / cA,
+      "smoothing must compress the head's advantage")
+    val probSum = out.map(_._2._3).sum
+    assert(probSum <= 1000000L && probSum > 990000L,
+      s"integer probabilities must partition ~1e6, got $probSum")
+  }
+
   test("psiDrift: identical distribution scores 0; a shifted source scores " +
     "strictly positive and larger than a mildly-perturbed one") {
     // src0 baseline and s_same have the same length histogram; s_mild

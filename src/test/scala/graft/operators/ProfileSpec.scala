@@ -119,6 +119,24 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === got2)
   }
 
+  test("labelStats: integer centroid/variance math on a hand-checkable " +
+    "fixture; a constant dimension scores zero variance") {
+    val ss = spark; import ss.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.5f), 1),
+      (1L, Array(3.0f, 0.5f), 1),
+      (2L, Array(10.0f, 2.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelStats(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // label 1 dim 0: xm = 1e6, 3e6 → centroid 2e6, var = E[x²]−E[x]²
+    //   = (1e12+9e12)/2 − (2e6)² = 5e12 − 4e12 = 1e12
+    assert(got((1, 0)) === ((2L, 2000000L, 1000000000000L)))
+    assert(got((1, 1)) === ((2L, 500000L, 0L))) // constant dim → 0 variance
+    assert(got((2, 0)) === ((1L, 10000000L, 0L)))
+  }
+
   test("saltedJoin is row-identical to the plain join for any salt count, " +
     "including a hot key carrying most of the fact side") {
     val ss = spark; import ss.implicits._

@@ -115,7 +115,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q126_decay_weights",
       // q132: the bucket-count and baseline-total 1-row scalars; the
       // sources×buckets grid itself is a constant-key HASH join, not BNLJ
-      "q132_psi_drift")
+      "q132_psi_drift",
+      // q137: the Σw normalizer is a broadcast 1-row scalar
+      "q137_negative_sampling")
 
   test("suite-wide plan shapes: no single-partition global Window, no " +
     "CartesianProduct, nested-loop joins only for broadcast one-row scalars") {
