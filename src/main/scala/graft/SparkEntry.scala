@@ -1074,6 +1074,12 @@ object SparkEntry {
     "q138_span_positions" -> ((s, dir) =>
       graft.operators.Corpus.spanPositions(documents(s, dir), "key", "value")),
 
+    // Estimator calibration: signature-agreement band × exact-Jaccard
+    // decile matrix over the capped candidate pairs — the threshold-tuning
+    // evidence published before committing to an est>=t dedup cut
+    "q139_lsh_calibration" -> ((s, dir) =>
+      Dedup.lshCalibration(documents(s, dir), 0.5)),
+
     // Skew remedy q125 prescribes: salted shuffle-hash join — the "0:0"
     // ALL view (in EVERY record) is the deliberate hot key; 16 salts
     // spread its probe work while staying row-identical to the plain join
@@ -1217,6 +1223,30 @@ hs AS (SELECT doc_id, source,
     * at 0.5) — the graph underlying q47/q66/q106/q117. Canonical a<b rows
     * in `ed0`.
     */
+  /** Calibration CTE: every capped-LSH candidate pair with its signature
+    * agreement (0–8) and exact distinct-shingle sets — the q139 oracle's
+    * shared prefix (mirrors Dedup.lshCalibration at minEst = 0.5 ⇔
+    * agree ≥ 4).
+    */
+  private val CalibSql = SigSql + s""",
+cbands AS (${(0 until Dedup.NumBands).map(b =>
+    s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
+    .mkString("\n  UNION ALL ")}),
+cok AS (SELECT band, bh FROM cbands GROUP BY band, bh
+  HAVING count(*) <= ${Dedup.DefaultBucketCap}),
+cbk AS (SELECT b.* FROM cbands b JOIN cok USING (band, bh)),
+ccand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM cbk x JOIN cbk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+ces AS (SELECT doc_a, doc_b,
+    (${(0 until 8).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")}) AS agree
+  FROM ccand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id),
+cds AS (SELECT doc_id, list_distinct(hs) AS s FROM hs),
+cex AS (SELECT f.agree,
+    len(list_intersect(a.s, b.s)) AS i,
+    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM ces f JOIN cds a ON f.doc_a = a.doc_id JOIN cds b ON f.doc_b = b.doc_id
+  WHERE f.agree >= 4)"""
+
   private val EdgesSql = SigSql + s""",
 bands AS (${(0 until Dedup.NumBands).map(b =>
     s"SELECT doc_id, $b AS band, (mh${2 * b}*31 + mh${2 * b + 1}) % 2147483647 AS bh FROM sig")
@@ -2933,7 +2963,15 @@ ORDER BY c.c DESC, c.w ASC LIMIT 30""",
 m AS (SELECT doc_id, source,
     unnest([i - 1 for i in range(1, len(toks)) if toks[i] = 'key' AND toks[i+1] = 'value']) AS pos
   FROM tk WHERE len(toks) >= 2)
-SELECT doc_id, source, CAST(pos AS BIGINT) AS pos FROM m"""
+SELECT doc_id, source, CAST(pos AS BIGINT) AS pos FROM m""",
+
+    "q139_lsh_calibration" -> (CalibSql + """,
+cm AS (SELECT CAST(agree AS INT) AS est_agree,
+    CASE WHEN u = 0 THEN 1000000 ELSE i * 1000000 // u END AS ex_micro
+  FROM cex)
+SELECT est_agree, ex_micro // 100000 AS ex_decile,
+  count(*) AS n_pairs, CAST(sum(ex_micro) AS BIGINT) AS sum_ex_micro
+FROM cm GROUP BY 1, 2""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

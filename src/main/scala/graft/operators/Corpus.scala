@@ -791,8 +791,10 @@ object Corpus {
     *
     * Scale shape: the corpus collapses to a (source, bucket) histogram in
     * one keyed aggregate — everything after is arithmetic over a table
-    * bounded by #sources × #buckets, joined hash-wise on a constant key
-    * (never a nested-loop pairing) with the two 1-row totals broadcast.
+    * bounded by #sources × #buckets: the complete grid is an explicit
+    * broadcast cross join of two BOUNDED frames (a constant-key hash-join
+    * disguise constant-folds back to the same nested-loop plan), with the
+    * two 1-row totals broadcast beside it.
     * Double discipline: p and q are exact-int divisions, ln is rounded to
     * 6 digits before the product, and each term becomes an integer
     * micro-nat before the sum — no order-dependent double accumulation.
@@ -809,9 +811,7 @@ object Corpus {
         .select(col("bucket"), col("c").as("c0")), Seq("bucket"), "left")
     val n0 = totals.filter(col("source") === baseline).select(col("n").as("n0"))
     val grid = totals.filter(col("source") =!= baseline)
-      .withColumn("jk", lit(1))
-      .join(broadcast(bucketTable.withColumn("jk", lit(1))), Seq("jk"))
-      .drop("jk")
+      .crossJoin(broadcast(bucketTable))
       .join(counts, Seq("source", "bucket"), "left")
       .crossJoin(broadcast(nb))
       .crossJoin(broadcast(n0))

@@ -474,6 +474,58 @@ object Dedup {
       .filter(col("contain_a") >= minContain)
   }
 
+  /** Distinct 5-code-point shingle hashes of `text` — the EXACT set whose
+    * Jaccard the minhash signature estimates; [[lshCalibration]]'s ground
+    * truth. Same fold, same window as [[minhashSigUdf]].
+    */
+  private val shingleSetUdf = udf { (t: String) =>
+    val cps = if (t == null) Array.empty[Int] else t.codePoints().toArray
+    val n = cps.length - 4
+    if (n <= 0) Array.empty[Long]
+    else {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var i = 0
+      while (i < n) {
+        var a = 0L; var j = i; val e = i + 5
+        while (j < e) { a = (a * 31 + cps(j)) % M; j += 1 }
+        seen += a; i += 1
+      }
+      seen.toArray
+    }
+  }
+
+  /** LSH estimator calibration matrix: for every candidate pair, the
+    * signature-agreement count (0–8, the estimator) against the EXACT
+    * shingle-Jaccard decile (the estimand), with pair counts and exact
+    * micro-Jaccard sums per cell — the precision/threshold-tuning evidence
+    * a dedup pipeline publishes before committing to an `est ≥ t` cut
+    * (how many pairs does each estimator band contain, and what is their
+    * true similarity spread?).
+    *
+    * Scale shape: candidates come from the capped LSH join (never
+    * all-pairs); the exact sets ride the same two id-keyed joins the
+    * verifiers use; the matrix is a ≤ 9×11-cell aggregate. Integer
+    * discipline: exact Jaccard is `inter·10⁶ div union` (empty-vs-empty
+    * → 10⁶ by convention), so cells are exact long sums.
+    */
+  def lshCalibration(docs: DataFrame, minEst: Double): DataFrame = {
+    val pairs = lshCandidatePairs(docs, minEst)
+    val sh = docs.withColumn("s", shingleSetUdf(col("text")))
+      .select(col("doc_id"), col("s"))
+    val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
+    val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
+    pairs
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(round(col("est_sim") * 8, 0).cast("int").as("est_agree"),
+        inter.as("i"), uni.as("u"))
+      .select(col("est_agree"),
+        when(col("u") === 0, lit(1000000L))
+          .otherwise(expr("i * 1000000 div u")).as("ex_micro"))
+      .groupBy(col("est_agree"), expr("ex_micro div 100000").as("ex_decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum("ex_micro").as("sum_ex_micro"))
+  }
+
   /** Exact n-gram Jaccard over distinct hashed word-trigram sets, blocked by
     * a grouping column (at scale: always pre-blocked — by LSH bucket or
     * metadata key — never the raw cross product).

@@ -481,9 +481,12 @@ object Similarity {
   /** Batch ANN serving: top-`k` cosine neighbours for EVERY query in a
     * bounded query set (the vec_id % 100 == 0 vectors) in ONE corpus scan
     * — the retrieval-curation shape where queries ≪ corpus. The query set
-    * is broadcast on a constant key (a broadcast HASH join, never a
-    * nested loop), each (candidate, query) pair costs one codegen dot
-    * product, and the per-query top-k is the q127 packed-key KMV bottom-k
+    * rides an explicit broadcast cross join (BroadcastNestedLoopJoin with
+    * the BOUNDED side as build — for an all-pairs fan-out against a tiny
+    * broadcast side this IS the optimal physical plan; a constant-key
+    * "hash join" disguise constant-folds back to exactly this), each
+    * (candidate, query) pair costs one codegen dot product, and the
+    * per-query top-k is the q127 packed-key KMV bottom-k
     * — k longs of mergeable, map-side-combining state per query, never a
     * per-query sort of the corpus (a rank window partitioned by query
     * would pull the ENTIRE corpus through #queries tasks).
@@ -504,9 +507,7 @@ object Similarity {
       round(dotCols(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
         * 1e6, 0).cast("long")
     base.filter(col("vec_id") % 100 =!= 0)
-      .withColumn("jk", lit(1))
-      .join(broadcast(queries.withColumn("jk", lit(1))), Seq("jk"))
-      .drop("jk")
+      .crossJoin(broadcast(queries))
       .select(col("query_id"),
         ((lit(1000000L) - simMicro) * lit(1099511627776L) + col("vec_id"))
           .as("pk"))

@@ -107,15 +107,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     unpartitionedWindows(graft.SparkEntry.queries(q)(spark, Dir))
 
   // queries whose plan legitimately contains BroadcastNestedLoopJoin: a
-  // crossJoin against a BROADCAST ONE-ROW scalar (top tile / corpus stats)
+  // crossJoin against a BROADCAST side that is structurally BOUNDED —
+  // 1-row scalars (top tile / corpus stats / normalizers) or a bounded
+  // dimension grid (buckets, query set). A constant-key "hash join"
+  // disguise is pointless: lit==lit constant-folds and the plan comes
+  // back as exactly this BNLJ (measured round 6).
   private val ScalarCrossJoins =
     Set("q46_points_in_tile", "q71_tfidf_terms", "q78_bm25_topk",
       "q91_bigram_lm", "q97_pmi_pairs",
       // q126: the corpus-wide max timestamp is a broadcast 1-row scalar
       "q126_decay_weights",
-      // q132: the bucket-count and baseline-total 1-row scalars; the
-      // sources×buckets grid itself is a constant-key HASH join, not BNLJ
+      // q132: sources × bucket-grid (both #-bounded) + two 1-row scalars
       "q132_psi_drift",
+      // q134: corpus × broadcast bounded query set — the all-pairs
+      // fan-out where a broadcast nested loop IS the optimal plan
+      "q134_query_ann",
       // q137: the Σw normalizer is a broadcast 1-row scalar
       "q137_negative_sampling")
 
