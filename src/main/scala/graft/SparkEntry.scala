@@ -1080,6 +1080,12 @@ object SparkEntry {
     "q139_lsh_calibration" -> ((s, dir) =>
       Dedup.lshCalibration(documents(s, dir), 0.5)),
 
+    // Weighted without-replacement sampling (A-ES): 8 docs per source with
+    // probability ∝ n_tokens, deterministic exponential keys, per-source
+    // state = 8 packed longs (KMV) — never a per-source sort
+    "q140_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sketch.weightedSample(documents(s, dir), 8)),
+
     // Skew remedy q125 prescribes: salted shuffle-hash join — the "0:0"
     // ALL view (in EVERY record) is the deliberate hot key; 16 salts
     // spread its probe work while staying row-identical to the plain join
@@ -2971,7 +2977,23 @@ cm AS (SELECT CAST(agree AS INT) AS est_agree,
   FROM cex)
 SELECT est_agree, ex_micro // 100000 AS ex_decile,
   count(*) AS n_pairs, CAST(sum(ex_micro) AS BIGINT) AS sum_ex_micro
-FROM cm GROUP BY 1, 2""")
+FROM cm GROUP BY 1, 2"""),
+
+    "q140_weighted_sample" -> """WITH tk AS (SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents),
+ky AS (SELECT source, doc_id,
+    CAST(round(round(ln(CAST((doc_id * 1103515245 + 12345) % 2147483648 + 1 AS DOUBLE)
+        / 2147483648), 6)
+      / CAST(greatest(n_tokens, 1) AS DOUBLE) * 1000000, 0) AS BIGINT) AS km
+  FROM tk),
+pk AS (SELECT source, (30000000 - km) * 4294967296 + doc_id AS pk FROM ky),
+rk AS (SELECT source, pk,
+    row_number() OVER (PARTITION BY source ORDER BY pk) AS rn FROM pk)
+SELECT source, CAST(rn AS INT) AS rn, pk % 4294967296 AS doc_id,
+  30000000 - pk // 4294967296 AS key_micro
+FROM rk WHERE rn <= 8"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

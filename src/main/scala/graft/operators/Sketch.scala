@@ -482,6 +482,31 @@ object Sketch {
     * estimate column is the product and the exact side drops away (or
     * becomes q86's histogram).
     */
+  /** Weighted without-replacement sample, k per source (Efraimidis–
+    * Spirakis A-ES): each doc draws the deterministic uniform
+    * u = (lcg(id)+1)/2³¹ and ranks by u^(1/w) — equivalently ln(u)/w,
+    * used here because it stays monotone after the repo's 6-digit ln
+    * rounding — so a doc's selection probability is proportional to its
+    * weight (n_tokens: longer docs are likelier, the quality/length-
+    * weighted corpus draw). Top-k per source rides the packed-key KMV
+    * bottom-k — k longs of mergeable state per source, no per-source
+    * sort; key_micro ≥ −21.49e6 (u ≥ 2⁻³¹), so the (3e7 − km)·2³² + id
+    * packing stays under 2⁶³ with id < 2³².
+    */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val kmv = udaf(new KmvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    val w = greatest(size(Corpus.tokens(col("text"))), lit(1)).cast("double")
+    val u = (Corpus.lcg(col("doc_id")) + 1L).cast("double") / 2147483648.0
+    val keyMicro = round(round(log(u), 6) / w * 1e6, 0).cast("long")
+    docs.select(col("source"),
+        ((lit(30000000L) - keyMicro) * lit(4294967296L) + col("doc_id")).as("pk"))
+      .groupBy("source").agg(kmv(col("pk")).as("topk"))
+      .select(col("source"), posexplode(col("topk")).as(Seq("pos", "pk")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rn"),
+        expr("pk % 4294967296").as("doc_id"),
+        (lit(30000000L) - expr("pk div 4294967296")).as("key_micro"))
+  }
+
   def sampleQuantiles(docs: DataFrame, k: Int): DataFrame = {
     val tk = docs.select(col("doc_id"), col("source"),
       size(Corpus.tokens(col("text"))).as("n_tokens"))

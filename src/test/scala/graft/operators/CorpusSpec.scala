@@ -699,6 +699,24 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"integer probabilities must partition ~1e6, got $probSum")
   }
 
+  test("weightedSample: selection probability follows the weight — heavy " +
+    "docs crowd out a 9x majority of light ones; partition-invariant") {
+    // 10 heavy docs (w=1200 tokens) vs 90 light (w=2): u^(1/1200) ≈ 1 ≫
+    // u^(1/2), so the top-8 should be (near-)all heavy
+    val rows = (0L until 10L).map(i => (i * 17 + 3, ("w " * 1200).trim, "s")) ++
+      (1000L until 1090L).map(i => (i, "w w", "s"))
+    val docs = docsDf(rows: _*)
+    val heavy = rows.take(10).map(_._1).toSet
+    val got = Sketch.weightedSample(docs, 8).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got.size === 8)
+    val nHeavy = got.values.count(heavy)
+    assert(nHeavy >= 7, s"expected the heavy docs to dominate, got $nHeavy/8")
+    val got2 = Sketch.weightedSample(docs.repartition(5), 8).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got === got2)
+  }
+
   test("psiDrift: identical distribution scores 0; a shifted source scores " +
     "strictly positive and larger than a mildly-perturbed one") {
     // src0 baseline and s_same have the same length histogram; s_mild
