@@ -1086,6 +1086,11 @@ object SparkEntry {
     "q140_weighted_sample" -> ((s, dir) =>
       graft.operators.Sketch.weightedSample(documents(s, dir), 8)),
 
+    // Provenance: cross-source duplicate-flow matrix — near-dup pair
+    // counts per unordered source pair, the per-source dedup-policy report
+    "q141_dup_flow" -> ((s, dir) =>
+      Dedup.dupFlow(documents(s, dir), 0.5)),
+
     // Skew remedy q125 prescribes: salted shuffle-hash join — the "0:0"
     // ALL view (in EVERY record) is the deliberate hot key; 16 salts
     // spread its probe work while staying row-identical to the plain join
@@ -2993,7 +2998,17 @@ rk AS (SELECT source, pk,
     row_number() OVER (PARTITION BY source ORDER BY pk) AS rn FROM pk)
 SELECT source, CAST(rn AS INT) AS rn, pk % 4294967296 AS doc_id,
   30000000 - pk // 4294967296 AS key_micro
-FROM rk WHERE rn <= 8"""
+FROM rk WHERE rn <= 8""",
+
+    "q141_dup_flow" -> (CalibSql + """,
+fl AS (SELECT least(da.source, db.source) AS source_a,
+    greatest(da.source, db.source) AS source_b, f.agree
+  FROM ces f JOIN documents da ON f.doc_a = da.doc_id
+             JOIN documents db ON f.doc_b = db.doc_id
+  WHERE f.agree >= 4)
+SELECT source_a, source_b, count(*) AS n_pairs,
+  CAST(sum(agree) AS BIGINT) AS sum_agree
+FROM fl GROUP BY 1, 2""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

@@ -526,6 +526,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), sum("ex_micro").as("sum_ex_micro"))
   }
 
+  /** Cross-source duplicate-flow matrix: near-dup pair counts per
+    * unordered (source_a, source_b) cell with the exact sum of signature
+    * agreements — the provenance report showing which sources copy from
+    * which (mirrors within one source, syndication across two), the
+    * aggregate view a curation team reads before deciding per-source
+    * dedup policy. Scale shape: the capped candidate pairs ride two
+    * id-keyed joins to pick up sources; the matrix is #sources²-bounded.
+    */
+  def dupFlow(docs: DataFrame, minEst: Double): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("source"))
+    lshCandidatePairs(docs, minEst)
+      .join(meta.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        round(col("est_sim") * 8, 0).cast("long").as("agree"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("agree").as("sum_agree"))
+  }
+
   /** Exact n-gram Jaccard over distinct hashed word-trigram sets, blocked by
     * a grouping column (at scale: always pre-blocked — by LSH bucket or
     * metadata key — never the raw cross product).

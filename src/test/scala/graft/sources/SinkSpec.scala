@@ -292,4 +292,27 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("schema evolution: a store appended across versions with an added " +
+    "column reads whole under mergeSchema, old rows null-filled") {
+    val ss = spark; import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // v1 writer has no quality column; a later ingest job adds one — the
+    // 100 TB reality where the store outlives any one writer's schema
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/part=v1")
+    Seq((3L, "c", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/part=v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "text", "quality", "part"))
+    val rows = merged.select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "pre-evolution rows null-fill")
+    assert(rows(3L).contains(0.9))
+    // the default reader (no mergeSchema) picks ONE file's schema — the
+    // silent column-loss failure mode this option exists to prevent; pin
+    // the behavior so readers of the versioned store always pass the flag
+    val plain = spark.read.parquet(dir)
+    assert(plain.count() === 3)
+  }
 }
