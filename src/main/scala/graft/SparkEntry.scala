@@ -1091,6 +1091,12 @@ object SparkEntry {
     "q141_dup_flow" -> ((s, dir) =>
       Dedup.dupFlow(documents(s, dir), 0.5)),
 
+    // Temporal split with embargo: train ≤ exact p80 timestamp, a 1-hour
+    // embargo dropped, test after — the time-axis leakage control; the cut
+    // is found hour-bucketed (q81 pattern), never a global sort
+    "q142_temporal_split" -> ((s, dir) =>
+      graft.operators.EventAnalytics.temporalEmbargoSplit(events(s, dir), 3600L)),
+
     // Skew remedy q125 prescribes: salted shuffle-hash join — the "0:0"
     // ALL view (in EVERY record) is the deliberate hot key; 16 salts
     // spread its probe work while staying row-identical to the plain join
@@ -3008,7 +3014,19 @@ fl AS (SELECT least(da.source, db.source) AS source_a,
   WHERE f.agree >= 4)
 SELECT source_a, source_b, count(*) AS n_pairs,
   CAST(sum(agree) AS BIGINT) AS sum_agree
-FROM fl GROUP BY 1, 2""")
+FROM fl GROUP BY 1, 2"""),
+
+    "q142_temporal_split" -> """WITH ev AS (SELECT event_id, event_type,
+    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+rk AS (SELECT tsec, row_number() OVER (ORDER BY tsec, event_id) AS rn,
+    count(*) OVER () AS n FROM ev),
+t AS (SELECT tsec AS tcut FROM rk WHERE rn = CAST(ceil(0.8 * n) AS BIGINT)),
+sp AS (SELECT e.event_type,
+    CASE WHEN e.tsec <= t.tcut THEN 'train'
+         WHEN e.tsec > t.tcut + 3600 THEN 'test' END AS split
+  FROM ev e CROSS JOIN t)
+SELECT split, event_type, count(*) AS n
+FROM sp WHERE split IS NOT NULL GROUP BY 1, 2"""
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

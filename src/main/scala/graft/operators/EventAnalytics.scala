@@ -190,6 +190,47 @@ object EventAnalytics {
     * resolve by value, not row order — deterministic under any
     * partitioning.
     */
+  /** Temporal train/test split with an EMBARGO gap (the financial-ML
+    * leakage control): events up to the exact 80th-percentile timestamp
+    * train, events inside the following `embargoSec` window are DROPPED,
+    * the rest test — so no test example's features can overlap a train
+    * example's label horizon. Complements q129 (content leakage) on the
+    * temporal axis.
+    *
+    * Scale shape: the cut timestamp is the global ceil(0.8·n)-th event in
+    * (tsec, event_id) order, found WITHOUT a global sort via the q81
+    * pattern — an hour-bucket histogram (value-domain-bounded driver
+    * collect) locates the bucket, a rank window partitioned BY that
+    * bucket (≤1h of events) finds the exact row. The split itself is a
+    * row-local comparison against the broadcast scalar.
+    */
+  def temporalEmbargoSplit(ev: DataFrame, embargoSec: Long): DataFrame = {
+    val hh = ev.groupBy(expr("tsec div 3600").as("hb"))
+      .agg(count(lit(1)).as("c"))
+      .collect().sortBy(_.getLong(0))
+    val total = hh.map(_.getLong(1)).sum
+    val target = math.ceil(0.8 * total).toLong
+    var cum = 0L; var cutHb = 0L; var rankIn = 0L
+    var i = 0
+    while (i < hh.length && rankIn == 0L) {
+      val c = hh(i).getLong(1)
+      if (cum + c >= target) { cutHb = hh(i).getLong(0); rankIn = target - cum }
+      cum += c; i += 1
+    }
+    val hourW = Window.partitionBy(expr("tsec div 3600"))
+      .orderBy(col("tsec"), col("event_id"))
+    val tCut = ev.filter(expr(s"tsec div 3600 = $cutHb"))
+      .withColumn("rn", row_number().over(hourW))
+      .filter(col("rn") === rankIn)
+      .select("tsec").head.getLong(0)
+    ev.select(col("event_type"),
+        when(col("tsec") <= tCut, "train")
+          .when(col("tsec") > tCut + embargoSec, "test").as("split"))
+      .filter(col("split").isNotNull)
+      .groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   def pointInTimeFeatures(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("tsec"), col("event_id"))
     val rw = Window.partitionBy("user_id").orderBy(col("tsec"))

@@ -899,6 +899,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped === 1L, s"expected exactly the one late row dropped, got $dropped")
   }
 
+  test("native session_window equals the hand-rolled 30-min gap " +
+    "sessionization on per-user session and event counts") {
+    val ev = OccurrenceView.events(spark, Dir)
+    val got = ev
+      .groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes"))
+      .agg(count(lit(1)).as("ne"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("ne").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.SparkEntry.queries("q25_sessionize")(spark, Dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // boundary caveat: session_window's window is [t, t+gap) — an event at
+    // EXACTLY t+gap opens a new session, while q25's `gap > 1800` keeps it;
+    // equality here proves the testdata has no exact-boundary gap AND the
+    // two formulations agree everywhere else
+    assert(got === want)
+  }
+
   test("dropDuplicatesWithinWatermark: in-window duplicates collapse, a " +
     "duplicate beyond the watermark delay re-emits (bounded dedup state)") {
     import java.nio.file.Files
