@@ -1097,6 +1097,29 @@ object SparkEntry {
     "q142_temporal_split" -> ((s, dir) =>
       graft.operators.EventAnalytics.temporalEmbargoSplit(events(s, dir), 3600L)),
 
+    // CAPSTONE composition — the full curation pipeline in one gate:
+    // quality floor (≥5 tokens) → near-dup cluster canonicals (q47/q66)
+    // → benchmark decontamination vs src0 (q67, zero shared 5-grams) →
+    // 80/10/10 split — per-split doc and token totals, every stage an
+    // already-verified operator
+    "q143_curation_pipeline" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val nTok = size(graft.operators.Corpus.tokens(col("text")))
+      val canonical = Dedup.duplicateClusters(docs, 0.5)
+        .filter(col("cluster_id") === col("doc_id")).select("doc_id")
+      val clean = graft.operators.Corpus.decontaminate(docs, "src0", 5, 0.5)
+        .filter(col("n_shared") === 0).select("doc_id")
+      val b = graft.operators.Corpus.lcg(col("doc_id")) % 100
+      docs.filter(nTok >= 5)
+        .join(canonical, Seq("doc_id"), "left_semi")
+        .join(clean, Seq("doc_id"), "left_semi")
+        .withColumn("split",
+          when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+        .withColumn("n_tokens", nTok.cast("long"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
     // Skew remedy q125 prescribes: salted shuffle-hash join — the "0:0"
     // ALL view (in EVERY record) is the deliberate hot key; 16 salts
     // spread its probe work while staying row-identical to the plain join
@@ -3026,7 +3049,31 @@ sp AS (SELECT e.event_type,
          WHEN e.tsec > t.tcut + 3600 THEN 'test' END AS split
   FROM ev e CROSS JOIN t)
 SELECT split, event_type, count(*) AS n
-FROM sp WHERE split IS NOT NULL GROUP BY 1, 2"""
+FROM sp WHERE split IS NOT NULL GROUP BY 1, 2""",
+
+    "q143_curation_pipeline" -> (ClustersSql + """,
+tkc AS (SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+g AS (SELECT doc_id, source,
+  list_distinct([array_to_string(toks[i:i+4], ' ')
+                 for i in range(1, len(toks) - 3)]) AS grams FROM tkc),
+evg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'),
+shd AS (SELECT doc_id, count(*) AS n_shared
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE source <> 'src0') cg
+  WHERE gram IN (SELECT gram FROM evg) GROUP BY doc_id),
+keep AS (SELECT t.doc_id, t.n_tokens,
+    CASE WHEN (t.doc_id * 1103515245 + 12345) % 2147483648 % 100 < 80 THEN 'train'
+         WHEN (t.doc_id * 1103515245 + 12345) % 2147483648 % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM tkc t JOIN lbl l ON t.doc_id = l.doc_id AND l.cluster_id = t.doc_id
+  WHERE t.source <> 'src0' AND t.n_tokens >= 5
+    AND t.doc_id NOT IN (SELECT doc_id FROM shd))
+SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM keep GROUP BY split""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the
