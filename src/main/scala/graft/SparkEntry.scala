@@ -1097,6 +1097,11 @@ object SparkEntry {
     "q142_temporal_split" -> ((s, dir) =>
       graft.operators.EventAnalytics.temporalEmbargoSplit(events(s, dir), 3600L)),
 
+    // Graph-embedding prep: deterministic 4-hop walks over the near-dup
+    // graph (hash-argmin neighbor choice), one sentence per start node
+    "q144_random_walks" -> ((s, dir) =>
+      Dedup.randomWalks(documents(s, dir), 0.5, 4)),
+
     // CAPSTONE composition — the full curation pipeline in one gate:
     // quality floor (≥5 tokens) → near-dup cluster canonicals (q47/q66)
     // → benchmark decontamination vs src0 (q67, zero shared 5-grams) →
@@ -3073,7 +3078,21 @@ keep AS (SELECT t.doc_id, t.n_tokens,
   WHERE t.source <> 'src0' AND t.n_tokens >= 5
     AND t.doc_id NOT IN (SELECT doc_id FROM shd))
 SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-FROM keep GROUP BY split""")
+FROM keep GROUP BY split"""),
+
+    "q144_random_walks" -> (EdgesSql + """,
+wsym AS (SELECT doc_a AS src, doc_b AS dst FROM ed0
+  UNION ALL SELECT doc_b, doc_a FROM ed0),
+""" + (1 to 4).map(s =>
+      s"""wn$s AS (SELECT src, min(((dst * 1299721 + ${s * 7}) % 2147483647)
+    * 4294967296 + dst) % 4294967296 AS nx FROM wsym GROUP BY src)""")
+      .mkString(",\n") + """,
+w0 AS (SELECT DISTINCT src AS start, src AS cur, CAST(src AS VARCHAR) AS seq FROM wsym)""" +
+      (1 to 4).map(s => s""",
+w$s AS (SELECT w.start, coalesce(n.nx, w.cur) AS cur,
+    w.seq || ',' || CAST(coalesce(n.nx, w.cur) AS VARCHAR) AS seq
+  FROM w${s - 1} w LEFT JOIN wn$s n ON w.cur = n.src)""").mkString + """
+SELECT start, cur AS "end", seq FROM w4""")
   )
 
   /** Shared PQ CTE: per-(vector, subspace, centroid) squared L2 over the

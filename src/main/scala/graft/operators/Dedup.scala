@@ -526,6 +526,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), sum("ex_micro").as("sum_ex_micro"))
   }
 
+  /** Deterministic node2vec-style walks over the near-dup graph: one walk
+    * per node, `steps` hops, each hop moving to the neighbor that
+    * minimizes the hash ((dst·1299721 + step·7) mod M) — a reproducible
+    * stand-in for the uniform neighbor draw, with the packed
+    * (hash·2³² + dst) argmin making ties exact in any engine. Emits the
+    * comma-joined node sequences — the "sentences" skip-gram graph
+    * embeddings (DeepWalk/node2vec) train on; downstream they feed q97's
+    * PMI/skip-gram machinery unchanged.
+    *
+    * Scale shape: each hop is ONE keyed join against the per-step argmin
+    * table (itself a keyed aggregate of the arc list); `steps` is a small
+    * constant, so the lineage is a fixed chain of equi-joins — no
+    * iteration-to-convergence, no window, walks never collected.
+    */
+  def randomWalks(docs: DataFrame, minEst: Double, steps: Int): DataFrame = {
+    val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint() // the arc list feeds every hop's argmin
+    var walks = sym.select(col("src")).distinct()
+      .select(col("src").as("start"), col("src").as("cur"),
+        col("src").cast("string").as("seq"))
+    for (step <- 1 to steps) {
+      val nx = sym
+        .groupBy("src")
+        .agg(min(((col("dst") * 1299721L + lit(step) * 7L) % M)
+          * 4294967296L + col("dst")).as("pk"))
+        .select(col("src").as("nsrc"), (col("pk") % 4294967296L).as("nx"))
+      walks = walks.join(nx, walks("cur") === nx("nsrc"), "left")
+        .select(col("start"),
+          coalesce(col("nx"), col("cur")).as("cur"),
+          concat(col("seq"), lit(","),
+            coalesce(col("nx"), col("cur")).cast("string")).as("seq"))
+    }
+    walks.select(col("start"), col("cur").as("end"), col("seq"))
+  }
+
   /** Cross-source duplicate-flow matrix: near-dup pair counts per
     * unordered (source_a, source_b) cell with the exact sum of signature
     * agreements — the provenance report showing which sources copy from
