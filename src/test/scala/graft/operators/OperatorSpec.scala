@@ -899,6 +899,40 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dropped === 1L, s"expected exactly the one late row dropped, got $dropped")
   }
 
+  test("streaming IVF cell-index maintenance equals the batch cell stats " +
+    "(state bounded by the IvfK codebook cells)") {
+    import java.nio.file.Files
+    val emb = OccurrenceView.embeddings(spark, Dir)
+    val cents = Similarity.ivfCentroids(emb)
+    val tmp = Files.createTempDirectory("ivfstream")
+    // two micro-batches split by id parity — the index must merge across
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(tmp.resolve("b1").toString).schema
+    val raw = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(tmp.toString + "/*/")
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cell", Similarity.ivfCellCol(spark, cents))
+      .withColumn("c0",
+        round(expr("element_at(embedding, 1)").cast("double") * 1e6, 0).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum("c0").as("sum_c0_micro"))
+    val q = stats(raw).writeStream.format("memory").queryName("ivf_idx")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("ivf_idx").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = stats(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.size <= Similarity.IvfK,
+      "index state must stay bounded by the codebook size")
+  }
+
   test("native session_window equals the hand-rolled 30-min gap " +
     "sessionization on per-user session and event counts") {
     val ev = OccurrenceView.events(spark, Dir)
