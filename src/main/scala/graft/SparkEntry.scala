@@ -444,6 +444,27 @@ object SparkEntry {
       MapBuild.incrementalPyramid(state, stored, delta, "EPSG:4326", 0, 6)
     }),
 
+    // q111 with a DELTA-PROPORTIONAL STATE SCAN: the stored state lives on
+    // disk partitioned by coarse cell (MapBuild.writePrunedState) and the
+    // ingest reads it through a partition filter — clean cells' files are
+    // never opened (round-6 audit's one scale caveat on q111). Same
+    // full-rebuild oracle; SinkSpec additionally asserts the pruned read's
+    // inputFiles stay inside the dirty coarse cells.
+    "q145_pruned_pyramid" -> ((s, dir) => {
+      val s2 = MapBuild.noCoalesceSession(s)
+      val o = occ(s2, dir)
+      val base = o.filter(col("l_orderkey") % 10 =!= 0)
+      val delta = o.filter(col("l_orderkey") % 10 === 0)
+      val state = MapBuild.pyramidState(base, "EPSG:4326", 6)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-prunedstate").toString
+      MapBuild.writePrunedState(state, store, 6, 2)
+      val stored = MapBuild.pyramidFromState(state, 0, 6)
+      MapBuild.incrementalPyramidPruned(s2, store, stored, delta,
+        "EPSG:4326", 0, 6, 2)
+    }),
+
     // F8/A7: buffered tile-containment filter with dateline wrap, tile-local coords
     "q46_points_in_tile" -> ((s, dir) => {
       val pix = TileServe.renderPixels(rawPointsAll(s, dir), "EPSG:4326", 6)
@@ -1702,6 +1723,7 @@ SELECT map_key, px // 512 AS tx, py // 512 AS ty, px % 512 AS lpx, py % 512 AS l
 FROM z6"""),
 
     "q45_pyramid" -> PyramidSql,
+    "q145_pruned_pyramid" -> PyramidSql,
 
     // incremental maintenance must reproduce the full rebuild exactly —
     // same oracle as q45 (base+delta = the whole corpus)

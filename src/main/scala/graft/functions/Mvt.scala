@@ -236,17 +236,35 @@ object Mvt {
             case 3 => val r = layer.sub()
               keys += new String(bytes, r.pos, r.end - r.pos, "UTF-8")
             case 4 => val vr = layer.sub()
+              // Accept every integer encoding of the MVT `Value` message, not
+              // just our own encoder's int_value: no.ecc.vectortile (the
+              // ecosystem encoder the reference uses, and what produced the
+              // golden tiles under common/src/test/resources/tiles/) writes
+              // Integer/Long attributes as sint_value (field 6, zigzag).
               var v = 0L
-              while (vr.hasMore) { val vt = vr.varint(); if ((vt >> 3).toInt == 4) v = vr.varint() else vr.skip(vt) }
+              while (vr.hasMore) {
+                val vt = vr.varint()
+                (vt >> 3).toInt match {
+                  case 4 => v = vr.varint()          // int_value
+                  case 5 => v = vr.varint()          // uint_value
+                  case 6 => val z = vr.varint()      // sint_value (zigzag64)
+                    v = (z >>> 1) ^ -(z & 1)
+                  case _ => vr.skip(vt)
+                }
+              }
               values += v
             case _ => layer.skip(lt)
           }
         }
         // per-layer key table parsed once: year int, or -1 for "total"
+        // -1 = "total", -2 = foreign non-year attribute key (dropped; real
+        // tiles from other producers may carry attrs beyond the year table)
         val keyYear = new Array[Int](keys.length)
         var ki = 0
         while (ki < keys.length) {
-          keyYear(ki) = if (keys(ki) == "total") -1 else keys(ki).toInt
+          keyYear(ki) =
+            if (keys(ki) == "total") -1
+            else try keys(ki).toInt catch { case _: NumberFormatException => -2 }
           ki += 1
         }
         feats.foreach { case (tags, ntags, x, y) =>
@@ -255,7 +273,7 @@ object Mvt {
           var p = 0
           while (p + 1 < ntags) {
             val yk = keyYear(tags(p).toInt); val v = values(tags(p + 1).toInt)
-            if (yk == -1) total = v else years += (yk -> v)
+            if (yk == -1) total = v else if (yk >= 0) years += (yk -> v)
             p += 2
           }
           out += DecodedFeature(name, x, y, years.result(), total)

@@ -153,8 +153,12 @@ object Corpus {
     *
     * Scale shape: two aggregations over the exploded words (both keyed, both
     * partially aggregated map-side), a broadcast of the corpus size scalar,
-    * and a top-k window partitioned by source. The df table is |vocab|-sized
-    * — the join keeps (source, word) keyed so AQE can pick the join side.
+    * and a top-k via BOUNDED aggregation state ([[TopKTermsAgg]], the KmvAgg
+    * pattern over (score, term) structs) — never a window partitioned by
+    * source alone, which would sort a whole source's vocabulary in one task
+    * (the suite-wide PlanSpec guard caught the old window formulation). The
+    * df table is |vocab|-sized — the join keeps (source, word) keyed so AQE
+    * can pick the join side.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val base = docs.withColumn("toks", tokens(col("text")))
@@ -168,11 +172,43 @@ object Corpus {
     val scored = tf.join(df_, Seq("w")).crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
-    val w6 = Window.partitionBy("source")
-      .orderBy(col("score").desc, col("w").asc)
-    scored.withColumn("rn", row_number().over(w6))
-      .filter(col("rn") <= k)
-      .select("source", "w", "tf", "df", "score", "rn")
+    val topk = udaf(new TopKTermsAgg(k),
+      org.apache.spark.sql.Encoders.product[(Double, String, Long, Long)])
+    scored.groupBy("source")
+      .agg(topk(col("score"), col("w"), col("tf"), col("df")).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("source"), col("t._2").as("w"), col("t._3").as("tf"),
+        col("t._4").as("df"), col("t._1").as("score"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** Bounded per-group top-k as MERGEABLE aggregation state — the window-
+    * free grouped top-k for keys that don't pack into a long (the q127/
+    * groupedTopK trick): each partial holds at most k (score, term, tf, df)
+    * entries ordered (score desc, term asc), merges keep the best k, so a
+    * group of any size costs k state and no per-group sort. Determinism:
+    * (score, term) is unique within a group (term is), so the order has no
+    * ties to break arbitrarily.
+    */
+  class TopKTermsAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, String, Long, Long),
+      Seq[(Double, String, Long, Long)],
+      Seq[(Double, String, Long, Long)]] {
+    private val ord =
+      Ordering.by[(Double, String, Long, Long), (Double, String)](t => (-t._1, t._2))
+    def zero: Seq[(Double, String, Long, Long)] = Nil
+    def reduce(buf: Seq[(Double, String, Long, Long)],
+        a: (Double, String, Long, Long)): Seq[(Double, String, Long, Long)] =
+      if (buf.length >= k && ord.lteq(buf.last, a)) buf
+      else (a +: buf).sorted(ord).take(k)
+    def merge(a: Seq[(Double, String, Long, Long)],
+        b: Seq[(Double, String, Long, Long)]): Seq[(Double, String, Long, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    def finish(buf: Seq[(Double, String, Long, Long)]): Seq[(Double, String, Long, Long)] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, String, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, String, Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
   /** BM25 retrieval: top-`k` documents for a bag-of-terms query, Robertson
@@ -873,14 +909,19 @@ object Corpus {
     docs.withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          s"filter(sequence(0, size(toks) - 2), i -> " +
-          s"element_at(toks, i + 1) = '$w1' AND element_at(toks, i + 2) = '$w2')"))
+        // Column-API lambda, not an interpolated SQL string: phrase words
+        // are data, and a quote inside one must stay a literal, never
+        // become expression text.
+        explode(filter(sequence(lit(0), size(col("toks")) - 2),
+          i => element_at(col("toks"), i + lit(1)) === lit(w1) &&
+               element_at(col("toks"), i + lit(2)) === lit(w2)))
           .as("pos"))
       .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"))
 
   def exportShards(docs: DataFrame, nShards: Int): DataFrame = {
-    val fp = udf { (t: String) => Dedup.cpFold(t, 4294967296L) }
+    // null text fingerprints as 0 instead of NPEing, matching the other
+    // text-hash paths (minhashSigUdf / tokens are null-safe)
+    val fp = udf { (t: String) => if (t == null) 0L else Dedup.cpFold(t, 4294967296L) }
     docs
       .withColumn("shard", (lcg(col("doc_id")) % nShards).cast("int"))
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))

@@ -101,7 +101,11 @@ object DataQuality {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, s: Int,
       factSalt: Column): DataFrame = {
-    val sf = fact.withColumn("__salt", pmod(factSalt, lit(s)).cast("int"))
+    // null-safe: a null factSalt expression must not silently drop the
+    // fact row through the inner join (the row-identical contract); null
+    // salts land deterministically on replica 0
+    val sf = fact.withColumn("__salt",
+      coalesce(pmod(factSalt, lit(s)), lit(0)).cast("int"))
     val sd = dim.withColumn("__salt",
       explode(array((0 until s).map(lit): _*)))
     sf.hint("shuffle_hash")

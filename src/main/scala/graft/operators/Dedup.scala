@@ -619,21 +619,7 @@ object Dedup {
     // corpus-sized, and the 5× recompute would repeat the band join
     val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // measured negative result (don't re-try): DEGREE-ordered orientation
-    // (Chiba–Nishizeki — orient each edge lower→higher (deg, id) so every
-    // node's out-degree caps at O(√m) and wedge work at O(m^1.5)) ran
-    // 19.4 s vs 13.8 s for this ID-ordered enumeration at sf0.1. The
-    // hot-bucket cap already bounds candidate density, and THIS corpus's
-    // near-dup graph is uniformly dense (628k edges / 5k docs — degrees
-    // near-equal), so the orientation's two extra deg joins + persist buy
-    // nothing. On a hub-skewed graph (bounded cliques + star templates)
-    // the orientation wins asymptotically — re-measure before porting this
-    // operator to a corpus whose skewProfile (q125) shows a hot tail.
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
-      .join(e.as("e3"),
-        col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
-      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"), col("e2.doc_b").as("c"))
+    val tri = triangles(e)
     val perNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
@@ -644,6 +630,88 @@ object Dedup {
       .withColumn("clust_micro",
         expr("CASE WHEN deg >= 2 THEN n_tri * 2000000 div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
       .select("doc_id", "n_tri", "deg", "clust_micro")
+  }
+
+  /** Triangle list (one row per triangle, columns a/b/c) over a canonical
+    * `doc_a < doc_b` edge list, with the enumeration ORIENTATION
+    * SKEW-DISPATCHED — the q125 diagnostic applied to the graph's own
+    * degree distribution instead of a fixed choice:
+    *
+    *  - `"id"`: orient by doc id — two self-joins, no degree pass. Wedge
+    *    work is Σ outdeg(v)², fine when degrees are near-uniform: on the
+    *    LSH near-dup graph (628k edges / 5k docs, degrees near-equal)
+    *    this MEASURED 13.8 s vs 19.4 s for degree-ordering at sf0.1
+    *    (round 5) — the orientation's two extra joins bought nothing.
+    *  - `"degree"`: Chiba–Nishizeki — orient each edge lower→higher
+    *    (deg, id), capping every out-degree at O(√m) and total wedge work
+    *    at O(m^1.5). Wins exactly where "id" collapses: id-ordered wedge
+    *    work at a node is (#smaller-id neighbors × #larger-id neighbors),
+    *    so a mid-id hub of degree h costs ~(h/2)² wedges through one
+    *    node. MEASURED (plans.TriangleLab, star hub + 400 disjoint
+    *    5-cliques, local[32]): 6000 spokes → id 1.23 s vs degree 0.54 s;
+    *    20000 spokes → id 9.72 s vs degree 0.79 s — the 12× gap is the
+    *    (h/2)² hub-wedge count and keeps growing quadratically.
+    *  - `"auto"` (default): degree-ordered iff max_deg > 4·√m. Rationale:
+    *    out-degrees are ≤ the graph degeneracy ≤ √(2m) under
+    *    degree-ordering, so a node whose degree is far past √m RISKS
+    *    quadratic fan-out under id order (it pays only if the hub's id
+    *    lands mid-range among its neighbors — an extreme-id hub costs
+    *    nothing, but the dispatch can't see id layout, so it buys the
+    *    guaranteed O(m^1.5) bound); 4× keeps uniform-degree graphs
+    *    (max ≈ mean) on the cheaper plan. One bounded driver collect (a
+    *    single 2-long row).
+    *
+    * Each triangle appears exactly once under either orientation (both
+    * are strict total orders on the vertices of the triangle).
+    */
+  /** The `"auto"` dispatch decision of [[triangles]], exposed so the
+    * fixture tests pin the rule itself. */
+  def triangleOrientation(e: DataFrame): String = {
+    val r = e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      .agg(max("deg").as("max_deg"), (sum("deg") / 2).cast("long").as("m"))
+      .collect()(0)
+    val (maxDeg, m) = (r.getLong(0), r.getLong(1))
+    if (maxDeg > 4 * math.sqrt(m.toDouble)) "degree" else "id"
+  }
+
+  def triangles(e: DataFrame, orientation: String = "auto"): DataFrame = {
+    val mode =
+      if (orientation == "auto") triangleOrientation(e) else orientation
+    if (mode == "id") {
+      e.as("e1")
+        .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .join(e.as("e3"),
+          col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+        .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+          col("e2.doc_b").as("c"))
+    } else {
+      // orient lower→higher (deg, id); `dk` (the head's key) rides along so
+      // the wedge join can order its two legs without re-joining degrees
+      val deg = e.select(col("doc_a").as("doc_id"))
+        .unionByName(e.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      val ed = e
+        .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("da")), "doc_a")
+        .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("db")), "doc_b")
+      // uniform field names: the two CASE branches must be the same struct type
+      val ka = struct(col("da").as("d"), col("doc_a").as("v"))
+      val kb = struct(col("db").as("d"), col("doc_b").as("v"))
+      val o = ed.select(
+          when(ka < kb, col("doc_a")).otherwise(col("doc_b")).as("src"),
+          when(ka < kb, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+          when(ka < kb, kb).otherwise(ka).as("dk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      o.as("w1")
+        .join(o.as("w2"),
+          col("w1.src") === col("w2.src") && col("w1.dk") < col("w2.dk"))
+        .join(o.as("cl"),
+          col("w1.dst") === col("cl.src") && col("w2.dst") === col("cl.dst"),
+          "left_semi")
+        .select(col("w1.src").as("a"), col("w1.dst").as("b"),
+          col("w2.dst").as("c"))
+    }
   }
 
   // ------------------------------------------------------------ winnowing

@@ -209,6 +209,11 @@ object EventAnalytics {
       .agg(count(lit(1)).as("c"))
       .collect().sortBy(_.getLong(0))
     val total = hh.map(_.getLong(1)).sum
+    // empty source: no cut exists; return the (empty) grouped result frame
+    // instead of NoSuchElementException-ing on the head below
+    if (total == 0L)
+      return ev.select(col("event_type"), lit("train").as("split"))
+        .groupBy("split", "event_type").agg(count(lit(1)).as("n"))
     val target = math.ceil(0.8 * total).toLong
     var cum = 0L; var cutHb = 0L; var rankIn = 0L
     var i = 0

@@ -543,4 +543,123 @@ object MapBuild {
       .select("map_key", "tx", "ty", "n_pixels", "total", "z")
       .unionByName(recomputed)
   }
+
+  /** Coarse-cell partition value of a maxZoom-grain pixel: the zoom-`zc`
+    * tile cell containing it, encoded `(cx << zc) | cy`. Spatial only (no
+    * map_key) so the layout stays ≤ 4^zc directories.
+    */
+  private def coarseCell(px: Column, py: Column, maxZoom: Int, zc: Int): Column = {
+    val shiftC = TileShift + (maxZoom - zc)
+    (shiftright(px, shiftC) * lit(1L << zc) + shiftright(py, shiftC)).cast("int")
+  }
+
+  /** Persist a [[pyramidState]] table in the layout [[incrementalPyramidPruned]]
+    * prunes against: the full-resolution state partitioned by coarse cell
+    * `pt` (zoom-`zc` tile of each pixel — directory-level partition
+    * pruning skips every clean cell's files on the next ingest), plus the
+    * zc-grain rollup as a side table (4^(maxZoom−zc)× smaller; at zc=2,
+    * maxZoom=6 that is a 256× reduction) from which the few coarse levels
+    * (z < zc) recompute without touching the full state.
+    */
+  def writePrunedState(state: DataFrame, path: String, maxZoom: Int, zc: Int): Unit = {
+    state
+      .withColumn("pt", coarseCell(col("px"), col("py"), maxZoom, zc))
+      .write.mode("overwrite").partitionBy("pt").parquet(s"$path/fine")
+    sumAgg(state.select(
+        col("map_key"),
+        shiftright(col("px"), maxZoom - zc).as("px"),
+        shiftright(col("py"), maxZoom - zc).as("py"),
+        col("total")),
+      Seq("map_key", "px", "py"), Seq("total"))
+      .write.mode("overwrite").parquet(s"$path/coarse")
+  }
+
+  /** [[incrementalPyramid]] with a DELTA-PROPORTIONAL STATE SCAN: the
+    * stored state is read through partition pruning instead of scanned
+    * whole per ingest (the round-6 audit's one scale caveat on q111 — the
+    * shuffle volume was already delta-proportional, the scan was
+    * state-proportional).
+    *
+    * Mechanics on top of [[incrementalPyramid]]'s:
+    *  - the full-resolution state (written by [[writePrunedState]],
+    *    partitioned by zoom-`zc` coarse cell) is read with
+    *    `pt IN (delta's coarse footprint)` — a partition filter, so clean
+    *    cells' files are never opened. Correct for every level z ≥ zc: a
+    *    dirty z-tile lies inside one zc-cell, and that cell contains the
+    *    delta pixel that dirtied it, so all pixels a dirty-tile recompute
+    *    needs live in dirty cells.
+    *  - levels z < zc (dirty tiles there span clean cells too — a dirty
+    *    z0 tile is the world) recompute from the stored zc-grain rollup
+    *    instead: 4^(maxZoom−zc)× smaller than the state, maintained by the
+    *    same keyed addition, and pixel occupancy is monotone under
+    *    coarsening so n_pixels/total at z < zc derive from zc grain
+    *    exactly.
+    *  - the delta's coarse footprint is a bounded driver collect (≤ 4^zc
+    *    values — it parameterizes the partition filter, same watch-list
+    *    class as the dictionary/codebook collects).
+    *
+    * Total read per ingest: dirty-cell files + the coarse side table —
+    * O(delta footprint + state/4^(maxZoom−zc)) instead of O(state). At
+    * 100 TB you size zc so the coarse table is a rounding error (or chain
+    * a second coarse level).
+    */
+  def incrementalPyramidPruned(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, pyramid: DataFrame, deltaOcc: DataFrame,
+      epsg: String, minZoom: Int, maxZoom: Int, zc: Int): DataFrame = {
+    require(minZoom <= zc && zc <= maxZoom, s"need minZoom <= zc <= maxZoom, got $minZoom/$zc/$maxZoom")
+    val deltaTop = topLevel(deltaOcc, epsg, maxZoom)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zs = array((minZoom to maxZoom).map(lit): _*)
+    val dirty = deltaTop
+      .withColumn("z", explode(zs))
+      .select(col("map_key"), col("z"),
+        expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
+        expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
+      .distinct()
+    val dirtyPts = deltaTop
+      .select(coarseCell(col("px"), col("py"), maxZoom, zc).as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ 4^zc values
+
+    def tileStats(pixels: DataFrame, grainZoom: Int, zLo: Int, zHi: Int): DataFrame =
+      pixels
+        .withColumn("z", explode(array((zLo to zHi).map(lit): _*)))
+        .withColumn("tx", expr(s"shiftright(px, $grainZoom - z + $TileShift)"))
+        .withColumn("ty", expr(s"shiftright(py, $grainZoom - z + $TileShift)"))
+        .join(broadcast(dirty), Seq("map_key", "z", "tx", "ty"), "left_semi")
+        .groupBy(col("map_key"), col("z"), col("tx"), col("ty"),
+          expr(s"shiftright(px, $grainZoom - z)").as("px"),
+          expr(s"shiftright(py, $grainZoom - z)").as("py"))
+        .agg(sum("total").as("total"))
+        .groupBy("map_key", "z", "tx", "ty")
+        .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
+        .select("map_key", "tx", "ty", "n_pixels", "total", "z")
+
+    // fine levels (z >= zc): pruned state read — the partition filter is
+    // the whole point; keep it a direct filter on the partition column
+    val fine = spark.read.parquet(s"$statePath/fine")
+      .filter(col("pt").isin(dirtyPts: _*))
+      .select("map_key", "px", "py", "total")
+    val mergedFine = sumAgg(fine.unionByName(deltaTop),
+      Seq("map_key", "px", "py"), Seq("total"))
+    val recomputedFine = tileStats(mergedFine, maxZoom, zc, maxZoom)
+
+    // coarse levels (z < zc): from the small zc-grain side table
+    val recomputed =
+      if (minZoom >= zc) recomputedFine
+      else {
+        val deltaCoarse = sumAgg(deltaTop.select(
+            col("map_key"),
+            shiftright(col("px"), maxZoom - zc).as("px"),
+            shiftright(col("py"), maxZoom - zc).as("py"),
+            col("total")),
+          Seq("map_key", "px", "py"), Seq("total"))
+        val mergedCoarse = sumAgg(
+          spark.read.parquet(s"$statePath/coarse").unionByName(deltaCoarse),
+          Seq("map_key", "px", "py"), Seq("total"))
+        recomputedFine.unionByName(tileStats(mergedCoarse, zc, minZoom, zc - 1))
+      }
+    pyramid.join(broadcast(dirty), Seq("map_key", "z", "tx", "ty"), "left_anti")
+      .select("map_key", "tx", "ty", "n_pixels", "total", "z")
+      .unionByName(recomputed)
+  }
 }

@@ -70,6 +70,30 @@ object EventStream {
       .agg(count(lit(1)).as("occ_count"))
   }
 
+  /** Multi-zoom tile serving OFF the streaming pixel state — the streaming
+    * analog of the q111/q145 incremental pyramid: the streaming aggregation
+    * ([[incrementalPixelCounts]] at the max serving zoom) keeps the pixel
+    * state continuously current, and each serve derives EVERY requested
+    * zoom from that state with the same rollup the batch pyramid uses
+    * (MapBuild.pyramidFromState) — so a tile pyramid served mid-stream
+    * equals the batch `pyramid()` over exactly the prefix ingested so far
+    * (OperatorSpec pins that equality at two successive micro-batches).
+    *
+    * The split of labor is the scale design: the state store holds only the
+    * z-grain pixel aggregate (bounded 4^z × #views × #bor-years — the
+    * [[incrementalPixelCounts]] bound), while the ×levels fan-out and
+    * per-level re-aggregation run OUTSIDE the streaming query on the
+    * served snapshot, where Catalyst plans them exactly as the batch path
+    * (a multi-level rollup inside one streaming query would need chained
+    * streaming aggregations, which complete-mode serving neither allows
+    * nor needs).
+    */
+  def pyramidServe(pixelState: DataFrame, minZoom: Int, maxZoom: Int): DataFrame =
+    graft.operators.MapBuild.pyramidFromState(
+      pixelState.groupBy("map_key", "px", "py")
+        .agg(sum("occ_count").as("total")),
+      minZoom, maxZoom)
+
   /** Incremental LSH band-bucket index: streaming aggregation over document
     * appends keeps per-(band, bh) bucket sizes and the bucket's minimum
     * doc id continuously current — the ingest-time half of near-dup

@@ -88,4 +88,92 @@ class MvtSpec extends AnyFunSuite {
       assert(decoded.size === fs.map(f => (f.x, f.y, f.borId)).distinct.size)
     }
   }
+
+  // ------------------------------------------------------- golden fixtures
+  // Wire-format interop proof: the reference ships REAL production tiles
+  // (common/src/test/resources/tiles/*.mvt, captured from the live density
+  // API and a raw store export — see the readme there) encoded by the
+  // ecosystem encoder (no.ecc.vectortile). Decoding them with OUR hand-rolled
+  // reader and reproducing the reference's own invariants
+  // (AggregationsTest.java:35-93, YearFilteringTest.java:37-88) proves the
+  // codec is wire-compatible, not merely self-consistent.
+
+  private val FixtureDir = "/root/reference/common/src/test/resources/tiles"
+  private def fixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(FixtureDir, name))
+  private val TileSize = 512 // GBIF tile size of the captured tiles
+
+  test("golden: all six production fixtures decode; API tiles carry the " +
+    "merged 'occurrence' layer, the raw store export the " +
+    "layer-per-basisOfRecord layout (VectorTiles.java:38-82)") {
+    for (n <- Seq("3_8_2.mvt", "4_16_4.mvt", "4_16_5.mvt", "4_17_4.mvt",
+                  "4_17_5.mvt")) {
+      val fs = Mvt.decodeTile(fixture(n))
+      assert(fs.nonEmpty, s"$n decoded to zero features")
+      assert(fs.map(_.layer).distinct === Seq("occurrence"), s"$n layers")
+      // sint_value decode sanity: a zigzag misread would halve/negate counts
+      assert(fs.forall(_.total >= 0), s"$n has negative totals")
+      assert(fs.map(_.total).sum > 0, s"$n all-zero totals (value-type misread)")
+    }
+    val raw = Mvt.decodeTile(fixture("publishingCountry-FR-3-8-2.mvt"))
+    assert(raw.map(_.layer).distinct.sorted === Seq("FOSSIL_SPECIMEN",
+      "HUMAN_OBSERVATION", "LIVING_SPECIMEN", "MATERIAL_SAMPLE", "OBSERVATION",
+      "PRESERVED_SPECIMEN", "UNKNOWN"), "raw export layer-per-bor layout")
+    // store-grain tiles have per-year attrs only — the "total" attribute is
+    // added by the serving filter pass, exactly as in the reference
+    assert(raw.forall(_.total === 0L), "raw export should carry no 'total'")
+    assert(raw.map(_.yearCounts.values.sum).sum > 0, "raw export year counts")
+  }
+
+  test("golden: parent z3 tile total equals the sum of its z4 children " +
+    "(AggregationsTest.testTotalAggregation)") {
+    // buffer-region features (coords outside [0, tileSize)) are excluded,
+    // exactly as the reference's TotalFromTile does
+    def total(name: String): Long =
+      Mvt.decodeTile(fixture(name))
+        .filter(f => f.x >= 0 && f.y >= 0 && f.x < TileSize && f.y < TileSize)
+        .map(_.total).sum
+    val parent = total("3_8_2.mvt")
+    val children = total("4_16_4.mvt") + total("4_16_5.mvt") +
+      total("4_17_4.mvt") + total("4_17_5.mvt")
+    assert(parent > 0)
+    assert(parent === children)
+  }
+
+  test("golden: verbose year-sum equals total on every API fixture " +
+    "(AggregationsTest.testTotalVerbose)") {
+    // the raw store export carries no "total" attr (see the layout test),
+    // so the invariant applies to the five served tiles
+    for (n <- Seq("3_8_2.mvt", "4_16_4.mvt", "4_16_5.mvt", "4_17_4.mvt",
+                  "4_17_5.mvt")) {
+      val fs = Mvt.decodeTile(fixture(n))
+      val yearSum = fs.iterator.map(_.yearCounts.values.sum).sum
+      val total = fs.iterator.map(_.total).sum
+      assert(total > 0, s"$n zero total")
+      assert(yearSum === total, s"$n year-sum $yearSum != total $total")
+    }
+  }
+
+  test("golden: year filter through OUR encoder equals the verbose slice " +
+    "(YearFilteringTest.testSingleYearFilter analog)") {
+    // Decode the raw store export, re-encode ONLY year 2018 with our encoder,
+    // decode again: filtered feature count and total must equal the 2018
+    // slice of the unfiltered verbose tile.
+    val raw = Mvt.decodeTile(fixture("publishingCountry-FR-3-8-2.mvt"))
+    val unfiltered2018 = raw.filter(_.yearCounts.contains(2018))
+    val wantFeatures = unfiltered2018.size.toLong
+    val wantTotal = unfiltered2018.map(_.yearCounts(2018)).sum
+    assert(wantFeatures > 0 && wantTotal > 0)
+
+    // layer separation must survive the re-encode: the raw export has one
+    // feature per (basisOfRecord layer, x, y), and distinct layers can
+    // share a pixel — collapsing them to one borId would merge features
+    val borOf = raw.map(_.layer).distinct.sorted.zipWithIndex.toMap
+    val refiltered = raw.flatMap { f =>
+      f.yearCounts.get(2018).map(c => PixelFeature(f.x, f.y, borOf(f.layer), 2018, c))
+    }
+    val out = Mvt.decodeTile(Mvt.encodeTile(refiltered, TileSize))
+    assert(out.size.toLong === wantFeatures)
+    assert(out.map(_.total).sum === wantTotal)
+  }
 }

@@ -679,6 +679,22 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((0L, 0L), (0L, 2L), (1L, 1L)))
   }
 
+  test("spanPositions: phrase words containing quotes are literals, not " +
+    "expression text") {
+    // a single quote (and other expr metacharacters) in a phrase word must
+    // neither throw a parse error nor match anything it shouldn't
+    val docs = docsDf(
+      (0L, "it's a test", "s"),          // match at 0 for ("it's", "a")
+      (1L, "its a test", "s"))           // no quote — must NOT match
+    val got = Corpus.spanPositions(docs, "it's", "a").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === Set((0L, 0L)))
+    // pure injection attempt: would have been a syntax error (or worse) when
+    // interpolated raw into a SQL string
+    val inj = Corpus.spanPositions(docs, "' OR 1=1 --", "a").collect()
+    assert(inj.isEmpty)
+  }
+
   test("negativeSampling: 0.75-smoothing damps the head — weight ratios " +
     "compress relative to count ratios; probs are a normalized partition") {
     val docs = docsDf(
@@ -750,5 +766,46 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
       .toMap
     assert(m1 === m2, "checksums must be order-insensitive")
+  }
+
+  test("tfidfTopTerms: bounded-state top-k equals the rank-window " +
+    "formulation and is partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val rows = (0L until 120L).map { i =>
+      val words = Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "), s"s${i % 4}")
+    }
+    val docs = docsDf(rows: _*)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).sortBy(t => (t._1, t._6)).toSeq
+    val got = canon(Corpus.tfidfTopTerms(docs, 3))
+    // the window formulation the aggregator replaced (kept here as the spec)
+    val base = docs.withColumn("toks", Corpus.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+    val words = base.select(col("doc_id"), col("source"), explode(col("toks")).as("w"))
+    val df_ = words.select("doc_id", "w").distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val n = base.select(countDistinct(col("doc_id")).as("n_docs"))
+    val tf = words.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val want = canon(tf.join(df_, Seq("w")).crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").desc, col("w").asc)))
+      .filter(col("rn") <= 3)
+      .select("source", "w", "tf", "df", "score", "rn"))
+    assert(got === want)
+    assert(canon(Corpus.tfidfTopTerms(docs.repartition(13), 3)) === want,
+      "top-k must not depend on partitioning")
+  }
+
+  test("exportShards: null text neither NPEs nor drops the doc") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq[(Long, Option[String], String)](
+      (0L, Some("a b c"), "s"), (1L, None, "s"))
+      .toDF("doc_id", "text", "source")
+    val m = Corpus.exportShards(docs, 4).collect()
+    assert(m.map(_.getLong(1)).sum === 2L, "the null-text doc must still land")
   }
 }

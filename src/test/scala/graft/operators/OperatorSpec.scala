@@ -179,6 +179,43 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming pyramid serve: multi-zoom tiles off the streaming pixel " +
+    "state equal the batch pyramid over the ingested prefix, at each of " +
+    "two successive micro-batches") {
+    import java.nio.file.Files
+    val occ = OccurrenceView.occ(spark, Dir)
+    val tmp = Files.createTempDirectory("occpyr")
+    val p1 = occ.filter(col("l_orderkey") % 2 === 0)
+    p1.write.parquet(tmp.resolve("b1").toString)
+    val stream = spark.readStream.schema(occ.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val agg = graft.streaming.EventStream
+      .incrementalPixelCounts(stream, "EPSG:4326", 6)
+    val q = agg.writeStream.format("memory")
+      .queryName("pyr_state").outputMode("complete").start()
+    def served = graft.streaming.EventStream
+      .pyramidServe(spark.table("pyr_state"), 0, 6)
+      .collect().map(_.toSeq).toSet
+    def batchPyr(prefix: org.apache.spark.sql.DataFrame) =
+      MapBuild.pyramidFromState(
+        MapBuild.pyramidState(prefix, "EPSG:4326", 6), 0, 6)
+        .collect().map(_.toSeq).toSet
+    try {
+      q.processAllAvailable()
+      val s1 = served
+      assert(s1.nonEmpty && s1 === batchPyr(p1),
+        "mid-stream serve diverged from the batch pyramid over batch 1")
+      // second ingest wave arrives while the query runs
+      occ.filter(col("l_orderkey") % 2 === 1)
+        .write.parquet(tmp.resolve("b2").toString)
+      q.processAllAvailable()
+      val s2 = served
+      assert(s2 === batchPyr(occ),
+        "post-batch-2 serve diverged from the batch pyramid over the full corpus")
+      assert(s2 !== s1, "batch 2 should have changed the served pyramid")
+    } finally q.stop()
+  }
+
   test("MVT golden invariants: per-feature year-sum equals total; z5 parent " +
     "totals equal decoded z6 children (AggregationsTest/YearFilteringTest analogs)") {
     val px16 = MapBuild.pixelAgg(OccurrenceView.occ(spark, Dir), "EPSG:4326").cache()
@@ -532,6 +569,44 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangles: skew dispatch — a hub-skewed graph (star + bounded " +
+    "cliques) picks degree orientation, a uniform graph picks id; both " +
+    "orientations enumerate the identical triangle set") {
+    val ss = spark; import ss.implicits._
+    // the graph the round-5 negative result said to re-measure on: one
+    // template hub over 600 spokes, hub id MID-RANGE among its neighbors
+    // (id-ordered wedge work at a node is #smaller-id × #larger-id
+    // neighbors — an extreme-id hub costs nothing and would hide the
+    // blowup) → 300×300 = 90,000 hub wedges for zero triangles; plus 40
+    // disjoint 5-cliques (10 triangles each). A/B numbers:
+    // plans.TriangleLab, recorded in the Dedup.triangles Scaladoc.
+    val hubId = 500L
+    val star = (1L to 300L).map(i => (i, hubId)) ++
+      (1L to 300L).map(i => (hubId, hubId + i))
+    val cliques = (0 until 40).flatMap { k =>
+      val ids = (0 until 5).map(v => 1000L + 5L * k + v)
+      for (i <- 0 until 5; j <- i + 1 until 5) yield (ids(i), ids(j))
+    }
+    val hub = (star ++ cliques).toDF("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dispatch rule: max_deg 600 > 4·√1000 ≈ 126 → degree-ordered
+    assert(Dedup.triangleOrientation(hub) === "degree")
+    // a uniform near-regular graph (ring + chords): max_deg ≈ mean ≪ 4·√m
+    val n = 300L
+    val ring = (0L until n).map(i => (math.min(i, (i + 1) % n), math.max(i, (i + 1) % n))) ++
+      (0L until n).map(i => (math.min(i, (i + 7) % n), math.max(i, (i + 7) % n)))
+    val uniform = ring.distinct.toDF("doc_a", "doc_b")
+    assert(Dedup.triangleOrientation(uniform) === "id")
+    // equivalence: both orientations, same 400 triangles (as id-sets)
+    def triSet(mode: String) = Dedup.triangles(hub, mode).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idT = triSet("id")
+    val degT = triSet("degree")
+    assert(idT.size === 400, s"expected 40 cliques x 10 triangles, got ${idT.size}")
+    assert(idT === degT, "orientations disagree on the triangle set")
+    hub.unpersist()
+  }
+
   test("winnowing is alignment-free: a shared ≥11-char substring is found " +
     "at ANY offset, where fixed chunk boundaries would shift") {
     val ss = spark; import ss.implicits._
@@ -846,6 +921,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(12L) === (("click", 1500L, 2L)))
     assert(out(13L) === (("view", 7499L, 0L))) // window expired
     assert(out(20L) === (("none", -1L, 0L)))
+  }
+
+  test("temporalEmbargoSplit: empty input yields an empty split frame, " +
+    "not an exception; embargo window drops the gap events") {
+    val ss = spark; import ss.implicits._
+    val empty = Seq.empty[(Long, Long, String, Long)]
+      .toDF("event_id", "user_id", "event_type", "tsec")
+    val out0 = EventAnalytics.temporalEmbargoSplit(empty, 60L)
+    assert(out0.columns.toSeq === Seq("split", "event_type", "n"))
+    assert(out0.collect().isEmpty)
+    // 10 events: cut at the ceil(0.8*10)=8th (tsec 800); 840 falls inside
+    // the 60s embargo and is dropped; 900/1000 are test
+    val ev = (1L to 7L).map(i => (i, 1L, "a", i * 100L)) ++
+      Seq((8L, 1L, "a", 800L), (9L, 1L, "a", 840L), (10L, 1L, "b", 900L))
+    val out = EventAnalytics.temporalEmbargoSplit(
+      ev.toDF("event_id", "user_id", "event_type", "tsec"), 60L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("train", "a") -> 8L, ("test", "b") -> 1L))
   }
 
   test("watermark drops late events: a row older than the advanced " +

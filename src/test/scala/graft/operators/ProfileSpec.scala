@@ -155,4 +155,18 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got === want, s"salt count $s changed the join result")
     }
   }
+
+  test("saltedJoin: a null salt expression keeps the row (replica 0), " +
+    "honoring the row-identical contract") {
+    val ss = spark; import ss.implicits._
+    val fact = Seq(("k0", Some(7L)), ("k0", None), ("k1", None))
+      .toDF("k", "payload")
+    val dim = Seq(("k0", 1), ("k1", 2)).toDF("k", "attr")
+    val want = fact.join(dim, Seq("k"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val got = DataQuality.saltedJoin(fact, dim, "k", 8, col("payload"))
+      .select("k", "payload", "attr")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got === want, "null-salt fact rows were dropped")
+  }
 }

@@ -19,6 +19,11 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The full-depth z0-z16 build's AQE re-plan builds an explain string per
+      // plan update; uncapped, that single string allocation OOM'd an 8g JVM
+      // (AdaptiveSparkPlanExec.onUpdatePlan -> explainString). This suite never
+      // asserts on explain text, so truncate aggressively.
+      .config("spark.sql.maxPlanStringLength", "4096")
       .appName("sink-spec").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     work = java.nio.file.Files.createTempDirectory("graft-work")
@@ -314,5 +319,62 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the behavior so readers of the versioned store always pass the flag
     val plain = spark.read.parquet(dir)
     assert(plain.count() === 3)
+  }
+
+  test("pruned incremental pyramid: the state SCAN touches only dirty " +
+    "coarse-cell partitions (file-level pruning), output equals the " +
+    "unpruned incremental path") {
+    import graft.operators.MapBuild
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val o = graft.operators.OccurrenceView.occ(spark, Dir)
+    val base = o.filter(col("l_orderkey") % 10 =!= 0)
+    // a spatially CONCENTRATED ingest batch — the case partition pruning
+    // exists for (a world-wide delta legitimately dirties every cell)
+    val delta = o.filter(col("l_orderkey") % 10 === 0)
+      .filter(col("lng") >= 0 && col("lng") < 40 && col("lat") >= 0 && col("lat") < 40)
+    val store = java.nio.file.Files.createTempDirectory("pruned-state").toString
+    val state = MapBuild.pyramidState(base, "EPSG:4326", 6)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    MapBuild.writePrunedState(state, store, 6, 2)
+    val stored = MapBuild.pyramidFromState(state, 0, 6)
+
+    val out = MapBuild.incrementalPyramidPruned(spark, store, stored, delta,
+      "EPSG:4326", 0, 6, 2)
+    def keyed(r: org.apache.spark.sql.Row) = {
+      def l(i: Int) = r.getAs[Number](i).longValue
+      (r.getString(0), l(5), l(1), l(2)) -> ((l(3), l(4)))
+    }
+    val got = out.collect().map(keyed).toMap
+
+    // correctness: identical to the unpruned incremental path
+    val want = MapBuild.incrementalPyramid(state, stored, delta, "EPSG:4326", 0, 6)
+      .collect().map(keyed).toMap
+    assert(got === want, "pruned path diverged from the unpruned incremental path")
+
+    // pruning: walk the EXECUTED plan (post-collect, so scan metrics are
+    // final) to the fine-state file scan and assert it opened strictly
+    // fewer partitions/files than the store holds
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(scans) ++ p.subqueries.flatMap(scans)
+    }
+    val fineScans = scans(out.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("fine")))
+    assert(fineScans.nonEmpty, "no file scan over the fine state found")
+    val ptDirs = new java.io.File(s"$store/fine").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("pt="))
+    assert(ptDirs > 4, s"store layout collapsed to $ptDirs partitions")
+    fineScans.foreach { sc =>
+      val readParts = sc.metrics("numPartitions").value
+      assert(readParts > 0 && readParts < ptDirs,
+        s"state scan read $readParts of $ptDirs coarse cells — not pruned")
+    }
+    state.unpersist()
   }
 }
