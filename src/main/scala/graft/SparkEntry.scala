@@ -1023,6 +1023,14 @@ object SparkEntry {
     "q117_triangles" -> ((s, dir) =>
       Dedup.triangleStats(documents(s, dir), 0.5)),
 
+    // the degree-ordered (Chiba–Nishizeki) triangle plan forced, against
+    // the SAME oracle as q117: the auto dispatch picks id-orientation on
+    // this uniform-degree corpus, so without this gate the degree path —
+    // the one a hub-skewed production graph would take — would ship with
+    // unit-test coverage only
+    "q146_triangles_degree" -> ((s, dir) =>
+      Dedup.triangleStats(documents(s, dir), 0.5, "degree")),
+
     // k-nearest locations to the center with a deterministic total order
     // (rounded distance, then the coordinates) — TakeOrderedAndProject,
     // never a global sort of the full location set
@@ -2775,6 +2783,22 @@ ld AS (SELECT lat10, lng10,
 SELECT lat10, lng10, dist_m FROM ld ORDER BY dist_m, lat10, lng10 LIMIT 10"""),
 
     "q117_triangles" -> (EdgesSql + """,
+tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM ed0 e1 JOIN ed0 e2 ON e1.doc_b = e2.doc_a
+  JOIN ed0 e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+pn AS (SELECT doc_id, count(*) AS n_tri FROM (
+  SELECT a AS doc_id FROM tri UNION ALL SELECT b AS doc_id FROM tri
+  UNION ALL SELECT c AS doc_id FROM tri) GROUP BY doc_id),
+dg AS (SELECT doc_id, count(*) AS deg FROM (
+  SELECT doc_a AS doc_id FROM ed0 UNION ALL SELECT doc_b AS doc_id FROM ed0)
+  GROUP BY doc_id)
+SELECT pn.doc_id, pn.n_tri, dg.deg,
+  CAST(CASE WHEN dg.deg >= 2 THEN pn.n_tri * 2000000 // (dg.deg * (dg.deg - 1))
+       ELSE 0 END AS BIGINT) AS clust_micro
+FROM pn JOIN dg USING (doc_id)"""),
+
+    // same statistic, so same oracle — only the enumeration plan differs
+    "q146_triangles_degree" -> (EdgesSql + """,
 tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
   FROM ed0 e1 JOIN ed0 e2 ON e1.doc_b = e2.doc_a
   JOIN ed0 e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),

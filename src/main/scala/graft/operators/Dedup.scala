@@ -612,14 +612,22 @@ object Dedup {
     * edge list; the a<b<c canonical orientation counts each triangle once
     * with plain equi-joins. Coefficient in exact integer micro-units.
     */
-  def triangleStats(docs: DataFrame, minEst: Double): DataFrame = {
+  def triangleStats(docs: DataFrame, minEst: Double): DataFrame =
+    triangleStats(docs, minEst, "auto")
+
+  /** As [[triangleStats]]; `orientation` forces the [[triangles]] plan —
+    * q146 gates the degree-ordered path against the same oracle as q117's
+    * auto-dispatched (id, on this corpus) path, so BOTH enumeration plans
+    * stay oracle-verified, not just the one the dispatch happens to pick.
+    */
+  def triangleStats(docs: DataFrame, minEst: Double, orientation: String): DataFrame = {
     // the verified edge list feeds five plan branches (3 triangle arms + 2
     // degree arms) — persist it, unlike the signature table (see the
     // lshCandidatePairs note), because edges are candidate-sized, not
     // corpus-sized, and the 5× recompute would repeat the band join
     val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = triangles(e)
+    val tri = triangles(e, orientation)
     val perNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))

@@ -25,6 +25,51 @@ object Workflow {
   val PointSaltModulus = 10
   val TileSaltModulus = 100
 
+  /** Coarse-cell zoom of the persisted pixel-state layout: the fine state
+    * is partitioned by the zoom-2 tile cell containing each pixel, so an
+    * ingest's merge+recompute reads ONLY the cells its delta touches
+    * (directory-level partition pruning); zooms below it recompute from a
+    * zc-grain rollup side table, 4^(maxZoom−zc)× smaller than the state.
+    */
+  val StateCoarseZoom = 2
+
+  private val TShift =
+    Integer.numberOfTrailingZeros(graft.operators.OccurrenceView.TileSize)
+
+  /** Coarse-cell partition value of a maxZoom-grain state pixel. */
+  private def statePt(maxZoom: Int) = {
+    val shiftC = TShift + (maxZoom - StateCoarseZoom)
+    (shiftright(col("px"), shiftC) * lit(1L << StateCoarseZoom) +
+      shiftright(col("py"), shiftC)).cast("int")
+  }
+
+  /** Persist one projection's pixel state in the prunable layout:
+    * `fine/` partitioned by coarse cell, `coarse/` the zc-grain rollup. */
+  private def writeState(state: DataFrame, path: String, maxZoom: Int): Unit = {
+    state.withColumn("pt", statePt(maxZoom))
+      .write.mode("overwrite").partitionBy("pt").parquet(s"$path/fine")
+    state.groupBy(col("map_key"),
+        shiftright(col("px"), maxZoom - StateCoarseZoom).as("px"),
+        shiftright(col("py"), maxZoom - StateCoarseZoom).as("py"),
+        col("bor_year"))
+      .agg(sum("occ_count").as("occ_count"))
+      .write.mode("overwrite").parquet(s"$path/coarse")
+  }
+
+  /** Recursive file copy — the parquet-store analog of referencing a clean
+    * partition's files from the new version's manifest instead of
+    * rewriting them (what a production store does with its region/SST
+    * files). Used for the state partitions an ingest did NOT dirty.
+    */
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    Files.createDirectories(to)
+    Files.list(from).forEach { p =>
+      val t = to.resolve(p.getFileName)
+      if (Files.isDirectory(p)) copyTree(p, t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   final case class Manifest(version: Long, points: String, tiles: String)
 
   // minimal JSON string escaping for the two path fields — paths with '"'
@@ -128,9 +173,10 @@ object Workflow {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the max-zoom pixel table IS the store's sum-mergeable state —
       // written alongside the blobs so incrementalUpdate() can absorb the
-      // next ingest batch by keyed addition instead of a corpus rescan
-      level.write.mode("overwrite")
-        .parquet(s"$workDir/v$version/state/${srsDir(epsg)}")
+      // next ingest batch by keyed addition instead of a corpus rescan;
+      // stored in the prunable fine/coarse layout so that merge reads
+      // only the delta's coarse-cell footprint
+      writeState(level, s"$workDir/v$version/state/${srsDir(epsg)}", maxZoom)
       var z = maxZoom
       while (z >= 0) {
         KeyedSink.writeSalted(
@@ -242,16 +288,53 @@ object Workflow {
       keptBlobs.unionByName(reEncode.select("map_key", "blob")),
       col("map_key"), PointSaltModulus, s"${pointsPath}_blobs")
 
-    // ---- tiles store: per projection, merge state + dirty-only re-encode
+    // ---- tiles store: per projection, merge state + dirty-only re-encode.
+    // The state READ is delta-proportional too (the round-6 audit's one
+    // scale caveat): the fine state is read through a coarse-cell partition
+    // filter (clean cells' files never open), clean cells carry over to the
+    // new version by FILE COPY (the manifest-reference analog), and zooms
+    // below StateCoarseZoom — whose dirty tiles span clean cells — derive
+    // from the zc-grain coarse side table instead of the full state.
+    require(maxZoom >= StateCoarseZoom,
+      s"state layout needs maxZoom >= $StateCoarseZoom")
     projections.foreach { epsg =>
+      val zc = StateCoarseZoom
       val deltaTop = MapBuild.pixelAggAt(delta, epsg, maxZoom)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val merged = spark.read.parquet(s"$prevState/${srsDir(epsg)}")
+      // the delta's coarse-cell footprint — the partition filter; a bounded
+      // driver collect (≤ 2·4^zc values)
+      val dirtyPts = deltaTop.select(statePt(maxZoom).as("pt")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val mergedDirty = spark.read
+        .parquet(s"$prevState/${srsDir(epsg)}/fine")
+        .filter(col("pt").isin(dirtyPts: _*))
+        .select("map_key", "px", "py", "bor_year", "occ_count")
         .unionByName(deltaTop)
         .groupBy("map_key", "px", "py", "bor_year")
         .agg(sum("occ_count").as("occ_count"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      merged.write.mode("overwrite").parquet(s"$statePath/${srsDir(epsg)}")
+      mergedDirty.withColumn("pt", statePt(maxZoom))
+        .write.mode("overwrite").partitionBy("pt")
+        .parquet(s"$statePath/${srsDir(epsg)}/fine")
+      val dirtyDirs = dirtyPts.map(p => s"pt=$p").toSet
+      Files.list(Paths.get(s"$prevState/${srsDir(epsg)}/fine")).forEach { p =>
+        val n = p.getFileName.toString
+        if (Files.isDirectory(p) && n.startsWith("pt=") && !dirtyDirs(n))
+          copyTree(p, Paths.get(s"$statePath/${srsDir(epsg)}/fine/$n"))
+      }
+      // coarse side table: keyed addition at zc grain, full rewrite of the
+      // 4^(maxZoom−zc)×-smaller table
+      val mergedCoarse = spark.read
+        .parquet(s"$prevState/${srsDir(epsg)}/coarse")
+        .unionByName(deltaTop.groupBy(col("map_key"),
+            shiftright(col("px"), maxZoom - zc).as("px"),
+            shiftright(col("py"), maxZoom - zc).as("py"), col("bor_year"))
+          .agg(sum("occ_count").as("occ_count")))
+        .groupBy("map_key", "px", "py", "bor_year")
+        .agg(sum("occ_count").as("occ_count"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      mergedCoarse.write.mode("overwrite")
+        .parquet(s"$statePath/${srsDir(epsg)}/coarse")
       val zs = array((0 to maxZoom).map(lit): _*)
       val dirty = deltaTop
         .withColumn("z", explode(zs))
@@ -260,7 +343,11 @@ object Workflow {
           expr(s"shiftright(py, $maxZoom - z + $tshift)").as("ty"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      var level = merged
+      // rollup chain: z ≥ zc over the pruned merge (every dirty tile there
+      // lives inside a dirty cell, so the restricted table is complete for
+      // it); at z = zc−1 the chain re-seeds from the coarse table, whose
+      // rollup equals the full-state rollup by sum associativity
+      var level = mergedDirty
       var z = maxZoom
       while (z >= 0) {
         val dirtyZ = dirty.filter(col("z") === z).select("map_key", "tx", "ty")
@@ -280,15 +367,17 @@ object Workflow {
           concat_ws(":", lit(epsg), col("map_key"), col("z"), col("tx"), col("ty")),
           TileSaltModulus, s"$tilesPath/${srsDir(epsg)}/zoom=$z")
         if (z > 0) {
-          val next = MapBuild.rollupToZoom(level, z, z - 1)
+          val next = (if (z == zc) MapBuild.rollupToZoom(mergedCoarse, zc, z - 1)
+                      else MapBuild.rollupToZoom(level, z, z - 1))
             .persist(StorageLevel.MEMORY_AND_DISK)
           next.count()
-          if (!(level eq merged)) level.unpersist()
+          if (!(level eq mergedDirty)) level.unpersist()
           level = next
-        } else if (!(level eq merged)) level.unpersist()
+        } else if (!(level eq mergedDirty)) level.unpersist()
         z -= 1
       }
-      merged.unpersist(); dirty.unpersist(); deltaTop.unpersist()
+      mergedDirty.unpersist(); mergedCoarse.unpersist()
+      dirty.unpersist(); deltaTop.unpersist()
     }
     mergedPoints.unpersist(); delta.unpersist()
     writeManifest(workDir, Manifest(version, pointsPath, tilesPath))

@@ -81,7 +81,8 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("incremental store update equals a fresh rebuild over base+delta " +
-    "(points, blobs, every zoom's tiles, manifest bump)") {
+    "(points, blobs, every zoom's tiles, manifest bump), including a " +
+    "spatially-bounded ingest that file-copies clean state cells") {
     val occ = graft.operators.OccurrenceView.occ(spark, Dir)
     val base = occ.filter(col("l_orderkey") % 5 =!= 0)
     val delta = occ.filter(col("l_orderkey") % 5 === 0)
@@ -89,10 +90,36 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val incDir = java.nio.file.Files.createTempDirectory("graft-inc").toString
     val freshDir = java.nio.file.Files.createTempDirectory("graft-fresh").toString
     val m1 = Workflow.buildFrom(spark, base, incDir, projs)
-    val mInc = Workflow.incrementalUpdate(spark, delta, incDir, projs)
+    // two chained ingest waves: a spatially CONCENTRATED one (dirties few
+    // coarse cells — clean cells must carry over by file copy) then the
+    // world-wide remainder; composing to the same store as one rebuild
+    // proves both the pruned merge and the copied-partition passthrough
+    val inBox = col("lng") >= 0 && col("lng") < 40 &&
+      col("lat") >= 0 && col("lat") < 40
+    val mInc1 = Workflow.incrementalUpdate(spark, delta.filter(inBox), incDir, projs)
+    val mInc = Workflow.incrementalUpdate(spark, delta.filter(!inBox), incDir, projs)
     val mFresh = Workflow.buildFrom(spark, occ, freshDir, projs)
-    assert(m1.version === 1L && mInc.version === 2L)
+    assert(m1.version === 1L && mInc1.version === 2L && mInc.version === 3L)
     assert(Workflow.readManifest(incDir).get === mInc)
+    // the bounded wave really exercised the copy path: v2's fine state
+    // contains clean-cell directories whose parquet FILE NAMES are v1's
+    // (a rewrite would have generated fresh part-file UUIDs)
+    def partNames(dir: String): Map[String, Set[String]] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pt="))
+        .map(p => p.getName ->
+          p.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet)
+        .toMap
+    }
+    val v1parts = partNames(s"$incDir/v1/state/srs=EPSG_4326/fine")
+    val v2parts = partNames(s"$incDir/v2/state/srs=EPSG_4326/fine")
+    val copied = v2parts.filter { case (pt, names) =>
+      v1parts.get(pt).contains(names) && names.nonEmpty
+    }
+    assert(copied.nonEmpty,
+      "bounded ingest rewrote every state cell — no clean cell was file-copied")
+    assert(copied.size < v2parts.size,
+      "bounded ingest copied every cell — the dirty cells were not rewritten")
 
     def rows(path: String, cols: String*) = {
       val df = spark.read.parquet(path).select(cols.map(col): _*)
@@ -115,9 +142,16 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map { s => (s.head, s(1).asInstanceOf[Array[Byte]].toSeq) }
       assert(a === b, s"zoom $z diverged")
     }
-    // the new state equals the fresh build's state (next ingest starts right)
-    assert(rows(s"$incDir/v2/state/srs=EPSG_4326", "map_key", "px", "py", "bor_year", "occ_count")
-      === rows(s"$freshDir/v1/state/srs=EPSG_4326", "map_key", "px", "py", "bor_year", "occ_count"))
+    // the new state equals the fresh build's state (next ingest starts
+    // right) — BOTH halves of the prunable layout: the coarse-cell-
+    // partitioned fine table (dirty cells rewritten + clean cells
+    // file-copied must compose to the rebuild's state) and the zc-grain
+    // coarse side table
+    val stateCols = Seq("map_key", "px", "py", "bor_year", "occ_count")
+    assert(rows(s"$incDir/v3/state/srs=EPSG_4326/fine", stateCols: _*)
+      === rows(s"$freshDir/v1/state/srs=EPSG_4326/fine", stateCols: _*))
+    assert(rows(s"$incDir/v3/state/srs=EPSG_4326/coarse", stateCols: _*)
+      === rows(s"$freshDir/v1/state/srs=EPSG_4326/coarse", stateCols: _*))
   }
 
   test("full-depth build: the z0–z16 sequenced per-zoom lifecycle (one " +
