@@ -564,6 +564,10 @@ object MapBuild {
   def writePrunedState(state: DataFrame, path: String, maxZoom: Int, zc: Int): Unit = {
     state
       .withColumn("pt", coarseCell(col("px"), col("py"), maxZoom, zc))
+      // co-locate each cell before the partitioned write: one file per pt
+      // directory instead of one per (shuffle partition × pt) — fewer,
+      // bigger files is what the pruned reader wants to open
+      .repartition(col("pt"))
       .write.mode("overwrite").partitionBy("pt").parquet(s"$path/fine")
     sumAgg(state.select(
         col("map_key"),

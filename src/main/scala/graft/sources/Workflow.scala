@@ -47,6 +47,8 @@ object Workflow {
     * `fine/` partitioned by coarse cell, `coarse/` the zc-grain rollup. */
   private def writeState(state: DataFrame, path: String, maxZoom: Int): Unit = {
     state.withColumn("pt", statePt(maxZoom))
+      // one file per cell directory (see MapBuild.writePrunedState)
+      .repartition(col("pt"))
       .write.mode("overwrite").partitionBy("pt").parquet(s"$path/fine")
     state.groupBy(col("map_key"),
         shiftright(col("px"), maxZoom - StateCoarseZoom).as("px"),
@@ -314,6 +316,7 @@ object Workflow {
         .agg(sum("occ_count").as("occ_count"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       mergedDirty.withColumn("pt", statePt(maxZoom))
+        .repartition(col("pt")) // one file per rewritten cell
         .write.mode("overwrite").partitionBy("pt")
         .parquet(s"$statePath/${srsDir(epsg)}/fine")
       val dirtyDirs = dirtyPts.map(p => s"pt=$p").toSet
