@@ -913,6 +913,15 @@ object SparkEntry {
     "q110_containment_blocked" -> ((s, dir) =>
       Dedup.containmentBlockedPairs(documents(s, dir), 0.8, 50)),
 
+    // EXACT-threshold Jaccard self-join (AllPairs/PPJoin prefix filtering,
+    // df-ascending token order): every pair ≥ 0.6, zero recall loss, no
+    // all-pairs, no bucket cap — frequency ordering demotes boilerplate
+    // trigrams out of every prefix, so the corpus's degenerate hot key
+    // costs nothing by construction (the LSH path q29 pays a cap for the
+    // same corpus). Complements q29 (probabilistic) and q31 (blocked).
+    "q147_ppjoin_exact" -> ((s, dir) =>
+      Dedup.ppjoinPairs(documents(s, dir), 600000L)),
+
     // Sketch algebra HLL lacks: KMV bottom-k sketches support UNION and
     // INTERSECTION (|U∩A∩B|/|U| Jaccard) — the train/eval-overlap
     // estimator. Typed Aggregator with k-long-bounded mergeable state.
@@ -2703,6 +2712,31 @@ res AS (SELECT cand.doc_a, cand.doc_b,
   len(list_intersect(a.s, b.s)) / len(a.s) AS contain_a
   FROM cand JOIN shc a ON cand.doc_a = a.doc_id JOIN shc b ON cand.doc_b = b.doc_id)
 SELECT * FROM res WHERE contain_a >= CAST('0.8' AS DOUBLE)""",
+
+    "q147_ppjoin_exact" -> """WITH tkp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+tgp AS (SELECT doc_id,
+  [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS gs FROM tkp),
+shp0 AS (SELECT doc_id, list_distinct([list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(g, '')]),
+    (a, b) -> (a*31 + b) % 2147483647) for g in gs]) AS s FROM tgp),
+shp AS (SELECT doc_id, s FROM shp0 WHERE len(s) > 0),
+tok AS (SELECT doc_id, unnest(s) AS h FROM shp),
+dfreq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+ordd AS (SELECT doc_id, list_sort(list(df * 2147483648 + h)) AS os, count(*) AS n
+  FROM tok JOIN dfreq USING (h) GROUP BY doc_id),
+probe AS (SELECT doc_id, n,
+  unnest(os[1 : CAST(n - ((600000 * n + 999999) // 1000000) + 1 AS BIGINT)]) % 2147483648 AS h
+  FROM ordd),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM probe a JOIN probe b ON a.h = b.h AND a.doc_id < b.doc_id
+   AND least(a.n, b.n) * 1000000 >= greatest(a.n, b.n) * 600000),
+res AS (SELECT cand.doc_a, cand.doc_b,
+  CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_common,
+  CAST(len(x.s) AS BIGINT) AS n_a, CAST(len(y.s) AS BIGINT) AS n_b
+  FROM cand JOIN shp x ON cand.doc_a = x.doc_id JOIN shp y ON cand.doc_b = y.doc_id)
+SELECT doc_a, doc_b, n_common, n_a, n_b,
+  n_common * 1000000 // (n_a + n_b - n_common) AS jacc_micro
+FROM res WHERE n_common * 1000000 // (n_a + n_b - n_common) >= 600000""",
 
     "q112_kmv_overlap" -> s"""WITH hs AS (SELECT source, ${javaHashSql("text")} AS h FROM documents),
 d AS (SELECT DISTINCT source, h FROM hs),

@@ -474,6 +474,78 @@ object Dedup {
       .filter(col("contain_a") >= minContain)
   }
 
+  /** EXACT-threshold Jaccard self-join over the whole corpus — the
+    * deterministic complement to [[lshCandidatePairs]] (probabilistic,
+    * recall < 1) and [[ngramJaccardPairs]] (exact but blocked by a
+    * metadata key, all-pairs within a block): every pair with trigram-set
+    * Jaccard ≥ t, ZERO recall loss, never an all-pairs compare. The
+    * AllPairs/PPJoin prefix-filtering scheme (Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08):
+    *
+    *  - every doc's trigram hashes sort by a GLOBAL total order —
+    *    ascending (document frequency, hash). Frequency-ascending is the
+    *    load-bearing choice at scale: boilerplate trigrams (the corpus
+    *    puts its hottest in half the docs) have maximal df, sort LAST,
+    *    and therefore never enter any prefix — the degenerate-key blowup
+    *    the LSH path needs a bucket cap for simply cannot occur here,
+    *    with no cap and no recall loss (candidate generation order
+    *    affects cost only; the exact verify fixes the output).
+    *  - prefix: a doc exposes its first n − ⌈t·n⌉ + 1 ordered hashes
+    *    (integer-exact: ⌈t·n⌉ = (tMicro·n + 999999) div 10⁶). If
+    *    J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(nA,nB)⌉, and under a common
+    *    total order two sets with overlap ≥ α must share an element
+    *    inside both (n − α + 1)-prefixes — so the prefix join misses
+    *    nothing.
+    *  - length filter in the join: min·10⁶ ≥ max·tMicro (J ≥ t forces
+    *    t·nA ≤ nB ≤ nA/t) prunes cross-size candidates before the
+    *    distinct.
+    *  - verify: one row-local intersection per candidate; integer
+    *    micro-Jaccard, exact in any engine.
+    *
+    * Scale shape: postings are linear in corpus trigrams, prefixes a
+    * ~(1−t) fraction of that, the join hash-keyed on rare-leaning
+    * tokens, verification candidate-bounded. All exchanges keyed; no
+    * window, no cap, no estimator.
+    */
+  def ppjoinPairs(docs: DataFrame, tMicro: Long): DataFrame = {
+    val sh = docs.withColumn("s", trigramHashSetUdf(col("text")))
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id"), col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sh.select(col("doc_id"), explode(col("s")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    // pk packs (df, h) into one ascending-sortable long: h < 2^31 and
+    // df < 2^31, so df·2^31 + h is exact and ordered by (df, h)
+    val ordered = tok.join(dfreq, "h")
+      .select(col("doc_id"), (col("df") * 2147483648L + col("h")).as("pk"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pk"))).as("os"), count(lit(1)).as("n"))
+    val probe = ordered
+      .select(col("doc_id"), col("n"),
+        explode(expr(
+          s"slice(os, 1, int(n - (($tMicro * n + 999999) div 1000000) + 1))"))
+          .as("pk"))
+      .select(col("doc_id"), col("n"), pmod(col("pk"), lit(2147483648L)).as("h"))
+    val cand = probe.as("a")
+      .join(probe.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * lit(1000000L) >=
+            greatest(col("a.n"), col("b.n")) * lit(tMicro))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("x.s"), col("y.s")))
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("long").as("n_common"),
+        size(col("x.s")).cast("long").as("n_a"),
+        size(col("y.s")).cast("long").as("n_b"))
+      .withColumn("jacc_micro",
+        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+      .filter(col("jacc_micro") >= tMicro)
+  }
+
   /** Distinct 5-code-point shingle hashes of `text` — the EXACT set whose
     * Jaccard the minhash signature estimates; [[lshCalibration]]'s ground
     * truth. Same fold, same window as [[minhashSigUdf]].

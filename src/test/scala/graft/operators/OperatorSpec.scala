@@ -569,6 +569,47 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ppjoinPairs: equals brute-force exact Jaccard on every pair; " +
+    "partition-invariant; boilerplate tokens never enter a prefix") {
+    val ss = spark; import ss.implicits._
+    val vocab = (0 until 400).map(i => s"w$i")
+    // every doc shares the same boilerplate head (a df=max trigram run);
+    // pairs (2k, 2k+1) are near-identical tails, the rest unrelated
+    val boiler = "copyright notice all rights reserved"
+    def docTail(i: Long): String = {
+      val r = new scala.util.Random(i / 2) // pair-mates share a seed
+      val words = Seq.fill(30)(vocab(r.nextInt(vocab.size)))
+      if (i % 2 == 0) words.mkString(" ")
+      else (words.dropRight(1) :+ "changed").mkString(" ")
+    }
+    val docs0 = (0L until 40L).map(i => (i, s"$boiler ${docTail(i)}", "s"))
+    val docs = docs0.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val got = canon(Dedup.ppjoinPairs(docs, 600000L))
+    // brute force over ALL pairs — the recall oracle the prefix filter
+    // must match exactly
+    val sets = docs0.map { case (id, text, _) =>
+      val toks = text.trim.split("\\s+")
+      id -> toks.sliding(3).map(_.mkString(" "))
+        .map(s => Dedup.cpFold(s, 2147483647L)).toSet
+    }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      sa = sets(a); sb = sets(b)
+      in = (sa & sb).size.toLong
+      un = sa.size + sb.size - in
+      jm = in * 1000000L / un if jm >= 600000L
+    } yield (a, b) -> ((in, sa.size.toLong, sb.size.toLong, jm))).toMap
+    assert(got === want, "prefix-filtered join diverged from brute force")
+    assert(want.nonEmpty, "fixture produced no qualifying pairs")
+    assert(want.size < (40 * 39) / 2, "fixture degenerate: everything matches")
+    assert(canon(Dedup.ppjoinPairs(docs.repartition(7), 600000L)) === want,
+      "result must not depend on partitioning")
+  }
+
   test("triangles: skew dispatch — a hub-skewed graph (star + bounded " +
     "cliques) picks degree orientation, a uniform graph picks id; both " +
     "orientations enumerate the identical triangle set") {
