@@ -610,7 +610,8 @@ object MapBuild {
   def incrementalPyramidPruned(spark: org.apache.spark.sql.SparkSession,
       statePath: String, pyramid: DataFrame, deltaOcc: DataFrame,
       epsg: String, minZoom: Int, maxZoom: Int, zc: Int): DataFrame = {
-    require(minZoom <= zc && zc <= maxZoom, s"need minZoom <= zc <= maxZoom, got $minZoom/$zc/$maxZoom")
+    require(zc <= maxZoom && minZoom <= maxZoom,
+      s"need zc <= maxZoom and minZoom <= maxZoom, got $minZoom/$zc/$maxZoom")
     val deltaTop = topLevel(deltaOcc, epsg, maxZoom)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zs = array((minZoom to maxZoom).map(lit): _*)
@@ -645,7 +646,9 @@ object MapBuild {
       .select("map_key", "px", "py", "total")
     val mergedFine = sumAgg(fine.unionByName(deltaTop),
       Seq("map_key", "px", "py"), Seq("total"))
-    val recomputedFine = tileStats(mergedFine, maxZoom, zc, maxZoom)
+    // fine levels start at zc — or at minZoom when the request begins
+    // above the coarse cut (then the coarse table never enters)
+    val recomputedFine = tileStats(mergedFine, maxZoom, math.max(zc, minZoom), maxZoom)
 
     // coarse levels (z < zc): from the small zc-grain side table
     val recomputed =

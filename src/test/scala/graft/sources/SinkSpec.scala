@@ -409,6 +409,17 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(readParts > 0 && readParts < ptDirs,
         s"state scan read $readParts of $ptDirs coarse cells — not pruned")
     }
+
+    // the minZoom >= zc edge (no coarse side table in play: every
+    // requested level recomputes from the pruned fine state alone) must
+    // also match the unpruned path
+    val outFineOnly = MapBuild.incrementalPyramidPruned(spark, store,
+      MapBuild.pyramidFromState(state, 3, 6), delta, "EPSG:4326", 3, 6, 2)
+      .collect().map(keyed).toMap
+    val wantFineOnly = MapBuild.incrementalPyramid(state,
+      MapBuild.pyramidFromState(state, 3, 6), delta, "EPSG:4326", 3, 6)
+      .collect().map(keyed).toMap
+    assert(outFineOnly === wantFineOnly, "fine-only branch diverged")
     state.unpersist()
   }
 }
