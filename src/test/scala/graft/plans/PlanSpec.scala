@@ -77,6 +77,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pruned pyramid (q145) reads the stored state through a PARTITION " +
+    "filter — the property the delta-proportional scan rests on") {
+    val p = planOf("q145_pruned_pyramid")
+    val pf = "PartitionFilters: \\[[^\\]]*pt[^\\]]*IN".r.findFirstIn(p)
+    assert(pf.isDefined,
+      s"q145 lost the pt partition filter on its state scan:\n$p")
+  }
+
   test("incremental pyramid: dirty-key joins broadcast (semi-join prune on " +
       "the recompute, anti-join passthrough on clean tiles), no SMJ") {
     val p = planOf("q111_incremental_pyramid")
