@@ -544,6 +544,34 @@ object MapBuild {
       .unionByName(recomputed)
   }
 
+  /** [[incrementalPyramid]] with its documented broadcast-budget caveat
+    * OPERATIONALIZED: the dirty-tile set must stay broadcastable, and an
+    * ingest whose per-zoom ancestor footprint exceeds `maxDirtyKeys`
+    * dirties most of the pyramid anyway — so past the bound this falls
+    * back to a rebuild from the merged state ([[pyramidFromState]]): same
+    * result (the incremental path's oracle IS the rebuild), no oversized
+    * broadcast, and the rebuild is the cheaper plan exactly when the
+    * fallback fires. Costs one count() of the (collapsed, ≤ footprint ×
+    * nLevels) dirty set before choosing.
+    */
+  def incrementalPyramidAuto(state: DataFrame, pyramid: DataFrame,
+      deltaOcc: DataFrame, epsg: String, minZoom: Int, maxZoom: Int,
+      maxDirtyKeys: Long = 8000000L): DataFrame = {
+    val deltaTop = topLevel(deltaOcc, epsg, maxZoom)
+    val zs = array((minZoom to maxZoom).map(lit): _*)
+    val nDirty = deltaTop
+      .withColumn("z", explode(zs))
+      .select(col("map_key"), col("z"),
+        expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
+        expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
+      .distinct().count()
+    if (nDirty > maxDirtyKeys)
+      pyramidFromState(
+        sumAgg(state.unionByName(deltaTop), Seq("map_key", "px", "py"), Seq("total")),
+        minZoom, maxZoom)
+    else incrementalPyramid(state, pyramid, deltaOcc, epsg, minZoom, maxZoom)
+  }
+
   /** Coarse-cell partition value of a maxZoom-grain pixel: the zoom-`zc`
     * tile cell containing it, encoded `(cx << zc) | cy`. Spatial only (no
     * map_key) so the layout stays ≤ 4^zc directories.

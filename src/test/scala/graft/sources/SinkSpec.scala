@@ -420,6 +420,18 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       MapBuild.pyramidFromState(state, 3, 6), delta, "EPSG:4326", 3, 6)
       .collect().map(keyed).toMap
     assert(outFineOnly === wantFineOnly, "fine-only branch diverged")
+
+    // the broadcast-budget dispatch: forced into fallback (threshold 1)
+    // it must produce the identical pyramid via rebuild-from-state — and
+    // its plan must carry NO broadcast dirty-set joins
+    val stored06 = MapBuild.pyramidFromState(state, 0, 6)
+    val auto = MapBuild.incrementalPyramidAuto(state, stored06, delta,
+      "EPSG:4326", 0, 6, maxDirtyKeys = 1L)
+    assert(auto.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "fallback should be a joinless rebuild from state")
+    assert(auto.collect().map(keyed).toMap === got,
+      "fallback rebuild diverged from the incremental result")
     state.unpersist()
   }
 }
