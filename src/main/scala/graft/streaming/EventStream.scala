@@ -94,6 +94,45 @@ object EventStream {
         .agg(sum("occ_count").as("total")),
       minZoom, maxZoom)
 
+  /** Streaming HLL register index at the max serving zoom — the streaming
+    * analog of the q114 distinct-cardinality pyramid's one corpus pass:
+    * per-(tile, register) max-rho is a MAX aggregation, so the streaming
+    * state merges new batches exactly as the batch build folds rows
+    * (registers only ever grow), and the state is bounded at
+    * 4^maxZoom × m registers regardless of throughput — the same ideal
+    * fixed-size-state shape as [[cmsSketch]]/[[bloomBits]], here carrying
+    * per-TILE sketches instead of one global one.
+    */
+  def hllRegisterStream(occStream: DataFrame, epsg: String, maxZoom: Int): DataFrame = {
+    val tshift = Integer.numberOfTrailingZeros(graft.operators.OccurrenceView.TileSize)
+    val shiftTop = graft.operators.OccurrenceView.MaxZoom - maxZoom + tshift
+    val base = graft.operators.MapBuild.withPixels(occStream, epsg).select(
+      shiftright(col("px"), shiftTop).as("tx"),
+      shiftright(col("py"), shiftTop).as("ty"),
+      graft.operators.Sketch.tokenHash(col("l_partkey").cast("string")).as("h"))
+    graft.operators.Sketch.hllRegisterRows(base, Seq("tx", "ty"), col("h"))
+  }
+
+  /** Distinct-cardinality tiles at every requested zoom OFF the streaming
+    * register state ([[hllRegisterStream]]'s snapshot): registers roll up
+    * the tile tree by register-wise MAX (a parent's sketch is exactly the
+    * merge of its children's), then estimate — the q114 serving chain run
+    * on the continuously-maintained state. Like [[pyramidServe]], the
+    * ×levels fan-out runs OUTSIDE the streaming query, on state that is
+    * 4× smaller per level as it rolls.
+    */
+  def distinctPyramidServe(regState: DataFrame, minZoom: Int, maxZoom: Int): DataFrame = {
+    val zs = array((minZoom to maxZoom).map(lit): _*)
+    val regsAll = regState
+      .withColumn("z", explode(zs))
+      .groupBy(col("z"),
+        expr(s"shiftright(tx, $maxZoom - z)").as("tx"),
+        expr(s"shiftright(ty, $maxZoom - z)").as("ty"),
+        col("reg"))
+      .agg(max("m_reg").as("m_reg"))
+    graft.operators.Sketch.hllEstimateRows(regsAll, Seq("z", "tx", "ty"), "est")
+  }
+
   /** Incremental LSH band-bucket index: streaming aggregation over document
     * appends keeps per-(band, bh) bucket sizes and the bucket's minimum
     * doc id continuously current — the ingest-time half of near-dup

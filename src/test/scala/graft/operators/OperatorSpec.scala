@@ -216,6 +216,52 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming HLL register index: per-tile registers merge across " +
+    "micro-batches == batch build; served distinct pyramid equal at each " +
+    "of two prefixes") {
+    import java.nio.file.Files
+    val occ = OccurrenceView.occ(spark, Dir)
+    val tmp = Files.createTempDirectory("occhll")
+    val p1 = occ.filter(col("l_orderkey") % 2 === 0)
+    p1.write.parquet(tmp.resolve("b1").toString)
+    val stream = spark.readStream.schema(occ.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val agg = graft.streaming.EventStream
+      .hllRegisterStream(stream, "EPSG:4326", 6)
+    val q = agg.writeStream.format("memory")
+      .queryName("hll_regs").outputMode("complete").start()
+    def served = graft.streaming.EventStream
+      .distinctPyramidServe(spark.table("hll_regs"), 0, 6)
+      .collect().map(_.toSeq).toSet
+    // the batch comparator runs the SAME serve chain on a batch-built
+    // register table — equality proves the streaming max-merge state is
+    // exactly the batch fold
+    def batchServe(prefix: org.apache.spark.sql.DataFrame) = {
+      val tshift = Integer.numberOfTrailingZeros(OccurrenceView.TileSize)
+      val base = MapBuild.withPixels(prefix, "EPSG:4326").select(
+        shiftright(col("px"), OccurrenceView.MaxZoom - 6 + tshift).as("tx"),
+        shiftright(col("py"), OccurrenceView.MaxZoom - 6 + tshift).as("ty"),
+        graft.operators.Sketch.tokenHash(col("l_partkey").cast("string")).as("h"))
+      graft.streaming.EventStream.distinctPyramidServe(
+        graft.operators.Sketch.hllRegisterRows(base, Seq("tx", "ty"), col("h")), 0, 6)
+        .collect().map(_.toSeq).toSet
+    }
+    try {
+      q.processAllAvailable()
+      val s1 = served
+      assert(s1.nonEmpty && s1 === batchServe(p1))
+      // bounded state: one row per live (tile, register)
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+      assert(stateRows === spark.table("hll_regs").count(),
+        "state store must hold exactly the live register rows")
+      occ.filter(col("l_orderkey") % 2 === 1)
+        .write.parquet(tmp.resolve("b2").toString)
+      q.processAllAvailable()
+      assert(served === batchServe(occ))
+    } finally q.stop()
+  }
+
   test("MVT golden invariants: per-feature year-sum equals total; z5 parent " +
     "totals equal decoded z6 children (AggregationsTest/YearFilteringTest analogs)") {
     val px16 = MapBuild.pixelAgg(OccurrenceView.occ(spark, Dir), "EPSG:4326").cache()
