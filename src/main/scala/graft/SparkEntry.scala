@@ -996,6 +996,17 @@ object SparkEntry {
     "q122_dhash_neardup" -> ((s, dir) =>
       graft.operators.Media.dhashNearDup(documents(s, dir))),
 
+    // IMAGE duplicate clusters: connected components (the q47 min-label
+    // machinery, factored free of its LSH edge source) over the verified
+    // dHash Hamming-ball edges — the cross-modality composition a media
+    // dedup pipeline runs (pairs alone don't dedup; clusters pick one
+    // canonical per connected set)
+    "q148_image_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.clustersFromEdges(docs.select("doc_id"),
+        graft.operators.Media.dhashNearDup(docs))
+    }),
+
     // Inverted-index build: df + delta-encoded posting prefix per term; the
     // prefix is the KMV aggregator's bottom-k of raw doc ids (k-long
     // bounded partial-agg state — no term's posting list is ever sorted
@@ -2868,6 +2879,17 @@ SELECT source, doc_id FROM rk WHERE rn <= n_keep""",
     "q121_dhash" -> graft.operators.Media.dhashHashSql,
 
     "q122_dhash_neardup" -> graft.operators.Media.dhashNearDupSql(),
+
+    // q47's recursive-closure labeling over the dHash edge query (the full
+    // q122 oracle SQL nested as the ed0 CTE)
+    "q148_image_clusters" -> s"""WITH RECURSIVE ed0 AS (
+${graft.operators.Media.dhashNearDupSql()}),
+ed AS (SELECT doc_a AS a, doc_b AS b FROM ed0 UNION SELECT doc_b, doc_a FROM ed0),
+cl AS (SELECT a, b FROM ed UNION SELECT cl.a, ed.b FROM cl JOIN ed ON cl.b = ed.a),
+lbl AS (SELECT d.doc_id, LEAST(d.doc_id, coalesce(min(cl.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.a = d.doc_id
+  GROUP BY d.doc_id)
+SELECT doc_id, cluster_id FROM lbl""",
 
     "q123_postings" -> """WITH tk AS (
   SELECT doc_id,

@@ -256,8 +256,18 @@ object Dedup {
     * pattern (rounds ≤ graph diameter; at 100 TB each round is one shuffle
     * over the edge list, with checkpoints to cut lineage).
     */
-  def duplicateClusters(docs: DataFrame, minEst: Double): DataFrame = {
-    val edges = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+  def duplicateClusters(docs: DataFrame, minEst: Double): DataFrame =
+    clustersFromEdges(docs.select("doc_id"),
+      lshCandidatePairs(docs, minEst).select("doc_a", "doc_b"))
+
+  /** Min-label connected components over an ARBITRARY (doc_a, doc_b) edge
+    * list — [[duplicateClusters]] factored free of the LSH edge source so
+    * other verified-pair generators compose with it (q148 runs it over the
+    * dHash Hamming-ball image edges; any modality's near-dup pairs work).
+    * `ids` is one row per node (doc_id); isolated nodes label themselves.
+    */
+  def clustersFromEdges(ids: DataFrame, edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.select("doc_a", "doc_b")
     // localCheckpoint (eager) truncates the logical plan each round — the
     // propagation plan references `labels` twice, so without lineage cuts the
     // plan tree doubles per round and the driver dies on plan blow-up long
@@ -267,7 +277,7 @@ object Dedup {
       .union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = ids.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     // labels only ever DECREASE (least of self and neighbours), so the
     // label sum is strictly monotone until the fixpoint — an aggregate on
