@@ -519,6 +519,69 @@ object Similarity {
           / 1e6, 6).as("sim"))
   }
 
+  /** IVF RECALL AUDIT — the evaluation an ANN index ships with: for every
+    * query of the broadcast query set (the q134 convention,
+    * vec_id % 100 = 0), the brute-force cosine top-k is the ground truth
+    * and the IVF-probed top-k (nprobe cells of [[ivfCellCol]]'s codebook)
+    * is the candidate; output = per-query hit count and integer
+    * micro-recall. The ANN analog of q114's est-vs-exact and q139's LSH
+    * calibration: the recall/scan-fraction evidence you publish BEFORE
+    * trusting the index at corpus scale.
+    *
+    * Scale shape: both arms are the q134 mechanism (corpus × broadcast
+    * bounded query set, packed-key KMV top-k state — never a per-query
+    * sort); the IVF arm additionally semi-joins the broadcast
+    * (query, cell) probe table, so it scans the probed fraction only. The
+    * probe table derives from the 16-row codebook (bounded collect,
+    * watch-list class) crossed with the query set — both broadcast-bounded.
+    */
+  def ivfRecall(emb: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(sqNorm(col("embedding"))).as("nrm"))
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val corpus = base.filter(col("vec_id") % 100 =!= 0)
+      .withColumn("cell", ivfCellCol(spark, cents))
+    // nprobe nearest cells per query, from the 16-row codebook table
+    val ss = spark
+    import ss.implicits._
+    val centDf = cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cemb")
+    val l2 = expr("aggregate(zip_with(qv, cemb, " +
+      "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+    val probes = queries.select("query_id", "qv")
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", l2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("rn") <= nprobe).select("query_id", "cell")
+    val kmv = udaf(new Sketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val simMicro = round(
+      round(dotCols(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+        * 1e6, 0).cast("long")
+    def topIds(cand: DataFrame) = cand
+      .select(col("query_id"),
+        ((lit(1000000L) - simMicro) * lit(1099511627776L) + col("vec_id"))
+          .as("pk"))
+      .groupBy("query_id").agg(kmv(col("pk")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("pk"))
+      .select(col("query_id"), expr("pk % 1099511627776").as("vec_id"))
+    val brute = topIds(corpus.crossJoin(broadcast(queries)))
+    val ivf = topIds(corpus.crossJoin(broadcast(queries))
+      .join(broadcast(probes), Seq("query_id", "cell"), "left_semi"))
+    brute.join(ivf.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+  }
+
   /** Per-label embedding statistics — the class prototype (nearest-class-
     * mean classification, contrastive anchor means) and per-dimension
     * variance (feature-collapse / dead-dimension detection) a training
