@@ -645,6 +645,12 @@ object SparkEntry {
     "q149_ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(embeddings(s, dir), 5)),
 
+    // the nprobe TUNING CURVE in one pass: recall@5 per (query, nprobe) for
+    // the whole grid, sims + cell ranking computed once; nprobe=16 probes
+    // every cell, so that row is a built-in brute-equivalence sanity check
+    "q150_ivf_sweep" -> ((s, dir) =>
+      Similarity.ivfRecallSweep(embeddings(s, dir), 5, Seq(1, 2, 4, 8, 16))),
+
     // Similarity: int8 quantization (scale + index-weighted checksum)
     "q65_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir))),
@@ -2001,6 +2007,49 @@ SELECT b.query_id,
   CAST(count(i.vec_id) AS BIGINT) * 1000000 // 5 AS recall_micro
 FROM brute b LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
 GROUP BY b.query_id"""
+    },
+
+    "q150_ivf_sweep" -> {
+      def l2Sql(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) for i in range(1, 65)]), " +
+          s"(a, b) -> a + b)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+    ${dotSql("embedding", "embedding")} AS sq
+  FROM embeddings WHERE vec_id % 100 = 0),
+c0 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS se
+  FROM embeddings WHERE vec_id % 100 <> 0),
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < ${Similarity.IvfK}),
+d AS (SELECT c0.vec_id, cent.cid, ${l2Sql("c0.embedding", "cent.cemb")} AS dist FROM c0, cent),
+cellof AS (SELECT vec_id, cid AS cell FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+qd AS (SELECT q.query_id, cent.cid, ${l2Sql("q.qv", "cent.cemb")} AS dist FROM q, cent),
+ranked AS (SELECT query_id, cid AS cell,
+  row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS crank FROM qd),
+grid AS (SELECT unnest([1, 2, 4, 8, 16]) AS nprobe),
+sims AS (SELECT q.query_id, c0.vec_id,
+    CAST(round(round(${dotSql("c0.embedding", "q.qv")}
+      / (sqrt(c0.se) * sqrt(q.sq)), 6) * 1000000, 0) AS BIGINT) AS sm
+  FROM c0 CROSS JOIN q),
+bp AS (SELECT query_id, (1000000 - sm) * 1099511627776 + vec_id AS pk FROM sims),
+brute AS (SELECT query_id, pk % 1099511627776 AS vec_id FROM (
+  SELECT query_id, pk, row_number() OVER (PARTITION BY query_id ORDER BY pk) AS rn FROM bp)
+  WHERE rn <= 5),
+ip AS (SELECT s.query_id, g.nprobe,
+    (1000000 - s.sm) * 1099511627776 + s.vec_id AS pk
+  FROM sims s JOIN cellof ON s.vec_id = cellof.vec_id
+  JOIN ranked r ON r.query_id = s.query_id AND r.cell = cellof.cell
+  CROSS JOIN grid g WHERE r.crank <= g.nprobe),
+ivf AS (SELECT query_id, nprobe, pk % 1099511627776 AS vec_id FROM (
+  SELECT query_id, nprobe, pk,
+    row_number() OVER (PARTITION BY query_id, nprobe ORDER BY pk) AS rn FROM ip)
+  WHERE rn <= 5)
+SELECT i.query_id, CAST(i.nprobe AS INT) AS nprobe,
+  CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+  CAST(count(b.vec_id) AS BIGINT) * 1000000 // 5 AS recall_micro
+FROM ivf i LEFT JOIN brute b ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY i.query_id, i.nprobe"""
     },
 
     "q65_embed_quantize" -> """WITH m AS (

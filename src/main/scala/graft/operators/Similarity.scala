@@ -582,6 +582,68 @@ object Similarity {
         expr(s"n_hits * 1000000 div $k").as("recall_micro"))
   }
 
+  /** The nprobe TUNING SWEEP over [[ivfRecall]]'s audit: recall@k per
+    * (query, nprobe) for a whole nprobe grid in ONE pass — sims and the
+    * per-query cell ranking compute once; each candidate row fans out only
+    * to the grid entries whose probe radius includes its cell's rank, and
+    * the per-(query, nprobe) top-k is KMV state as everywhere else. This
+    * is the curve (recall vs scan fraction ∝ nprobe/K) an index operator
+    * actually reads to pick nprobe; a grid containing K itself yields a
+    * built-in sanity row (probing every cell ≡ brute force → recall 1.0,
+    * asserted by the oracle since both engines must agree on it).
+    */
+  def ivfRecallSweep(emb: DataFrame, k: Int, nprobes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(sqNorm(col("embedding"))).as("nrm"))
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val corpus = base.filter(col("vec_id") % 100 =!= 0)
+      .withColumn("cell", ivfCellCol(spark, cents))
+    val ss = spark
+    import ss.implicits._
+    val centDf = cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cemb")
+    val l2 = expr("aggregate(zip_with(qv, cemb, " +
+      "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+    val ranked = queries.select("query_id", "qv")
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", l2)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("crank") <= nprobes.max).select("query_id", "cell", "crank")
+    val kmv = udaf(new Sketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val simMicro = round(
+      round(dotCols(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+        * 1e6, 0).cast("long")
+    val pk = ((lit(1000000L) - simMicro) * lit(1099511627776L) + col("vec_id")).as("pk")
+    val sims = corpus.crossJoin(broadcast(queries))
+    val brute = sims.select(col("query_id"), pk)
+      .groupBy("query_id").agg(kmv(col("pk")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("pk"))
+      .select(col("query_id"), expr("pk % 1099511627776").as("vec_id"))
+    val grid = array(nprobes.map(lit): _*)
+    val ivf = sims
+      .join(broadcast(ranked), Seq("query_id", "cell")) // cells beyond max(grid) drop here
+      .select(col("query_id"), col("crank"), pk)
+      .withColumn("nprobe", explode(grid))
+      .filter(col("crank") <= col("nprobe"))
+      .groupBy("query_id", "nprobe").agg(kmv(col("pk")).as("topk"))
+      .select(col("query_id"), col("nprobe"), explode(col("topk")).as("pk"))
+      .select(col("query_id"), col("nprobe"),
+        expr("pk % 1099511627776").as("vec_id"))
+    ivf.join(brute.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id", "nprobe")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("nprobe").cast("int").as("nprobe"),
+        col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+  }
+
   /** Per-label embedding statistics — the class prototype (nearest-class-
     * mean classification, contrastive anchor means) and per-dimension
     * variance (feature-collapse / dead-dimension detection) a training

@@ -134,6 +134,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // ground-truth arm and IVF probed arm), plus query set × 16-row
       // codebook for the probe table
       "q149_ivf_recall",
+      // q150: q149's shape swept over the bounded nprobe grid
+      "q150_ivf_sweep",
       // q137: the Σw normalizer is a broadcast 1-row scalar
       "q137_negative_sampling")
 
