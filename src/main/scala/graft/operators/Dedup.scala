@@ -518,6 +518,11 @@ object Dedup {
     * window, no cap, no estimator.
     */
   def ppjoinPairs(docs: DataFrame, tMicro: Long): DataFrame = {
+    // persisted handle outlives this call BY DESIGN: the returned lazy plan
+    // reads `sh` on both verify-join sides, so an eager unpersist here would
+    // recompute the trigram sets 3×. Lifecycle is caller-owned, as with the
+    // q34 pixel table: every sweep consumer (Verify/Bench/BenchScale loops,
+    // PlanSpec afterAll) clears the cache after each query's action.
     val sh = docs.withColumn("s", trigramHashSetUdf(col("text")))
       .filter(size(col("s")) > 0)
       .select(col("doc_id"), col("s"))
@@ -757,13 +762,16 @@ object Dedup {
   /** The `"auto"` dispatch decision of [[triangles]], exposed so the
     * fixture tests pin the rule itself. */
   def triangleOrientation(e: DataFrame): String = {
+    // coalesce: max/sum over ZERO rows are null — an empty edge list must
+    // dispatch (to "id", where the self-joins are trivially empty), not NPE
     val r = e.select(col("doc_a").as("doc_id"))
       .unionByName(e.select(col("doc_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
-      .agg(max("deg").as("max_deg"), (sum("deg") / 2).cast("long").as("m"))
+      .agg(coalesce(max("deg"), lit(0L)).as("max_deg"),
+        coalesce((sum("deg") / 2).cast("long"), lit(0L)).as("m"))
       .collect()(0)
     val (maxDeg, m) = (r.getLong(0), r.getLong(1))
-    if (maxDeg > 4 * math.sqrt(m.toDouble)) "degree" else "id"
+    if (m > 0 && maxDeg > 4 * math.sqrt(m.toDouble)) "degree" else "id"
   }
 
   def triangles(e: DataFrame, orientation: String = "auto"): DataFrame = {
@@ -792,6 +800,8 @@ object Dedup {
           when(ka < kb, col("doc_a")).otherwise(col("doc_b")).as("src"),
           when(ka < kb, col("doc_b")).otherwise(col("doc_a")).as("dst"),
           when(ka < kb, kb).otherwise(ka).as("dk"))
+        // read 3× by the returned plan (two wedge legs + closure probe);
+        // caller-owned lifecycle — sweep consumers clearCache per query
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       o.as("w1")
         .join(o.as("w2"),

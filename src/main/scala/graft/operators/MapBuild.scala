@@ -516,8 +516,17 @@ object MapBuild {
   }
 
   def incrementalPyramid(state: DataFrame, pyramid: DataFrame, deltaOcc: DataFrame,
-      epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
-    val deltaTop = topLevel(deltaOcc, epsg, maxZoom)
+      epsg: String, minZoom: Int, maxZoom: Int): DataFrame =
+    incrementalPyramidFromTop(state, pyramid, topLevel(deltaOcc, epsg, maxZoom),
+      minZoom, maxZoom)
+
+  /** [[incrementalPyramid]] over a caller-prepared delta TOP-LEVEL pixel
+    * table — so [[incrementalPyramidAuto]] can size the dirty set from the
+    * same (persisted) deltaTop it then passes through, running the delta
+    * aggregation once per ingest instead of twice.
+    */
+  def incrementalPyramidFromTop(state: DataFrame, pyramid: DataFrame,
+      deltaTop: DataFrame, minZoom: Int, maxZoom: Int): DataFrame = {
     val zs = array((minZoom to maxZoom).map(lit): _*)
     val dirty = deltaTop
       .withColumn("z", explode(zs))
@@ -557,7 +566,12 @@ object MapBuild {
   def incrementalPyramidAuto(state: DataFrame, pyramid: DataFrame,
       deltaOcc: DataFrame, epsg: String, minZoom: Int, maxZoom: Int,
       maxDirtyKeys: Long = 8000000L): DataFrame = {
+    // persisted so the sizing count AND the chosen plan read ONE delta
+    // aggregation (previously the count discarded its deltaTop and the
+    // incremental path recomputed it — the whole delta pipeline twice per
+    // ingest). Lifecycle caller-owned: sweep consumers clearCache per query.
     val deltaTop = topLevel(deltaOcc, epsg, maxZoom)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zs = array((minZoom to maxZoom).map(lit): _*)
     val nDirty = deltaTop
       .withColumn("z", explode(zs))
@@ -569,7 +583,7 @@ object MapBuild {
       pyramidFromState(
         sumAgg(state.unionByName(deltaTop), Seq("map_key", "px", "py"), Seq("total")),
         minZoom, maxZoom)
-    else incrementalPyramid(state, pyramid, deltaOcc, epsg, minZoom, maxZoom)
+    else incrementalPyramidFromTop(state, pyramid, deltaTop, minZoom, maxZoom)
   }
 
   /** Coarse-cell partition value of a maxZoom-grain pixel: the zoom-`zc`
@@ -589,21 +603,100 @@ object MapBuild {
     * maxZoom=6 that is a 256× reduction) from which the few coarse levels
     * (z < zc) recompute without touching the full state.
     */
-  def writePrunedState(state: DataFrame, path: String, maxZoom: Int, zc: Int): Unit = {
-    state
+  def writePrunedState(state: DataFrame, path: String, maxZoom: Int, zc: Int): Unit =
+    writePrunedStateAs(state, path, maxZoom, zc, Nil, Seq("total"))
+
+  /** Within-cell salt buckets for pruned-state fine writes. The write
+    * repartitions on (pt, salt) instead of pt alone: `partitionBy("pt")`
+    * still yields one DIRECTORY per coarse cell (the pruned reader's
+    * layout), but a cell's rows spread across up to this many write tasks
+    * instead of serializing through one — write parallelism scales with
+    * cells × salt, independent of how hot any one cell is, and
+    * files-per-cell stays bounded at the salt count.
+    */
+  val StateSaltBuckets = 8
+
+  /** Write one fine-state table in the prunable layout (partitioned by
+    * coarse cell, salted within cell). Shared by [[writePrunedStateAs]]
+    * and the store lifecycle's dirty-cell rewrite
+    * (Workflow.incrementalUpdate), so the layout exists once.
+    *
+    * AQE interplay (intended): the salt bounds the MAXIMUM tasks per cell;
+    * partition coalescing may still merge below-advisory-size (pt, salt)
+    * partitions — so tiny cells collapse toward one file (fewer small
+    * files), while a genuinely hot cell's salt splits sit above the
+    * advisory size and keep their parallelism. The SinkSpec salt test
+    * disables coalescing to observe the full split at sandbox scale.
+    */
+  private[graft] def writeFineCells(cells: DataFrame, finePath: String,
+      maxZoom: Int, zc: Int): Unit = {
+    require(zc <= maxZoom && zc >= 0,
+      s"need 0 <= zc <= maxZoom, got zc=$zc maxZoom=$maxZoom")
+    cells
       .withColumn("pt", coarseCell(col("px"), col("py"), maxZoom, zc))
-      // co-locate each cell before the partitioned write: one file per pt
-      // directory instead of one per (shuffle partition × pt) — fewer,
-      // bigger files is what the pruned reader wants to open
-      .repartition(col("pt"))
-      .write.mode("overwrite").partitionBy("pt").parquet(s"$path/fine")
-    sumAgg(state.select(
-        col("map_key"),
-        shiftright(col("px"), maxZoom - zc).as("px"),
-        shiftright(col("py"), maxZoom - zc).as("py"),
-        col("total")),
-      Seq("map_key", "px", "py"), Seq("total"))
+      .repartition(col("pt"),
+        pmod(hash(col("px"), col("py")), lit(StateSaltBuckets)))
+      .write.mode("overwrite").partitionBy("pt").parquet(finePath)
+  }
+
+  /** Parameterized pruned-state writer — ONE implementation of the
+    * fine/coarse layout for every state schema: `extraKeys` are key columns
+    * beyond (map_key, px, py) (the store lifecycle threads bor_year
+    * through), `valueCols` the sum-mergeable values ("total" here,
+    * "occ_count" there). [[writePrunedState]] and Workflow.writeState both
+    * delegate here, so a layout change happens in one place.
+    */
+  private[graft] def writePrunedStateAs(state: DataFrame, path: String,
+      maxZoom: Int, zc: Int, extraKeys: Seq[String],
+      valueCols: Seq[String]): Unit = {
+    writeFineCells(state, s"$path/fine", maxZoom, zc)
+    sumAgg(
+      state.select((Seq(col("map_key"),
+          shiftright(col("px"), maxZoom - zc).as("px"),
+          shiftright(col("py"), maxZoom - zc).as("py")) ++
+        (extraKeys ++ valueCols).map(col)): _*),
+      Seq("map_key", "px", "py") ++ extraKeys, valueCols)
       .write.mode("overwrite").parquet(s"$path/coarse")
+  }
+
+  /** The delta's coarse-cell footprint — the value list for the partition
+    * filter. Bounded driver collect (≤ 4^zc values, the documented
+    * watch-list class).
+    */
+  private[graft] def dirtyCells(deltaTop: DataFrame, maxZoom: Int, zc: Int): Seq[Int] =
+    deltaTop.select(coarseCell(col("px"), col("py"), maxZoom, zc).as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Pruned fine-state merge: dirty cells' files (partition filter — clean
+    * cells' files never open) ∪ delta top, collapsed by keyed addition.
+    */
+  private[graft] def mergedFineState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, deltaTop: DataFrame, dirtyPts: Seq[Int],
+      extraKeys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val cols = Seq("map_key", "px", "py") ++ extraKeys ++ valueCols
+    val fine = spark.read.parquet(s"$statePath/fine")
+      .filter(col("pt").isin(dirtyPts: _*))
+      .select(cols.map(col): _*)
+    sumAgg(fine.unionByName(deltaTop.select(cols.map(col): _*)),
+      Seq("map_key", "px", "py") ++ extraKeys, valueCols)
+  }
+
+  /** Coarse side-table merge: the delta collapsed to zc grain, added into
+    * the stored rollup by keyed addition (full rewrite of the
+    * 4^(maxZoom−zc)×-smaller table).
+    */
+  private[graft] def mergedCoarseState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, deltaTop: DataFrame, maxZoom: Int, zc: Int,
+      extraKeys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val deltaCoarse = sumAgg(
+      deltaTop.select((Seq(col("map_key"),
+          shiftright(col("px"), maxZoom - zc).as("px"),
+          shiftright(col("py"), maxZoom - zc).as("py")) ++
+        (extraKeys ++ valueCols).map(col)): _*),
+      Seq("map_key", "px", "py") ++ extraKeys, valueCols)
+    sumAgg(
+      spark.read.parquet(s"$statePath/coarse").unionByName(deltaCoarse),
+      Seq("map_key", "px", "py") ++ extraKeys, valueCols)
   }
 
   /** [[incrementalPyramid]] with a DELTA-PROPORTIONAL STATE SCAN: the
@@ -649,9 +742,7 @@ object MapBuild {
         expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
         expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
       .distinct()
-    val dirtyPts = deltaTop
-      .select(coarseCell(col("px"), col("py"), maxZoom, zc).as("pt"))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded: ≤ 4^zc values
+    val dirtyPts = dirtyCells(deltaTop, maxZoom, zc) // bounded: ≤ 4^zc values
 
     def tileStats(pixels: DataFrame, grainZoom: Int, zLo: Int, zHi: Int): DataFrame =
       pixels
@@ -668,12 +759,10 @@ object MapBuild {
         .select("map_key", "tx", "ty", "n_pixels", "total", "z")
 
     // fine levels (z >= zc): pruned state read — the partition filter is
-    // the whole point; keep it a direct filter on the partition column
-    val fine = spark.read.parquet(s"$statePath/fine")
-      .filter(col("pt").isin(dirtyPts: _*))
-      .select("map_key", "px", "py", "total")
-    val mergedFine = sumAgg(fine.unionByName(deltaTop),
-      Seq("map_key", "px", "py"), Seq("total"))
+    // the whole point ([[mergedFineState]] keeps it a direct filter on the
+    // partition column)
+    val mergedFine =
+      mergedFineState(spark, statePath, deltaTop, dirtyPts, Nil, Seq("total"))
     // fine levels start at zc — or at minZoom when the request begins
     // above the coarse cut (then the coarse table never enters)
     val recomputedFine = tileStats(mergedFine, maxZoom, math.max(zc, minZoom), maxZoom)
@@ -682,15 +771,8 @@ object MapBuild {
     val recomputed =
       if (minZoom >= zc) recomputedFine
       else {
-        val deltaCoarse = sumAgg(deltaTop.select(
-            col("map_key"),
-            shiftright(col("px"), maxZoom - zc).as("px"),
-            shiftright(col("py"), maxZoom - zc).as("py"),
-            col("total")),
-          Seq("map_key", "px", "py"), Seq("total"))
-        val mergedCoarse = sumAgg(
-          spark.read.parquet(s"$statePath/coarse").unionByName(deltaCoarse),
-          Seq("map_key", "px", "py"), Seq("total"))
+        val mergedCoarse = mergedCoarseState(
+          spark, statePath, deltaTop, maxZoom, zc, Nil, Seq("total"))
         recomputedFine.unionByName(tileStats(mergedCoarse, zc, minZoom, zc - 1))
       }
     pyramid.join(broadcast(dirty), Seq("map_key", "z", "tx", "ty"), "left_anti")

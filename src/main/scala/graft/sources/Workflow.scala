@@ -33,30 +33,19 @@ object Workflow {
     */
   val StateCoarseZoom = 2
 
-  private val TShift =
-    Integer.numberOfTrailingZeros(graft.operators.OccurrenceView.TileSize)
+  /** The lifecycle's state schema beyond (map_key, px, py): bor_year rides
+    * through the state so serving filters re-derive without raw records. */
+  private val StateExtraKeys = Seq("bor_year")
+  private val StateValueCols = Seq("occ_count")
 
-  /** Coarse-cell partition value of a maxZoom-grain state pixel. */
-  private def statePt(maxZoom: Int) = {
-    val shiftC = TShift + (maxZoom - StateCoarseZoom)
-    (shiftright(col("px"), shiftC) * lit(1L << StateCoarseZoom) +
-      shiftright(col("py"), shiftC)).cast("int")
-  }
-
-  /** Persist one projection's pixel state in the prunable layout:
-    * `fine/` partitioned by coarse cell, `coarse/` the zc-grain rollup. */
-  private def writeState(state: DataFrame, path: String, maxZoom: Int): Unit = {
-    state.withColumn("pt", statePt(maxZoom))
-      // one file per cell directory (see MapBuild.writePrunedState)
-      .repartition(col("pt"))
-      .write.mode("overwrite").partitionBy("pt").parquet(s"$path/fine")
-    state.groupBy(col("map_key"),
-        shiftright(col("px"), maxZoom - StateCoarseZoom).as("px"),
-        shiftright(col("py"), maxZoom - StateCoarseZoom).as("py"),
-        col("bor_year"))
-      .agg(sum("occ_count").as("occ_count"))
-      .write.mode("overwrite").parquet(s"$path/coarse")
-  }
+  /** Persist one projection's pixel state in the prunable layout — ONE
+    * delegation to the shared core (MapBuild.writePrunedStateAs) with the
+    * lifecycle's bor_year key threaded through; the fine/coarse layout
+    * logic itself exists once, in MapBuild.
+    */
+  private def writeState(state: DataFrame, path: String, maxZoom: Int): Unit =
+    graft.operators.MapBuild.writePrunedStateAs(state, path, maxZoom,
+      StateCoarseZoom, StateExtraKeys, StateValueCols)
 
   /** Recursive file copy — the parquet-store analog of referencing a clean
     * partition's files from the new version's manifest instead of
@@ -65,10 +54,15 @@ object Workflow {
     */
   private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
     Files.createDirectories(to)
-    Files.list(from).forEach { p =>
-      val t = to.resolve(p.getFileName)
-      if (Files.isDirectory(p)) copyTree(p, t)
-      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    // Using.resource: Files.list holds a directory handle that plain
+    // forEach never closes — recursing per copied partition leaked one fd
+    // per directory until GC
+    scala.util.Using.resource(Files.list(from)) { s =>
+      s.forEach { p =>
+        val t = to.resolve(p.getFileName)
+        if (Files.isDirectory(p)) copyTree(p, t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
     }
   }
 
@@ -303,38 +297,31 @@ object Workflow {
       val zc = StateCoarseZoom
       val deltaTop = MapBuild.pixelAggAt(delta, epsg, maxZoom)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // the delta's coarse-cell footprint — the partition filter; a bounded
-      // driver collect (≤ 2·4^zc values)
-      val dirtyPts = deltaTop.select(statePt(maxZoom).as("pt")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      val mergedDirty = spark.read
-        .parquet(s"$prevState/${srsDir(epsg)}/fine")
-        .filter(col("pt").isin(dirtyPts: _*))
-        .select("map_key", "px", "py", "bor_year", "occ_count")
-        .unionByName(deltaTop)
-        .groupBy("map_key", "px", "py", "bor_year")
-        .agg(sum("occ_count").as("occ_count"))
+      // pruned merge + dirty-cell rewrite, all through the SHARED core in
+      // MapBuild (dirtyCells / mergedFineState / writeFineCells /
+      // mergedCoarseState) — the q145 operator and this lifecycle execute
+      // the same layout logic, parameterized by the bor_year state schema
+      val dirtyPts = MapBuild.dirtyCells(deltaTop, maxZoom, zc)
+      val mergedDirty = MapBuild.mergedFineState(spark,
+          s"$prevState/${srsDir(epsg)}", deltaTop, dirtyPts,
+          StateExtraKeys, StateValueCols)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      mergedDirty.withColumn("pt", statePt(maxZoom))
-        .repartition(col("pt")) // one file per rewritten cell
-        .write.mode("overwrite").partitionBy("pt")
-        .parquet(s"$statePath/${srsDir(epsg)}/fine")
+      MapBuild.writeFineCells(mergedDirty,
+        s"$statePath/${srsDir(epsg)}/fine", maxZoom, zc)
       val dirtyDirs = dirtyPts.map(p => s"pt=$p").toSet
-      Files.list(Paths.get(s"$prevState/${srsDir(epsg)}/fine")).forEach { p =>
-        val n = p.getFileName.toString
-        if (Files.isDirectory(p) && n.startsWith("pt=") && !dirtyDirs(n))
-          copyTree(p, Paths.get(s"$statePath/${srsDir(epsg)}/fine/$n"))
+      scala.util.Using.resource(
+          Files.list(Paths.get(s"$prevState/${srsDir(epsg)}/fine"))) { st =>
+        st.forEach { p =>
+          val n = p.getFileName.toString
+          if (Files.isDirectory(p) && n.startsWith("pt=") && !dirtyDirs(n))
+            copyTree(p, Paths.get(s"$statePath/${srsDir(epsg)}/fine/$n"))
+        }
       }
       // coarse side table: keyed addition at zc grain, full rewrite of the
       // 4^(maxZoom−zc)×-smaller table
-      val mergedCoarse = spark.read
-        .parquet(s"$prevState/${srsDir(epsg)}/coarse")
-        .unionByName(deltaTop.groupBy(col("map_key"),
-            shiftright(col("px"), maxZoom - zc).as("px"),
-            shiftright(col("py"), maxZoom - zc).as("py"), col("bor_year"))
-          .agg(sum("occ_count").as("occ_count")))
-        .groupBy("map_key", "px", "py", "bor_year")
-        .agg(sum("occ_count").as("occ_count"))
+      val mergedCoarse = MapBuild.mergedCoarseState(spark,
+          s"$prevState/${srsDir(epsg)}", deltaTop, maxZoom, zc,
+          StateExtraKeys, StateValueCols)
         .persist(StorageLevel.MEMORY_AND_DISK)
       mergedCoarse.write.mode("overwrite")
         .parquet(s"$statePath/${srsDir(epsg)}/coarse")

@@ -694,6 +694,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     hub.unpersist()
   }
 
+  test("triangle dispatch on an EMPTY edge list returns id and an empty " +
+    "triangle stats result (max/sum over zero rows are null — the auto " +
+    "path must coalesce, not NPE)") {
+    val ss = spark; import ss.implicits._
+    val empty = ss.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.triangleOrientation(empty) === "id")
+    // the q117 shape end-to-end: a corpus whose candidate pairs are empty
+    // (two unrelated docs above the similarity floor) previously crashed
+    // inside the auto dispatch
+    val docs = Seq(
+      (1L, (0 until 80).map(i => s"aa$i").mkString(" "), "s"),
+      (2L, (0 until 80).map(i => s"bb$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    assert(Dedup.triangleStats(docs, 0.99).count() === 0L)
+  }
+
   test("winnowing is alignment-free: a shared ≥11-char substring is found " +
     "at ANY offset, where fixed chunk boundaries would shift") {
     val ss = spark; import ss.implicits._

@@ -434,4 +434,53 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fallback rebuild diverged from the incremental result")
     state.unpersist()
   }
+
+  test("pruned-state fine write salts WITHIN each coarse cell: a hot cell's " +
+    "rows spread across multiple write tasks/files (parallelism scales with " +
+    "cells x salt, not cells), layout keeps one directory per cell and the " +
+    "rows round-trip unchanged; zc > maxZoom is rejected") {
+    import graft.operators.MapBuild
+    val o = graft.operators.OccurrenceView.occ(spark, Dir)
+    // spatially CONCENTRATED state — the skewed fixture: nearly all pixels
+    // land in very few zoom-2 cells, the case where repartition(pt) alone
+    // serialized each hot cell through ONE write task
+    val hot = o.filter(col("lng") >= 0 && col("lng") < 30 &&
+      col("lat") >= -30 && col("lat") < 0)
+    val state = MapBuild.pyramidState(hot, "EPSG:4326", 6)
+    val store = java.nio.file.Files.createTempDirectory("salted-state").toString
+    // at sandbox scale every (pt, salt) split is below the AQE advisory
+    // size and coalescing would (correctly) re-merge them — disable it for
+    // the write so the salt's task split is observable; at 100 TB a hot
+    // cell's splits exceed the advisory size and keep their parallelism
+    // with coalescing ON (see writeFineCells' Scaladoc)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try MapBuild.writePrunedState(state, store, 6, 2)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val dirs = new java.io.File(s"$store/fine").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pt="))
+    assert(dirs.nonEmpty, "no coarse-cell directories written")
+    val filesPerCell = dirs.map(d => d.getName ->
+      d.listFiles().count(_.getName.startsWith("part-"))).toMap
+    // the hot cell must have been written by >1 task (pre-salt: exactly 1
+    // file per cell) and stay bounded by the salt count
+    assert(filesPerCell.values.max > 1,
+      s"hot cell serialized through one write task: $filesPerCell")
+    assert(filesPerCell.values.max <= MapBuild.StateSaltBuckets,
+      s"files per cell exceeded the salt bound: $filesPerCell")
+    // total write tasks across the store exceed the cell count — the
+    // directive's parallelism assertion, phrased on the artifact
+    assert(filesPerCell.values.sum > dirs.length,
+      s"write used no more tasks than cells: $filesPerCell")
+    // rows unchanged by the salted layout
+    val back = spark.read.parquet(s"$store/fine")
+      .select("map_key", "px", "py", "total")
+      .collect().map(_.toSeq).toSet
+    assert(back === state.select("map_key", "px", "py", "total")
+      .collect().map(_.toSeq).toSet)
+    // layout validation now guards the WRITER too (previously only the
+    // reader): a zc beyond maxZoom corrupted the partition value silently
+    intercept[IllegalArgumentException] {
+      MapBuild.writePrunedState(state, store + "-bad", 6, 7)
+    }
+  }
 }
