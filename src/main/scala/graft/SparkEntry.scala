@@ -651,6 +651,18 @@ object SparkEntry {
     "q150_ivf_sweep" -> ((s, dir) =>
       Similarity.ivfRecallSweep(embeddings(s, dir), 5, Seq(1, 2, 4, 8, 16))),
 
+    // PQ recall audit — the q149 analog for the OTHER approximate index:
+    // per-query hits of the PqM-way ADC-quantized top-5 against exact
+    // ground truth (quantization bias, not probe truncation)
+    "q151_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(embeddings(s, dir), 5)),
+
+    // the compression-vs-recall curve: recall@5 per (query, m_sub) for a
+    // grid of subvector counts in ONE pass; m_sub=0 is the identity
+    // quantizer whose row must read exactly 10⁶ — built-in brute sanity
+    "q152_pq_m_sweep" -> ((s, dir) =>
+      Similarity.pqRecallSweep(embeddings(s, dir), 5, Seq(1, 2, 4, 8, 16))),
+
     // Similarity: int8 quantization (scale + index-weighted checksum)
     "q65_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir))),
@@ -2052,6 +2064,21 @@ FROM ivf i LEFT JOIN brute b ON i.query_id = b.query_id AND i.vec_id = b.vec_id
 GROUP BY i.query_id, i.nprobe"""
     },
 
+    "q151_pq_recall" -> (pqRecallCtes(Seq(8), 5) + """
+SELECT t.query_id,
+  CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+  CAST(count(b.vec_id) AS BIGINT) * 1000000 // 5 AS recall_micro
+FROM topk t LEFT JOIN brute b ON t.query_id = b.query_id AND t.vec_id = b.vec_id
+WHERE t.m_sub = 8
+GROUP BY t.query_id"""),
+
+    "q152_pq_m_sweep" -> (pqRecallCtes(Seq(1, 2, 4, 8, 16), 5) + """
+SELECT t.query_id, CAST(t.m_sub AS INT) AS m_sub,
+  CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+  CAST(count(b.vec_id) AS BIGINT) * 1000000 // 5 AS recall_micro
+FROM topk t LEFT JOIN brute b ON t.query_id = b.query_id AND t.vec_id = b.vec_id
+GROUP BY t.query_id, t.m_sub"""),
+
     "q65_embed_quantize" -> """WITH m AS (
   SELECT vec_id, embedding,
     list_max([abs(CAST(embedding[i] AS DOUBLE)) for i in range(1, 65)]) AS mx
@@ -3297,6 +3324,49 @@ SELECT start, cur AS "end", seq FROM w4""")
     * deterministic sampled codebook (Similarity.pqCodebook mirror), and the
     * argmin code per (vector, subspace).
     */
+  /** Shared CTE chain for the q151/q152 PQ recall audits: quantized
+    * reconstruction per (vector, arm) — argmin centroid slice per
+    * subspace, identity for arm 0 — then ONE canonical 64-dim ascending
+    * fold per (query, vector, arm), packed-key top-k, hits vs the arm-0
+    * ground truth. Mirrors Similarity.pqRecallSweep token-for-token.
+    */
+  private def pqRecallCtes(arms: Seq[Int], k: Int): String = {
+    val armList = arms.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+c0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+cbq AS (SELECT vec_id AS cbk, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+arms AS (SELECT unnest([$armList]) AS m_sub),
+sub AS (SELECT m_sub, unnest(range(0, m_sub)) AS j FROM arms),
+d AS (SELECT e.vec_id, s.m_sub, s.j, c.cbk,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    [(CAST(e.embedding[s.j * (64 // s.m_sub) + i] AS DOUBLE) - CAST(c.cemb[s.j * (64 // s.m_sub) + i] AS DOUBLE))
+     * (CAST(e.embedding[s.j * (64 // s.m_sub) + i] AS DOUBLE) - CAST(c.cemb[s.j * (64 // s.m_sub) + i] AS DOUBLE))
+     for i in range(1, 64 // s.m_sub + 1)]), (a, b) -> a + b) AS dist
+  FROM c0 e CROSS JOIN sub s CROSS JOIN cbq c),
+codes AS (SELECT vec_id, m_sub, j, cbk AS code FROM (
+  SELECT vec_id, m_sub, j, cbk,
+    row_number() OVER (PARTITION BY vec_id, m_sub, j ORDER BY dist ASC, cbk ASC) AS rn
+  FROM d) WHERE rn = 1),
+rp AS (SELECT c.vec_id, c.m_sub, c.j,
+    [CAST(cbq.cemb[c.j * (64 // c.m_sub) + i] AS DOUBLE) for i in range(1, 64 // c.m_sub + 1)] AS part
+  FROM codes c JOIN cbq ON cbq.cbk = c.code),
+recon AS (
+  SELECT vec_id, m_sub, flatten(list(part ORDER BY j)) AS recon FROM rp GROUP BY vec_id, m_sub
+  UNION ALL
+  SELECT vec_id, 0 AS m_sub, [CAST(x AS DOUBLE) for x in embedding] AS recon FROM c0),
+sims AS (SELECT qq.query_id, r.vec_id, r.m_sub,
+    CAST(round(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [(CAST(qq.qv[i] AS DOUBLE) - r.recon[i]) * (CAST(qq.qv[i] AS DOUBLE) - r.recon[i])
+       for i in range(1, 65)]), (a, b) -> a + b), 6) * 1000000, 0) AS BIGINT) AS dm
+  FROM recon r CROSS JOIN q qq),
+pks AS (SELECT query_id, m_sub, dm * 2097152 + vec_id AS pk FROM sims),
+topk AS (SELECT query_id, m_sub, pk % 2097152 AS vec_id FROM (
+  SELECT query_id, m_sub, pk,
+    row_number() OVER (PARTITION BY query_id, m_sub ORDER BY pk) AS rn FROM pks)
+  WHERE rn <= $k),
+brute AS (SELECT query_id, vec_id FROM topk WHERE m_sub = 0)"""
+  }
+
   private val PqCodesSql: String = """WITH cb AS (
   SELECT vec_id AS k, embedding AS cemb FROM embeddings WHERE vec_id < 16),
 sub AS (SELECT unnest(range(0, 8)) AS m),

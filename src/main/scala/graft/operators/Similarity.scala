@@ -644,6 +644,116 @@ object Similarity {
         col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
   }
 
+  /** PQ RECALL AUDIT + m-SWEEP — the q149/q150 evidence for the OTHER
+    * approximate index: per (query, m_sub) recall@k of ADC-quantized
+    * nearest neighbours against the exact ground truth, for a grid of
+    * subvector counts `ms` plus the IDENTITY arm (m_sub = 0, no
+    * quantization). PQ's error is structurally different from IVF's —
+    * quantization BIAS in every distance (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011), not probe
+    * truncation — so recall here measures how much the m-way compression
+    * distorts the ranking, and the m grid is the compression-vs-recall
+    * curve an operator reads to size the codes.
+    *
+    * Mechanism notes:
+    *  - ADC distance over disjoint subspace slices telescopes:
+    *    Σ_j ||q_j − c_{j,code}||² = ||q − recon||² where `recon` is the
+    *    concatenation of the chosen centroids — so every arm (including
+    *    identity, recon = the vector itself) computes ONE canonical
+    *    64-dim ascending fold, bit-mirrorable in any engine. The
+    *    m_sub = 0 arm's top-k IS the brute-force ground truth, so its
+    *    recall row reads exactly 10⁶ — the built-in sanity the oracle
+    *    must agree on.
+    *  - codes per (row, arm) are row-local against the broadcast sampled
+    *    codebook (the q76 convention: subspace slices of the first
+    *    [[PqK]] embeddings; strict-< argmin ⇒ lowest-code tiebreak).
+    *  - distances pack to micro-units and the per-(query, arm) top-k is
+    *    the packed-key KMV bottom-k — never a per-query sort; multiplier
+    *    2²¹ (not 2⁴⁰) because quantized L2² can exceed the cosine range.
+    *
+    * Scale shape: corpus × (arms × broadcast query set), one keyed KMV
+    * aggregate; the codebook collect is bounded ([[PqK]] rows, watch-list
+    * class). The brute arm is the audit's cost, run-once by design (same
+    * verdict as q149).
+    */
+  def pqRecallSweep(emb: DataFrame, k: Int, ms: Seq[Int]): DataFrame = {
+    val spark = emb.sparkSession
+    val sample = emb.filter(col("vec_id") < PqK).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length == PqK,
+      s"PQ codebook needs embeddings with vec_id 0..${PqK - 1}; got ${sample.length}")
+    val dim = sample(0).length
+    require(ms.forall(m => m > 0 && dim % m == 0),
+      s"every m_sub must divide dim=$dim, got $ms")
+    val bc = spark.sparkContext.broadcast(sample)
+    // quantized reconstruction per arm: per subspace, the argmin-L2
+    // centroid's slice (ascending-index fold, strict < ⇒ lowest code);
+    // arm 0 reconstructs the vector itself (identity quantizer)
+    val reconUdf = udf { (a: Seq[Float], m: Int) =>
+      if (a == null) null
+      else if (m == 0) a.map(_.toDouble).toArray
+      else {
+        val cb = bc.value
+        val dsub = dim / m
+        val out = new Array[Double](dim)
+        var j = 0
+        while (j < m) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < PqK) {
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val t = a(j * dsub + i) - cb(c)(j * dsub + i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { out(j * dsub + i) = cb(best)(j * dsub + i); i += 1 }
+          j += 1
+        }
+        out
+      }
+    }
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpusArms = base.filter(col("vec_id") % 100 =!= 0)
+      .withColumn("m_sub", explode(array((0 +: ms.toList).map(lit): _*)))
+      .select(col("vec_id"), col("m_sub"),
+        reconUdf(col("embedding"), col("m_sub")).as("recon"))
+    // ONE canonical distance fold for every arm (see Scaladoc) — the same
+    // ascending aggregate(zip_with(...)) the oracle's list_reduce mirrors
+    val dist = expr("aggregate(zip_with(qv, recon, " +
+      "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+    val dm = round(round(dist, 6) * 1e6, 0).cast("long")
+    val kmv = udaf(new Sketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val topk = corpusArms.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("m_sub"),
+        (dm * lit(2097152L) + col("vec_id")).as("pk"))
+      .groupBy("query_id", "m_sub").agg(kmv(col("pk")).as("topk"))
+      .select(col("query_id"), col("m_sub"), explode(col("topk")).as("pk"))
+      .select(col("query_id"), col("m_sub"), expr("pk % 2097152").as("vec_id"))
+    val brute = topk.filter(col("m_sub") === 0).select("query_id", "vec_id")
+    topk.join(brute.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id", "m_sub")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("m_sub").cast("int").as("m_sub"),
+        col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+  }
+
+  /** The production-geometry PQ recall audit: recall@k of the [[PqM]]-way
+    * ADC index against brute-force ground truth — the q149 analog for the
+    * PQ index (one arm of [[pqRecallSweep]], same output shape as
+    * [[ivfRecall]]).
+    */
+  def pqRecall(emb: DataFrame, k: Int): DataFrame =
+    pqRecallSweep(emb, k, Seq(PqM))
+      .filter(col("m_sub") === PqM)
+      .select("query_id", "n_hits", "recall_micro")
+
   /** Per-label embedding statistics — the class prototype (nearest-class-
     * mean classification, contrastive anchor means) and per-dimension
     * variance (feature-collapse / dead-dimension detection) a training
