@@ -123,25 +123,36 @@ object Corpus {
   /** Temperature-scaled domain mixing: each source keeps
     * `min(count, ceil(sqrt(count) * boost))` docs — the alpha=0.5 sampling
     * temperature that up-weights small domains relative to proportional
-    * sampling. Doc selection is the lowest LCG hashes (deterministic), via a
-    * per-source window.
+    * sampling. Doc selection is the lowest LCG hashes (deterministic).
     *
-    * Scale shape: per-source keep-counts come from a tiny aggregate (bounded
-    * by #domains) broadcast back; the pick is a window partitioned BY SOURCE
-    * — the natural parallel unit, never global. The formula is per-source
-    * (no cross-source normalization), so no order-dependent double sum
-    * exists anywhere.
+    * Scale shape — the q119 quota mechanism, window-free: per-source
+    * keep-counts come from a tiny aggregate (bounded by #domains); the
+    * lowest-hash pick is the n_keep-prefix of each source's SORTED KMV
+    * bottom-k sketch (sized from the max quota — a driver collect bounded
+    * by #sources), membership via broadcast semi-join. Identical selection
+    * to the old per-source rank window — the LCG is a bijection mod 2³¹,
+    * so per-source hashes are distinct and "lowest n_keep hashes" is
+    * exactly the window's (lcg, doc_id) pick — but the state is n_keep
+    * longs of mergeable aggregation state per source instead of one task
+    * sorting the whole source. The formula is per-source (no cross-source
+    * normalization), so no order-dependent double sum exists anywhere.
     */
   def temperatureMix(docs: DataFrame, boost: Double): DataFrame = {
-    val keep = docs.groupBy("source").agg(count(lit(1)).as("c"))
-      .select(col("source"),
-        least(col("c"), ceil(sqrt(col("c").cast("double")) * boost).cast("long"))
-          .as("n_keep"))
-    val w = Window.partitionBy("source")
-      .orderBy(lcg(col("doc_id")).asc, col("doc_id").asc)
-    docs.join(broadcast(keep), Seq("source"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n_keep"))
+    val quota = least(col("c"), ceil(sqrt(col("c").cast("double")) * boost).cast("long"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .persist() // tiny (#sources); feeds the sketch sizing AND the quotas
+    val kMax = counts.select(quota.as("q")).agg(max("q")).head.getLong(0).toInt
+    val kmv = udaf(new Sketch.KmvAgg(kMax),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val hashed = docs.select(col("source"), col("doc_id"), col("n_chars"),
+      lcg(col("doc_id")).as("h"))
+    val sel = hashed.groupBy("source").agg(kmv(col("h")).as("kmv"))
+      .join(broadcast(counts), Seq("source"))
+      .select(col("source"), quota.as("n_keep"),
+        posexplode(col("kmv")).as(Seq("pos", "h")))
+      .filter(col("pos") < col("n_keep"))
+      .select("source", "h")
+    hashed.join(broadcast(sel), Seq("source", "h"), "left_semi")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }

@@ -136,6 +136,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q149_ivf_recall",
       // q150: q149's shape swept over the bounded nprobe grid
       "q150_ivf_sweep",
+      // q151/q152: q149's corpus × broadcast query-set fan-out for the PQ
+      // recall audit (corpus side pre-fanned over the bounded arm grid)
+      "q151_pq_recall",
+      "q152_pq_m_sweep",
       // q137: the Σw normalizer is a broadcast 1-row scalar
       "q137_negative_sampling")
 
@@ -144,9 +148,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   // killer the round-4 audit flagged on q64/q88. Suite-wide ban; the ONLY
   // exceptions are exactness gates whose scale-safe twin ships alongside:
   private val SourceWindowWhitelist = Map(
-    // per-source lowest-hash pick; twin: q119 quota sample does the same
-    // bounded pick through KMV bottom-k state with no per-source sort
-    "q69_domain_mix" -> "q119_quota_sample",
+    // (q69_domain_mix left this list in round 8: its per-source pick now
+    // RUNS the q119 KMV bottom-k mechanism itself — no source window)
     // exact discrete rank statistic; twin: q86 decomposes the identical
     // statistic into a count-then-select over a token-count histogram
     "q75_token_quantiles" -> "q86_hist_quantiles",
@@ -186,7 +189,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.size
 
   test("suite-wide plan shapes: no single-partition global Window, no " +
-    "window partitioned by source alone (whitelist of 3 exactness gates, " +
+    "window partitioned by source alone (whitelist of 2 exactness gates, " +
     "each citing its scale-safe twin), no CartesianProduct, nested-loop " +
     "joins only for broadcast one-row scalars") {
     // positive control: the window detector must actually fire on the
