@@ -79,8 +79,15 @@ object OccurrenceView {
     * bor_id (int 0..2 from l_returnflag), bor_year (long), map_keys
     * (array<string>), plus passthrough lineitem columns.
     */
-  def occ(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
+  def occ(spark: SparkSession, dir: String): DataFrame =
+    occFrom(lineitem(spark, dir))
+
+  /** [[occ]] over a caller-supplied lineitem frame — the streaming ingest
+    * path derives the view from each micro-batch of raw appends
+    * (EventStream.continuousIncrementalIngest) with the SAME derivation
+    * the batch side uses, so stream and batch stores compare equal.
+    */
+  def occFrom(li: DataFrame): DataFrame = {
     li.select(
         col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),

@@ -346,6 +346,45 @@ object EventStream {
       }
       .start()
 
+  /** Continuous INCREMENTAL ingest onto the prunable store layout — the
+    * delta-proportional twin of [[continuousRebuild]]: each micro-batch of
+    * raw occurrence appends derives the occurrence view
+    * (OccurrenceView.occFrom) and runs the store lifecycle's pruned
+    * incremental update (Workflow.incrementalUpdate) instead of a full
+    * rebuild. Per batch that means: the persisted pixel state is read
+    * through the coarse-cell partition filter (only the batch's spatial
+    * footprint opens), clean cells carry to the new version by FILE COPY,
+    * only dirty tiles re-encode MVT, and the manifest swaps atomically —
+    * so ingest cost tracks the BATCH footprint, not store size, and
+    * readers see a consistent version at every point.
+    *
+    * The store must exist (Workflow.build) before the stream starts —
+    * the stream maintains versions v2, v3, … on top of it. Batch-equality
+    * (a store maintained by N micro-batches ≡ one fresh rebuild over
+    * base + all batches) is pinned by the SinkSpec streaming-lifecycle
+    * test, including the clean-cell copy proof.
+    *
+    * Scale shape: state-scan/encode costs are the q145/lifecycle ones
+    * (delta-proportional); the foreachBatch body runs the same plans the
+    * batch lifecycle runs, so nothing here adds streaming-only state —
+    * the store itself IS the state, versioned on disk.
+    */
+  def continuousIncrementalIngest(spark: SparkSession, inDir: String,
+      schema: StructType, workDir: String,
+      projections: Seq[String] = Seq("EPSG:4326"), maxZoom: Int = 6)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Workflow.incrementalUpdate(batch.sparkSession,
+            graft.operators.OccurrenceView.occFrom(batch.toDF()),
+            workDir, projections, maxZoom)
+        ()
+      }
+      .start()
+
   /** Watermarked hourly tumbling-window counts per event type. */
   def hourlyCounts(stream: DataFrame): DataFrame =
     stream

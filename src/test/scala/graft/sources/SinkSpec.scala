@@ -483,4 +483,93 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       MapBuild.writePrunedState(state, store + "-bad", 6, 7)
     }
   }
+
+  test("STREAMING ingest maintains the versioned prunable store: two " +
+    "micro-batches each run the pruned incremental lifecycle (manifest " +
+    "v2 then v3; the spatially-bounded batch file-copies clean state " +
+    "cells), and the final store equals a fresh rebuild over base + both " +
+    "batches") {
+    val occ = graft.operators.OccurrenceView.occ(spark, Dir)
+    val base = occ.filter(col("l_orderkey") % 5 =!= 0)
+    val delta = occ.filter(col("l_orderkey") % 5 === 0)
+    val projs = Seq("EPSG:4326")
+    // the stream carries RAW lineitem appends; the ingest derives the occ
+    // view per micro-batch (occFrom) exactly as the batch side does
+    val rawCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+      "l_linestatus")
+    val inBox = col("lng") >= 0 && col("lng") < 40 &&
+      col("lat") >= 0 && col("lat") < 40
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sihttp").toString
+    val inDir = s"$streamDir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val storeDir = s"$streamDir/store"
+    val freshDir = s"$streamDir/fresh"
+    val m1 = Workflow.buildFrom(spark, base, storeDir, projs)
+    assert(m1.version === 1L)
+
+    def addWave(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$streamDir/tmp-$name"
+      df.select(rawCols.map(col): _*).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, s"$name.parquet"))
+    }
+    // wave 1 spatially bounded (the clean-cell copy case), wave 2 the rest
+    addWave(delta.filter(inBox), "wave1")
+    val schema = spark.read.parquet(inDir).schema
+    val q = graft.streaming.EventStream.continuousIncrementalIngest(
+      spark, inDir, schema, storeDir, projs)
+    try {
+      q.processAllAvailable()
+      assert(Workflow.readManifest(storeDir).get.version === 2L,
+        "first micro-batch should have produced store version 2")
+      addWave(delta.filter(!inBox), "wave2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val mFinal = Workflow.readManifest(storeDir).get
+    assert(mFinal.version === 3L,
+      "second micro-batch should have produced store version 3")
+
+    // the bounded micro-batch exercised the copy path: v2 clean-cell
+    // directories keep v1's parquet file names (a rewrite would have
+    // fresh part-file UUIDs)
+    def partNames(dir: String): Map[String, Set[String]] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("pt="))
+        .map(p => p.getName ->
+          p.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet)
+        .toMap
+    }
+    val v1parts = partNames(s"$storeDir/v1/state/srs=EPSG_4326/fine")
+    val v2parts = partNames(s"$storeDir/v2/state/srs=EPSG_4326/fine")
+    val copied = v2parts.filter { case (pt, names) =>
+      v1parts.get(pt).contains(names) && names.nonEmpty
+    }
+    assert(copied.nonEmpty,
+      "bounded micro-batch rewrote every state cell — no clean-cell copy")
+    assert(copied.size < v2parts.size,
+      "bounded micro-batch copied every cell — dirty cells not rewritten")
+
+    // stream-maintained store ≡ one fresh rebuild over base + both waves
+    val mFresh = Workflow.buildFrom(spark, occ, freshDir, projs)
+    def rows(path: String, cols: String*) =
+      spark.read.parquet(path).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(rows(mFinal.points, "salted_key", "lat10", "lng10", "bor_year", "occ_count")
+      === rows(mFresh.points, "salted_key", "lat10", "lng10", "bor_year", "occ_count"))
+    (0 to 6).foreach { z =>
+      val a = rows(s"${mFinal.tiles}/srs=EPSG_4326/zoom=$z", "salted_key", "mvt")
+        .map { s => (s.head, s(1).asInstanceOf[Array[Byte]].toSeq) }
+      val b = rows(s"${mFresh.tiles}/srs=EPSG_4326/zoom=$z", "salted_key", "mvt")
+        .map { s => (s.head, s(1).asInstanceOf[Array[Byte]].toSeq) }
+      assert(a === b, s"zoom $z diverged from the fresh rebuild")
+    }
+    val stateCols = Seq("map_key", "px", "py", "bor_year", "occ_count")
+    assert(rows(s"$storeDir/v3/state/srs=EPSG_4326/fine", stateCols: _*)
+      === rows(s"$freshDir/v1/state/srs=EPSG_4326/fine", stateCols: _*))
+    assert(rows(s"$storeDir/v3/state/srs=EPSG_4326/coarse", stateCols: _*)
+      === rows(s"$freshDir/v1/state/srs=EPSG_4326/coarse", stateCols: _*))
+  }
 }
