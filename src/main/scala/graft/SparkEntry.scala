@@ -663,6 +663,16 @@ object SparkEntry {
     "q152_pq_m_sweep" -> ((s, dir) =>
       Similarity.pqRecallSweep(embeddings(s, dir), 5, Seq(1, 2, 4, 8, 16))),
 
+    // IVF+PQ composed: coarse quantizer routes to 4 probed cells, ADC
+    // scans byte codes within them — the real inverted-file-with-PQ index
+    // (q60's routing × q77's kernel); raw vectors touched by neither
+    "q153_ivfpq_ann" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0)
+      Similarity.ivfPqTopK(emb, qv, 10, 4)
+    }),
+
     // Similarity: int8 quantization (scale + index-weighted checksum)
     "q65_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(embeddings(s, dir))),
@@ -2248,6 +2258,32 @@ ad AS (SELECT c.vec_id,
   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.dist ORDER BY t.m)),
     (a, b) -> a + b) AS adist
   FROM codes c JOIN t ON c.m = t.m AND c.code = t.k GROUP BY c.vec_id)
+SELECT e.vec_id, e.label, round(ad.adist, 6) AS adist
+FROM ad JOIN embeddings e USING (vec_id)
+ORDER BY round(ad.adist, 6) ASC, e.vec_id LIMIT 10"""),
+
+    "q153_ivfpq_ann" -> (PqCodesSql + """,
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+cd AS (SELECT e.vec_id, cent.cid,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    [(CAST(e.embedding[i] AS DOUBLE) - CAST(cent.cemb[i] AS DOUBLE))
+     * (CAST(e.embedding[i] AS DOUBLE) - CAST(cent.cemb[i] AS DOUBLE))
+     for i in range(1, 65)]), (a, b) -> a + b) AS dist
+  FROM embeddings e CROSS JOIN cent),
+cellof AS (SELECT vec_id, cid AS cell FROM (
+  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM cd) WHERE rn = 1),
+probes AS (SELECT cid AS cell FROM (
+  SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM cd WHERE vec_id = 0)
+  WHERE rn <= 4),
+t AS (SELECT m, k, dist FROM d WHERE vec_id = 0),
+ad AS (SELECT c.vec_id,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.dist ORDER BY t.m)),
+    (a, b) -> a + b) AS adist
+  FROM codes c JOIN t ON c.m = t.m AND c.code = t.k
+  JOIN cellof ON cellof.vec_id = c.vec_id
+  JOIN probes p ON p.cell = cellof.cell
+  GROUP BY c.vec_id)
 SELECT e.vec_id, e.label, round(ad.adist, 6) AS adist
 FROM ad JOIN embeddings e USING (vec_id)
 ORDER BY round(ad.adist, 6) ASC, e.vec_id LIMIT 10"""),

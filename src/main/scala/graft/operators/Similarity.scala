@@ -405,9 +405,17 @@ object Similarity {
     * 100 TB vector table becomes a PqM-byte-per-row code table with no
     * shuffle at all; ADC queries then scan codes, never raw vectors.
     */
-  def pqEncode(emb: DataFrame): DataFrame = {
+  def pqEncode(emb: DataFrame): DataFrame =
+    pqEncodeWith(emb, pqCodebook(emb))
+
+  /** [[pqEncode]] with a caller-supplied codebook — the IVF+PQ composition
+    * encodes a cell-FILTERED corpus slice against the codebook trained on
+    * the full table (at scale codes are pre-computed and stored; the
+    * codebook never derives from a probe's slice).
+    */
+  def pqEncodeWith(emb: DataFrame, cb0: Array[Array[Array[Double]]]): DataFrame = {
     val spark = emb.sparkSession
-    val bc = spark.sparkContext.broadcast(pqCodebook(emb))
+    val bc = spark.sparkContext.broadcast(cb0)
     val codesUdf = udf { (a: Seq[Float]) =>
       if (a == null) null
       else {
@@ -444,6 +452,38 @@ object Similarity {
     val lookups = (0 until PqM).map(m =>
       element_at(array(table(m).map(lit): _*), col(s"c$m") + 1))
     pqEncode(emb)
+      .select(col("vec_id"), col("label"),
+        round(lookups.reduceLeft(_ + _), 6).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id")).limit(k)
+  }
+
+  /** IVF+PQ ANN — the COMPOSED index the two halves were built for (Jégou
+    * et al., TPAMI 2011: coarse quantizer routes, product quantizer
+    * scans): the query probes its `nprobe` nearest IVF cells, and within
+    * the probed cells distance is the PQ ADC approximation over the stored
+    * byte codes — raw vectors are touched by NEITHER the routing (cell ids
+    * are precomputed) nor the scan (codes only).
+    *
+    * Scale shape: at 100 TB the code table is bucketed/partitioned by
+    * cell, so the probe is partition pruning; the scanned bytes are
+    * nprobe/K of the corpus × PqM bytes per row (here 8 bytes vs 256 — a
+    * 32× scan-width cut on top of the 4/16 cell cut). The ADC lookups are
+    * literal-array element_at's inside codegen — same kernel as [[pqTopK]]
+    * (q77), same routing as [[ivfTopK]] (q60), composed.
+    */
+  def ivfPqTopK(emb: DataFrame, qv: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb)
+    val probes = nearestCells(qv.map(_.toDouble).toIndexedSeq, cents, nprobe)
+    val cb = pqCodebook(emb)
+    val table = Array.tabulate(PqM)(m =>
+      Array.tabulate(PqK)(c => pqDist(qv, cb(m)(c), m)))
+    val lookups = (0 until PqM).map(m =>
+      element_at(array(table(m).map(lit): _*), col(s"c$m") + 1))
+    pqEncodeWith(
+        emb.withColumn("cell", ivfCellCol(spark, cents))
+          .filter(col("cell").isin(probes: _*)),
+        cb)
       .select(col("vec_id"), col("label"),
         round(lookups.reduceLeft(_ + _), 6).as("adist"))
       .orderBy(col("adist").asc, col("vec_id")).limit(k)
