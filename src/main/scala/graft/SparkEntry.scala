@@ -663,6 +663,12 @@ object SparkEntry {
     "q152_pq_m_sweep" -> ((s, dir) =>
       Similarity.pqRecallSweep(embeddings(s, dir), 5, Seq(1, 2, 4, 8, 16))),
 
+    // SimHash near-dup: 4×8-bit pigeonhole bands over the q30 fingerprint
+    // (perfect recall within Hamming ≤ 3), hot-band cap, bit_count verify —
+    // the text-side Hamming complement to the Jaccard estimators
+    "q154_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(documents(s, dir))),
+
     // IVF+PQ composed: coarse quantizer routes to 4 probed cells, ADC
     // scans byte codes within them — the real inverted-file-with-PQ index
     // (q60's routing × q77's kernel); raw vectors touched by neither
@@ -1932,6 +1938,23 @@ WHERE est_sim >= 0.5"""),
 SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS simhash
 FROM hs"""),
+
+    "q154_simhash_neardup" -> (HsSql + s""",
+simh AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS sh
+  FROM hs),
+bands AS (
+  ${(0 until 4).map(j =>
+        s"SELECT doc_id, sh, $j AS band, (sh >> ${8 * j}) & 255 AS bw FROM simh WHERE sh IS NOT NULL")
+        .mkString("\n  UNION ALL\n  ")}),
+hot AS (SELECT band, bw FROM bands GROUP BY band, bw HAVING COUNT(*) > ${graft.operators.Dedup.SimhashBandCap}),
+capped AS (SELECT * FROM bands b WHERE NOT EXISTS (
+  SELECT 1 FROM hot WHERE hot.band = b.band AND hot.bw = b.bw)),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+  FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bw = b.bw AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3"""),
 
     "q31_ngram_jaccard" -> """WITH tk AS (SELECT doc_id, source,
   regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -380,6 +380,51 @@ object Dedup {
     }
   }
 
+  /** Hot-band cap for [[simhashNearDup]] — same rationale as the MinHash
+    * bucket cap and Media.BandCap: an 8-bit band value shared by a huge
+    * corpus fraction (boilerplate-dominated simhashes collapse toward a
+    * few fingerprints) makes the blocked join quadratic in that bucket;
+    * members of a dropped band still pair through their other 3 bands.
+    */
+  val SimhashBandCap = 64
+
+  /** SimHash near-duplicate pairs — the text-side HAMMING complement to
+    * the q28/q29 Jaccard estimators (Charikar's random-projection
+    * fingerprint, STOC'02; the blocked-join shape is Manku/Jain/Sarma's
+    * web-scale dedup, WWW'07): the 32-bit [[simhash32]] splits into
+    * 4×8-bit bands, and by pigeonhole any pair within Hamming distance
+    * ≤ 3 agrees EXACTLY on at least one band — perfect recall inside the
+    * ball, unlike probabilistic MinHash banding. Candidates verify with
+    * exact bit_count(xor).
+    *
+    * Scale shape: 4 band rows per doc, one band equi-join (never
+    * all-pairs), hot bands capped ([[SimhashBandCap]]), verification
+    * row-local on the pair. The same machinery as the image dHash path
+    * (Media.dhashNearDup) applied to the text fingerprint — cross-modal
+    * reuse in the other direction.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val h = docs.select(col("doc_id"), simhash32(col("text")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val bands = h.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftright(col("sh"), 8 * j).bitwiseAND(lit(255L)).as("bw"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bw").as("bw"))
+    val hot = bands.groupBy("band", "bw").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > SimhashBandCap).select("band", "bw")
+    val capped = bands.join(broadcast(hot), Seq("band", "bw"), "left_anti")
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bw") === col("b.bw") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Distinct word-trigram set of `text`, as 31-polynomial hashes mod M —
     * long set-intersection is ~10× cheaper than string sets, and word
     * n-grams keep the sets ~5× smaller than char shingles.

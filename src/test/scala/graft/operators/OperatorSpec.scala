@@ -711,6 +711,36 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.triangleStats(docs, 0.99).count() === 0L)
   }
 
+  test("simhashNearDup equals brute-force all-pairs Hamming <= 3 on an " +
+    "uncapped fixture (the pigeonhole blocking loses nothing inside the " +
+    "ball)") {
+    val ss = spark; import ss.implicits._
+    val base = (0 until 60).map(i => s"body token$i alpha beta gamma").mkString(" ")
+    // three exact-dup clusters (Hamming 0), light perturbations (small
+    // Hamming), and unrelated docs (far) — fixture stays under the band cap
+    val docs = (0L until 30L).map { i =>
+      val t = (i % 5) match {
+        case 0 => base
+        case 1 => base + " tail"
+        case 2 => base + " other suffix words"
+        case _ => (0 until 50).map(k => s"zz${i}w$k").mkString(" ")
+      }
+      (i, t, "s")
+    }.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val got = Dedup.simhashNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val sh = docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 3
+    } yield (a, b) -> d).toMap
+    assert(got === want, "blocked join diverged from brute force")
+    assert(want.nonEmpty, "fixture produced no near-dup pairs")
+    assert(want.size < 30 * 29 / 2, "fixture degenerate: everything matches")
+  }
+
   test("winnowing is alignment-free: a shared ≥11-char substring is found " +
     "at ANY offset, where fixed chunk boundaries would shift") {
     val ss = spark; import ss.implicits._
