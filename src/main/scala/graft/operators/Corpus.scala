@@ -137,25 +137,10 @@ object Corpus {
     * sorting the whole source. The formula is per-source (no cross-source
     * normalization), so no order-dependent double sum exists anywhere.
     */
-  def temperatureMix(docs: DataFrame, boost: Double): DataFrame = {
-    val quota = least(col("c"), ceil(sqrt(col("c").cast("double")) * boost).cast("long"))
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
-      .persist() // tiny (#sources); feeds the sketch sizing AND the quotas
-    val kMax = counts.select(quota.as("q")).agg(max("q")).head.getLong(0).toInt
-    val kmv = udaf(new Sketch.KmvAgg(kMax),
-      org.apache.spark.sql.Encoders.scalaLong)
-    val hashed = docs.select(col("source"), col("doc_id"), col("n_chars"),
-      lcg(col("doc_id")).as("h"))
-    val sel = hashed.groupBy("source").agg(kmv(col("h")).as("kmv"))
-      .join(broadcast(counts), Seq("source"))
-      .select(col("source"), quota.as("n_keep"),
-        posexplode(col("kmv")).as(Seq("pos", "h")))
-      .filter(col("pos") < col("n_keep"))
-      .select("source", "h")
-    hashed.join(broadcast(sel), Seq("source", "h"), "left_semi")
+  def temperatureMix(docs: DataFrame, boost: Double): DataFrame =
+    Sketch.quotaPick(docs, boost, lcg(col("doc_id")), Seq("doc_id", "n_chars"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
-  }
 
   /** TF-IDF top-`k` terms per source: term frequency within the source,
     * inverse document frequency over the whole corpus,

@@ -396,24 +396,39 @@ object Sketch {
     * truncate; no stratum is ever sorted whole.
     */
   def quotaSample(docs: DataFrame, boost: Double): DataFrame = {
+    val a = Dedup.As(0); val b = Dedup.Bs(0)
+    quotaPick(docs, boost, (lit(a) * col("doc_id") + lit(b)) % Dedup.M,
+      Seq("doc_id"))
+      .select("source", "doc_id")
+  }
+
+  /** The quota-pick CORE shared by [[quotaSample]] (q119, affine hash) and
+    * Corpus.temperatureMix (q69, LCG hash): per-source lowest-`h` rows up
+    * to the temperature quota `min(c, ceil(sqrt(c)·boost))`, selected as
+    * the n_keep-prefix of the source's sorted KMV bottom-k sketch +
+    * broadcast membership semi-join. `h` must be injective per source (the
+    * repo's hash families are bijections mod their modulus, so prefix
+    * membership IS the lowest-n_keep pick); `carry` columns ride through
+    * to the output. One implementation of the subtle sizing logic — the
+    * sketch size derives from the ACTUAL max quota (driver collect bounded
+    * by #sources), so the prefix can never truncate.
+    */
+  private[graft] def quotaPick(docs: DataFrame, boost: Double, h: Column,
+      carry: Seq[String]): DataFrame = {
+    val quota = least(col("c"),
+      ceil(sqrt(col("c").cast("double")) * boost).cast("long"))
     val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
       .persist() // tiny (#sources); feeds the k computation AND the quotas
-    val kMax = counts.select(
-        least(col("c"), ceil(sqrt(col("c").cast("double")) * boost).cast("long")).as("q"))
-      .agg(max("q")).head.getLong(0).toInt
+    val kMax = counts.select(quota.as("q")).agg(max("q")).head.getLong(0).toInt
     val kmv = udaf(new KmvAgg(kMax), org.apache.spark.sql.Encoders.scalaLong)
-    val a = Dedup.As(0); val b = Dedup.Bs(0)
-    val hashed = docs.select(col("source"), col("doc_id"),
-      ((lit(a) * col("doc_id") + lit(b)) % Dedup.M).as("h"))
+    val hashed = docs.select(col("source") +: h.as("h") +: carry.map(col): _*)
     val sel = hashed.groupBy("source").agg(kmv(col("h")).as("kmv"))
       .join(broadcast(counts), Seq("source"))
-      .select(col("source"),
-        least(col("c"), ceil(sqrt(col("c").cast("double")) * boost).cast("long")).as("n_keep"),
+      .select(col("source"), quota.as("n_keep"),
         posexplode(col("kmv")).as(Seq("pos", "h")))
       .filter(col("pos") < col("n_keep"))
       .select("source", "h")
     hashed.join(broadcast(sel), Seq("source", "h"), "left_semi")
-      .select("source", "doc_id")
   }
 
   /** Grouped top-k WITHOUT a rank window: top `k` docs per source by
