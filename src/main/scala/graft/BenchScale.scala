@@ -56,7 +56,13 @@ object BenchScale {
     // the bench's new slowest query (13.8 s alone at sf0.1): the triangle
     // join's work is Σ wedge over a dense near-dup graph — the probe must
     // say whether the hot-bucket cap keeps that growth linear
-    "q117_triangles")
+    "q117_triangles",
+    // round-8 dedup arms: the UNCAPPED exact prefix join (q147 claims
+    // df-ordering alone keeps it linear — no cap to hide behind) and the
+    // pigeonhole Hamming banding (q154's 4-band equi-join with hot cap) —
+    // the probe must confirm both stay ~linear as the corpus grows with
+    // fresh vocabulary
+    "q147_ppjoin_exact", "q154_simhash_neardup")
 
   /** Per-stage totals between two markers — shuffle volume and spill are
     * the quantities that separate "the exchange really carries 7× the
