@@ -419,9 +419,13 @@ object Sketch {
       ceil(sqrt(col("c").cast("double")) * boost).cast("long"))
     val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
       .persist() // tiny (#sources); feeds the k computation AND the quotas
-    val kMax = counts.select(quota.as("q")).agg(max("q")).head.getLong(0).toInt
-    val kmv = udaf(new KmvAgg(kMax), org.apache.spark.sql.Encoders.scalaLong)
+    // coalesce: max over ZERO sources is null — an empty corpus must yield
+    // an empty pick, not an NPE (the triangleOrientation bug class)
+    val kMax = counts.select(quota.as("q"))
+      .agg(coalesce(max("q"), lit(0L))).head.getLong(0).toInt
     val hashed = docs.select(col("source") +: h.as("h") +: carry.map(col): _*)
+    if (kMax <= 0) return hashed.limit(0)
+    val kmv = udaf(new KmvAgg(kMax), org.apache.spark.sql.Encoders.scalaLong)
     val sel = hashed.groupBy("source").agg(kmv(col("h")).as("kmv"))
       .join(broadcast(counts), Seq("source"))
       .select(col("source"), quota.as("n_keep"),

@@ -65,9 +65,14 @@ object TileServe {
     // the GET targets the zoom=$z sub-store directly: the tile store is one
     // directory tree per (srs, zoom) (like the reference's per-zoom HFile
     // dirs), and z is in the request — listing the whole srs tree per GET
-    // paid a 7× file-listing tax (measured ~1.9 s vs ~0.15 s, ServeLab)
+    // paid a 7× file-listing tax (measured ~1.9 s vs ~0.15 s, ServeLab).
+    // A zoom the store doesn't carry is an empty response, not a read
+    // error (the old whole-tree scan's behavior for an unmatched key)
+    val zoomDir = s"${m.tiles}/srs=${epsg.replace(':', '_')}/zoom=$z"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(zoomDir)))
+      return Seq.empty
     val blobs = graft.sources.KeyedSink
-      .lookup(spark, s"${m.tiles}/srs=${epsg.replace(':', '_')}/zoom=$z",
+      .lookup(spark, zoomDir,
         graft.sources.Workflow.TileSaltModulus, key)
       .select("mvt").collect()
     blobs.toSeq.flatMap { r =>

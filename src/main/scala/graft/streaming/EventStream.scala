@@ -359,7 +359,11 @@ object EventStream {
     * readers see a consistent version at every point.
     *
     * The store must exist (Workflow.build) before the stream starts —
-    * the stream maintains versions v2, v3, … on top of it. Batch-equality
+    * the stream maintains versions v2, v3, … on top of it — and
+    * `projections`/`maxZoom` MUST match the build's (the lifecycle updates
+    * exactly the per-projection state/tile trees it is pointed at; an
+    * ingest run with fewer projections would version the store with the
+    * missing projections' trees absent). Batch-equality
     * (a store maintained by N micro-batches ≡ one fresh rebuild over
     * base + all batches) is pinned by the SinkSpec streaming-lifecycle
     * test, including the clean-cell copy proof.

@@ -83,6 +83,9 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out("big") === 4L)   // ceil(sqrt(16)*1) = 4
     assert(out("small") === 2L) // min(2, ceil(sqrt(2)*1)=2)
+    // empty corpus → empty mixture, not an NPE in the sketch sizing (the
+    // max-over-zero-rows null, coalesced inside Sketch.quotaPick)
+    assert(Corpus.temperatureMix(docsDf(), 1.0).collect().isEmpty)
   }
 
   test("eventAsOf matches a brute-force as-of on random events (incl. null values)") {

@@ -232,6 +232,12 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected0 = spark.read.parquet(m.points)
       .filter(col("map_key") === "0:0").agg(sum("occ_count")).head.getLong(0)
     assert(z0total === expected0)
+
+    // a zoom the store doesn't carry is an EMPTY response, not a read
+    // error (the zoom-targeted GET must keep the old tree-scan's semantics
+    // for an unmatched key)
+    assert(TileServe.serveTile(spark, work.toString, "EPSG:4326", "0:0",
+      9, 0, 0, YearRange.Unbounded, Nil).isEmpty)
   }
 
   test("point blobs roundtrip: served small view equals the fresh point aggregate") {
