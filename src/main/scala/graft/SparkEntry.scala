@@ -1942,7 +1942,7 @@ FROM hs"""),
     "q154_simhash_neardup" -> (HsSql + s""",
 simh AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS sh
-  FROM hs),
+  FROM hs WHERE len(hs) > 0),
 bands AS (
   ${(0 until 4).map(j =>
         s"SELECT doc_id, sh, $j AS band, (sh >> ${8 * j}) & 255 AS bw FROM simh WHERE sh IS NOT NULL")

@@ -404,7 +404,11 @@ object Dedup {
     * reuse in the other direction.
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val h = docs.select(col("doc_id"), simhash32(col("text")).as("sh"))
+    // shingle-less docs (< 5 code points) all hash to the degenerate 0
+    // fingerprint — without this guard every pair of tiny docs reports as
+    // a Hamming-0 "near-dup" (same reason ppjoin filters size(s) > 0)
+    val h = docs.filter(length(col("text")) > 4)
+      .select(col("doc_id"), simhash32(col("text")).as("sh"))
       .filter(col("sh").isNotNull)
     val bands = h.select(col("doc_id"), col("sh"),
         explode(array((0 until 4).map(j =>

@@ -726,6 +726,14 @@ object Similarity {
     require(ms.forall(m => m > 0 && dim % m == 0),
       s"every m_sub must divide dim=$dim, got $ms")
     val bc = spark.sparkContext.broadcast(sample)
+    // the 2²¹ packing bound below is narrower than ivfRecall's 2⁴⁰
+    // (quantized L2² needs the wider distance field) — assert the id
+    // range instead of silently unpacking corrupt ids past 2M vectors;
+    // one column-pruned 1-row aggregate on a run-once audit
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    require(maxId < 2097152L,
+      s"pqRecallSweep packs vec_id into 21 bits; max vec_id $maxId >= 2^21 " +
+        "— widen the packing or shard the audit")
     // quantized reconstruction per arm: per subspace, the argmin-L2
     // centroid's slice (ascending-index fold, strict < ⇒ lowest code);
     // arm 0 reconstructs the vector itself (identity quantizer)

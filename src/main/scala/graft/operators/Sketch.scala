@@ -406,9 +406,13 @@ object Sketch {
     * Corpus.temperatureMix (q69, LCG hash): per-source lowest-`h` rows up
     * to the temperature quota `min(c, ceil(sqrt(c)·boost))`, selected as
     * the n_keep-prefix of the source's sorted KMV bottom-k sketch +
-    * broadcast membership semi-join. `h` must be injective per source (the
-    * repo's hash families are bijections mod their modulus, so prefix
-    * membership IS the lowest-n_keep pick); `carry` columns ride through
+    * broadcast membership semi-join. `h` must be injective per source —
+    * the repo's hash families are bijections mod their modulus, so this
+    * holds exactly when ids stay BELOW the modulus (2³¹ for the lcg/affine
+    * families — the corpus id convention every lcg consumer, q50/q51/q129/
+    * q133, already shares; a colliding id would make the semi-join select
+    * more rows than the quota where the old rank window picked exactly
+    * n_keep); `carry` columns ride through
     * to the output. One implementation of the subtle sizing logic — the
     * sketch size derives from the ACTUAL max quota (driver collect bounded
     * by #sources), so the prefix can never truncate.

@@ -75,8 +75,19 @@ object TileServe {
       .lookup(spark, zoomDir,
         graft.sources.Workflow.TileSaltModulus, key)
       .select("mvt").collect()
-    blobs.toSeq.flatMap { r =>
-      graft.functions.Mvt.decodeTile(r.getAs[Array[Byte]](0))
+    tileFilterAggregate(
+      blobs.toSeq.map(_.getAs[Array[Byte]](0)), years, borIds)
+  }
+
+  /** In-process half of [[serveTile]] AFTER the blob GET: MVT decode +
+    * layer/year filters + per-pixel re-aggregation. Factored so the
+    * ServeLab latency microbench times EXACTLY the production serve
+    * kernel (BASELINE.md's published numbers stay honest by construction).
+    */
+  def tileFilterAggregate(blobs: Seq[Array[Byte]], years: YearRange,
+      borIds: Seq[Int]): Seq[(Int, Int, Long)] =
+    blobs.flatMap { bytes =>
+      graft.functions.Mvt.decodeTile(bytes)
         .filter(f => borIds.isEmpty || borIds.contains(f.layer.stripPrefix("bor").toInt))
         .flatMap { f =>
           val kept = f.yearCounts.collect {
@@ -87,7 +98,6 @@ object TileServe {
     }.groupBy(t => (t._1, t._2))
       .map { case ((px, py), ts) => (px, py, ts.map(_._3).sum) }
       .toSeq.sortBy(t => (t._1, t._2))
-  }
 
   /** S7 full serving path over the BUILT blob store: fetch a small view's
     * PointFeatures blob by salted key, decode, and apply year/bor filters to
@@ -100,17 +110,26 @@ object TileServe {
       mapKey: String, years: YearRange, borIds: Seq[Int]): Seq[(Long, Long, Long, Long)] = {
     val m = graft.sources.Workflow.readManifest(workDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $workDir"))
-    graft.sources.KeyedSink.lookup(spark, s"${m.points}_blobs",
-      graft.sources.Workflow.PointSaltModulus, mapKey)
-      .select("blob").collect().toSeq
-      .flatMap(r => graft.functions.PointBlob.decode(r.getAs[Array[Byte]](0)))
+    pointsFilterDecode(
+      graft.sources.KeyedSink.lookup(spark, s"${m.points}_blobs",
+        graft.sources.Workflow.PointSaltModulus, mapKey)
+        .select("blob").collect().toSeq.map(_.getAs[Array[Byte]](0)),
+      years, borIds)
+  }
+
+  /** In-process half of [[servePoints]] AFTER the blob GET: decode +
+    * year/bor filters. Shared with ServeLab (see [[tileFilterAggregate]]'s
+    * rationale).
+    */
+  def pointsFilterDecode(blobs: Seq[Array[Byte]], years: YearRange,
+      borIds: Seq[Int]): Seq[(Long, Long, Long, Long)] =
+    blobs.flatMap(graft.functions.PointBlob.decode)
       .filter { p =>
         val yr = (p.borYear / 100).toInt
         (borIds.isEmpty || borIds.contains((p.borYear % 100).toInt)) &&
           years.contains(if (yr == 0) None else Some(yr))
       }
       .map(p => (p.lat10, p.lng10, p.borYear, p.count))
-  }
 
   /** J1: country-mask semi-join — density pixels kept only where the mask
     * view also has a pixel (VectorTileFilters.java:83-99). A broadcast-able

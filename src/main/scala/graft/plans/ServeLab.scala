@@ -76,27 +76,14 @@ object ServeLab {
 
     println(s"store=$workDir pointsView=$pKey tile=0:0/$tz/$tx/$ty " +
       s"pBlob=${pBlob.length}B tBlob=${tBlob.length}B")
-    // in-process halves: decode + filter + aggregate on pre-fetched bytes
+    // in-process halves on pre-fetched bytes — EXACTLY the production
+    // serve kernels (TileServe.pointsFilterDecode / tileFilterAggregate),
+    // so the published latency measures the real path by construction
     stats("points decode+filter", 500, 100) {
-      graft.functions.PointBlob.decode(pBlob)
-        .filter { p =>
-          val yr = (p.borYear / 100).toInt
-          bors.contains((p.borYear % 100).toInt) &&
-            years.contains(if (yr == 0) None else Some(yr))
-        }
-        .map(p => (p.lat10, p.lng10, p.borYear, p.count))
+      graft.operators.TileServe.pointsFilterDecode(Seq(pBlob), years, bors)
     }
     stats("tile decode+filter+agg", 500, 100) {
-      graft.functions.Mvt.decodeTile(tBlob)
-        .filter(f => bors.contains(f.layer.stripPrefix("bor").toInt))
-        .flatMap { f =>
-          val kept = f.yearCounts.collect {
-            case (yr, n) if years.contains(if (yr == 0) None else Some(yr)) => n
-          }.sum
-          if (kept > 0) Some((f.x, f.y, kept)) else None
-        }
-        .groupBy(p => (p._1, p._2))
-        .map { case ((px, py), ps) => (px, py, ps.map(_._3).sum) }.toSeq
+      graft.operators.TileServe.tileFilterAggregate(Seq(tBlob), years, bors)
     }
     // full calls including the salted-parquet GET (a Spark job per request)
     stats("points e2e (Spark GET)", 50, 10) {

@@ -66,7 +66,15 @@ object Workflow {
     }
   }
 
-  final case class Manifest(version: Long, points: String, tiles: String)
+  /** `streamBatch` = the highest streaming-ingest batch id COMMITTED into
+    * this version (−1 when the version wasn't stream-written). Riding in
+    * the manifest makes the store's state and the batch watermark one
+    * ATOMIC swap — the streaming ingest's exactly-once hinge: a replayed
+    * foreachBatch invocation whose id is ≤ the recorded watermark is
+    * skipped, so the non-idempotent keyed addition never double-applies.
+    */
+  final case class Manifest(version: Long, points: String, tiles: String,
+      streamBatch: Long = -1L)
 
   // minimal JSON string escaping for the two path fields — paths with '"'
   // or '\' must round-trip through the manifest
@@ -90,9 +98,13 @@ object Workflow {
           .findFirstMatchIn(s).map(m => jsonUnescape(m.group(1)))
           .getOrElse(sys.error(s"manifest missing string field $k"))
       def num(k: String) =
-        ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s).map(_.group(1))
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1))
           .getOrElse(sys.error(s"manifest missing numeric field $k"))
-      Some(Manifest(num("version").toLong, str("points"), str("tiles")))
+      def numOpt(k: String, dflt: Long) =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s)
+          .map(_.group(1).toLong).getOrElse(dflt)
+      Some(Manifest(num("version").toLong, str("points"), str("tiles"),
+        numOpt("stream_batch", -1L)))
     }
   }
 
@@ -202,7 +214,7 @@ object Workflow {
     val tmp = Paths.get(workDir, s".manifest.v${m.version}.tmp")
     Files.createDirectories(Paths.get(workDir))
     Files.write(tmp,
-      s"""{"version": ${m.version}, "points": "${jsonEscape(m.points)}", "tiles": "${jsonEscape(m.tiles)}"}"""
+      s"""{"version": ${m.version}, "points": "${jsonEscape(m.points)}", "tiles": "${jsonEscape(m.tiles)}", "stream_batch": ${m.streamBatch}}"""
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(workDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -238,7 +250,7 @@ object Workflow {
   def incrementalUpdate(spark: SparkSession, deltaOcc: DataFrame, workDir: String,
       projections: Seq[String] =
         Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031"),
-      maxZoom: Int = 6): Manifest = {
+      maxZoom: Int = 6, streamBatch: Long = -1L): Manifest = {
     import graft.operators.{MapBuild, OccurrenceView, PointEncode, TileEncode}
     import org.apache.spark.storage.StorageLevel
     val prev = readManifest(workDir).getOrElse(
@@ -370,6 +382,7 @@ object Workflow {
       dirty.unpersist(); deltaTop.unpersist()
     }
     mergedPoints.unpersist(); delta.unpersist()
-    writeManifest(workDir, Manifest(version, pointsPath, tilesPath))
+    writeManifest(workDir,
+      Manifest(version, pointsPath, tilesPath, streamBatch))
   }
 }

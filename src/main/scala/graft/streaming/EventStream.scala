@@ -363,7 +363,9 @@ object EventStream {
     * `projections`/`maxZoom` MUST match the build's (the lifecycle updates
     * exactly the per-projection state/tile trees it is pointed at; an
     * ingest run with fewer projections would version the store with the
-    * missing projections' trees absent). Batch-equality
+    * missing projections' trees absent — the defaults here deliberately
+    * MIRROR Workflow.build's 4-SRS/z6 defaults so the default composition
+    * is safe). Batch-equality
     * (a store maintained by N micro-batches ≡ one fresh rebuild over
     * base + all batches) is pinned by the SinkSpec streaming-lifecycle
     * test, including the clean-cell copy proof.
@@ -375,19 +377,31 @@ object EventStream {
     */
   def continuousIncrementalIngest(spark: SparkSession, inDir: String,
       schema: StructType, workDir: String,
-      projections: Seq[String] = Seq("EPSG:4326"), maxZoom: Int = 6)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema(schema)
+      projections: Seq[String] =
+        Seq("EPSG:4326", "EPSG:3857", "EPSG:3575", "EPSG:3031"),
+      maxZoom: Int = 6, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
+    // EXACTLY-ONCE wrt the store: the keyed addition is not idempotent, so
+    // a replayed micro-batch (source restart, crash between the manifest
+    // swap and the streaming commit) must be detected and SKIPPED. The
+    // batch-id watermark rides IN the manifest, so store state + watermark
+    // commit in one atomic rename — a batch is re-applied only if its id
+    // exceeds the watermark the last committed version recorded.
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val last = graft.sources.Workflow.readManifest(workDir)
+          .map(_.streamBatch).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty)
           graft.sources.Workflow.incrementalUpdate(batch.sparkSession,
             graft.operators.OccurrenceView.occFrom(batch.toDF()),
-            workDir, projections, maxZoom)
+            workDir, projections, maxZoom, streamBatch = batchId)
         ()
       }
       .start()
+  }
 
   /** Watermarked hourly tumbling-window counts per event type. */
   def hourlyCounts(stream: DataFrame): DataFrame =

@@ -537,6 +537,19 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mFinal = Workflow.readManifest(storeDir).get
     assert(mFinal.version === 3L,
       "second micro-batch should have produced store version 3")
+    assert(mFinal.streamBatch === 1L,
+      "manifest should carry the last committed micro-batch id")
+
+    // replay safety: a NEW query (fresh checkpoint) over the same input
+    // re-delivers both batches as ids 0/1; the manifest's stream-batch
+    // watermark makes the non-idempotent keyed addition SKIP them — the
+    // store must not advance a version or double-count (the downstream
+    // fresh-rebuild equality then proves the content stayed intact)
+    val q2 = graft.streaming.EventStream.continuousIncrementalIngest(
+      spark, inDir, schema, storeDir, projs)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Workflow.readManifest(storeDir).get === mFinal,
+      "replayed micro-batches re-applied — exactly-once watermark failed")
 
     // the bounded micro-batch exercised the copy path: v2 clean-cell
     // directories keep v1's parquet file names (a rewrite would have
