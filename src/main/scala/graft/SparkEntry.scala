@@ -669,6 +669,14 @@ object SparkEntry {
     "q154_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(documents(s, dir))),
 
+    // the COMPOSED index's recall curve: recall@5 per (query, nprobe) of
+    // the ADC-quantized, probe-truncated top-k vs exact ground truth —
+    // both error axes (q149 probe truncation × q151 quantization bias)
+    // interacting; the nprobe=16 full-probe row isolates pure quantization
+    // and must equal q151 (asserted in OperatorSpec)
+    "q155_ivfpq_recall" -> ((s, dir) =>
+      Similarity.ivfPqRecallSweep(embeddings(s, dir), 5, Seq(1, 2, 4, 8, 16))),
+
     // IVF+PQ composed: coarse quantizer routes to 4 probed cells, ADC
     // scans byte codes within them — the real inverted-file-with-PQ index
     // (q60's routing × q77's kernel); raw vectors touched by neither
@@ -2111,6 +2119,65 @@ SELECT t.query_id, CAST(t.m_sub AS INT) AS m_sub,
   CAST(count(b.vec_id) AS BIGINT) * 1000000 // 5 AS recall_micro
 FROM topk t LEFT JOIN brute b ON t.query_id = b.query_id AND t.vec_id = b.vec_id
 GROUP BY t.query_id, t.m_sub"""),
+
+    "q155_ivfpq_recall" -> {
+      def l2Sql(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) for i in range(1, 65)]), " +
+          s"(a, b) -> a + b)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+c0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 <> 0),
+cbq AS (SELECT vec_id AS cbk, embedding AS cemb FROM embeddings WHERE vec_id < ${Similarity.PqK}),
+sub AS (SELECT unnest(range(0, ${Similarity.PqM})) AS j),
+pd AS (SELECT e.vec_id, s.j, c.cbk,
+  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    [(CAST(e.embedding[s.j * 8 + i] AS DOUBLE) - CAST(c.cemb[s.j * 8 + i] AS DOUBLE))
+     * (CAST(e.embedding[s.j * 8 + i] AS DOUBLE) - CAST(c.cemb[s.j * 8 + i] AS DOUBLE))
+     for i in range(1, 9)]), (a, b) -> a + b) AS dist
+  FROM c0 e CROSS JOIN sub s CROSS JOIN cbq c),
+codes AS (SELECT vec_id, j, cbk AS code FROM (
+  SELECT vec_id, j, cbk,
+    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, cbk ASC) AS rn
+  FROM pd) WHERE rn = 1),
+rp AS (SELECT c.vec_id, c.j,
+    [CAST(cbq.cemb[c.j * 8 + i] AS DOUBLE) for i in range(1, 9)] AS part
+  FROM codes c JOIN cbq ON cbq.cbk = c.code),
+recon AS (SELECT vec_id, flatten(list(part ORDER BY j)) AS recon FROM rp GROUP BY vec_id),
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < ${Similarity.IvfK}),
+cd AS (SELECT c0.vec_id, cent.cid, ${l2Sql("c0.embedding", "cent.cemb")} AS dist FROM c0, cent),
+cellof AS (SELECT vec_id, cid AS cell FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+qd AS (SELECT q.query_id, cent.cid, ${l2Sql("q.qv", "cent.cemb")} AS dist FROM q, cent),
+ranked AS (SELECT query_id, cid AS cell,
+  row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS crank FROM qd),
+grid AS (SELECT unnest([1, 2, 4, 8, 16]) AS nprobe),
+bs AS (SELECT qq.query_id, e.vec_id,
+    CAST(round(round(${l2Sql("qq.qv", "e.embedding")}, 6) * 1000000, 0) AS BIGINT) AS dme
+  FROM c0 e CROSS JOIN q qq),
+brute AS (SELECT query_id, pk % 2097152 AS vec_id FROM (
+  SELECT query_id, dme * 2097152 + vec_id AS pk,
+    row_number() OVER (PARTITION BY query_id ORDER BY dme * 2097152 + vec_id) AS rn FROM bs)
+  WHERE rn <= 5),
+sa AS (SELECT qq.query_id, r.vec_id,
+    CAST(round(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [(CAST(qq.qv[i] AS DOUBLE) - r.recon[i]) * (CAST(qq.qv[i] AS DOUBLE) - r.recon[i])
+       for i in range(1, 65)]), (a, b) -> a + b), 6) * 1000000, 0) AS BIGINT) AS dma
+  FROM recon r CROSS JOIN q qq),
+ip AS (SELECT s.query_id, g.nprobe, s.dma * 2097152 + s.vec_id AS pk
+  FROM sa s JOIN cellof ON s.vec_id = cellof.vec_id
+  JOIN ranked rk ON rk.query_id = s.query_id AND rk.cell = cellof.cell
+  CROSS JOIN grid g WHERE rk.crank <= g.nprobe),
+ivf AS (SELECT query_id, nprobe, pk % 2097152 AS vec_id FROM (
+  SELECT query_id, nprobe, pk,
+    row_number() OVER (PARTITION BY query_id, nprobe ORDER BY pk) AS rn FROM ip)
+  WHERE rn <= 5)
+SELECT i.query_id, CAST(i.nprobe AS INT) AS nprobe,
+  CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+  CAST(count(b.vec_id) AS BIGINT) * 1000000 // 5 AS recall_micro
+FROM ivf i LEFT JOIN brute b ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY i.query_id, i.nprobe"""
+    },
 
     "q65_embed_quantize" -> """WITH m AS (
   SELECT vec_id, embedding,

@@ -802,6 +802,127 @@ object Similarity {
       .filter(col("m_sub") === PqM)
       .select("query_id", "n_hits", "recall_micro")
 
+  /** IVF+PQ COMPOSED recall audit — the q149/q151 evidence for the index
+    * the two halves compose into (q153, [[ivfPqTopK]]): recall@k per
+    * (query, nprobe) of the ADC-quantized top-k scanned over the probed
+    * cells only, against the EXACT brute-force ground truth (identity
+    * distance, every cell). The composed index inherits BOTH error
+    * sources — probe truncation (q149's axis) and quantization bias
+    * (q151's axis) — and their interaction is not the product of the
+    * marginals: a true neighbour survives only if its cell is probed AND
+    * quantization keeps it inside the ADC top-k, while a quantization
+    * error can also mask a probe miss by promoting a probed impostor. So
+    * the composition needs its own published curve; the full-probe row
+    * (nprobe = [[IvfK]]) probes every cell and therefore isolates pure
+    * quantization error — it must equal [[pqRecall]] exactly (asserted in
+    * OperatorSpec).
+    *
+    * Mechanism: reconstruction distance — ADC over disjoint subspaces
+    * telescopes to ||q − recon||² (see [[pqRecallSweep]]) — so both arms
+    * run ONE canonical 64-dim ascending fold; candidates fan to the
+    * nprobe grid by cell rank exactly as in [[ivfRecallSweep]]; the
+    * per-(query, arm) top-k is packed-key KMV bottom-k state, never a
+    * per-query sort.
+    *
+    * Scale shape: corpus × broadcast query set once, recon computed
+    * per-row BEFORE the query fan-out; the probed arm joins the broadcast
+    * (query, cell, rank) table so each grid entry scans only its probe
+    * fraction; codebook collects are bounded ([[IvfK]] + [[PqK]] rows,
+    * watch-list class). The brute arm is the audit's cost, run-once by
+    * design (same verdict as q149/q151).
+    */
+  def ivfPqRecallSweep(emb: DataFrame, k: Int, nprobes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= IvfK),
+      s"nprobe grid must be within 1..$IvfK, got $nprobes")
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb)
+    val cb0 = pqCodebook(emb)
+    // same 21-bit packing bound (and rationale) as pqRecallSweep: assert
+    // the id range instead of silently unpacking corrupt ids
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    require(maxId < 2097152L,
+      s"ivfPqRecallSweep packs vec_id into 21 bits; max vec_id $maxId >= 2^21 " +
+        "— widen the packing or shard the audit")
+    val bc = spark.sparkContext.broadcast(cb0)
+    // PqM-way quantized reconstruction: argmin centroid slice per subspace,
+    // strict < ⇒ lowest-code tiebreak — the q76 encode convention
+    val reconUdf = udf { (a: Seq[Float]) =>
+      if (a == null) null
+      else {
+        val cb = bc.value
+        val dsub = cb(0)(0).length
+        val out = new Array[Double](PqM * dsub)
+        var m = 0
+        while (m < PqM) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < PqK) {
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val t = a(m * dsub + i).toDouble - cb(m)(c)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { out(m * dsub + i) = cb(m)(best)(i); i += 1 }
+          m += 1
+        }
+        out
+      }
+    }
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = base.filter(col("vec_id") % 100 =!= 0)
+      .withColumn("cell", ivfCellCol(spark, cents))
+      .withColumn("recon", reconUdf(col("embedding")))
+      .withColumn("xd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val ss = spark
+    import ss.implicits._
+    val centDf = cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cemb")
+    val l2 = expr("aggregate(zip_with(qv, cemb, " +
+      "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+    val ranked = queries.select("query_id", "qv")
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", l2)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("crank") <= nprobes.max).select("query_id", "cell", "crank")
+    // ONE canonical distance fold for both arms (`xd` = identity doubles,
+    // `recon` = quantized reconstruction) — the oracle's list_reduce mirror
+    def dm(rc: String) = round(round(expr(
+      s"aggregate(zip_with(qv, $rc, " +
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"), 6) * 1e6, 0).cast("long")
+    val kmv = udaf(new Sketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sims = corpus.crossJoin(broadcast(queries))
+    val brute = sims
+      .select(col("query_id"), (dm("xd") * lit(2097152L) + col("vec_id")).as("pk"))
+      .groupBy("query_id").agg(kmv(col("pk")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("pk"))
+      .select(col("query_id"), expr("pk % 2097152").as("vec_id"))
+    val grid = array(nprobes.map(lit): _*)
+    val composed = sims
+      .join(broadcast(ranked), Seq("query_id", "cell")) // cells beyond max(grid) drop here
+      .select(col("query_id"), col("crank"),
+        (dm("recon") * lit(2097152L) + col("vec_id")).as("pk"))
+      .withColumn("nprobe", explode(grid))
+      .filter(col("crank") <= col("nprobe"))
+      .groupBy("query_id", "nprobe").agg(kmv(col("pk")).as("topk"))
+      .select(col("query_id"), col("nprobe"), explode(col("topk")).as("pk"))
+      .select(col("query_id"), col("nprobe"), expr("pk % 2097152").as("vec_id"))
+    composed.join(brute.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id", "nprobe")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("nprobe").cast("int").as("nprobe"),
+        col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+  }
+
   /** Per-label embedding statistics — the class prototype (nearest-class-
     * mean classification, contrastive anchor means) and per-dimension
     * variance (feature-collapse / dead-dimension detection) a training

@@ -877,6 +877,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     codes.unpersist()
   }
 
+  test("ivfPqRecallSweep: the full-probe row isolates pure quantization " +
+      "error and equals pqRecall exactly") {
+    // nprobe = IvfK probes every cell, so probe truncation vanishes and
+    // the composed audit must degenerate to the PQ-only audit (q151) —
+    // per query, hit-for-hit; a divergence means the probed arm's
+    // ADC/packing mechanics drifted from pqRecallSweep's
+    val emb = OccurrenceView.embeddings(spark, Dir)
+    val sweep = Similarity.ivfPqRecallSweep(emb, 5, Seq(2, Similarity.IvfK))
+      .cache()
+    val full = sweep.filter(col("nprobe") === Similarity.IvfK)
+      .select("query_id", "n_hits", "recall_micro")
+    val pqOnly = Similarity.pqRecall(emb, 5)
+    assert(full.exceptAll(pqOnly).count() === 0)
+    assert(pqOnly.exceptAll(full).count() === 0)
+    // every (query, nprobe) arm emits exactly one row
+    val nq = emb.filter(col("vec_id") % 100 === 0).count()
+    assert(sweep.count() === 2 * nq)
+    // truncated probing can only lose recall vs full probing, never gain
+    // beyond k hits; recall stays within [0, 1e6]
+    val rng = sweep.agg(min("recall_micro"), max("recall_micro")).head
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 1000000L)
+    sweep.unpersist()
+  }
+
   test("funnel: stages must occur strictly after the previous stage") {
     val ss = spark; import ss.implicits._
     val ev = Seq(

@@ -140,6 +140,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // recall audit (corpus side pre-fanned over the bounded arm grid)
       "q151_pq_recall",
       "q152_pq_m_sweep",
+      // q155: the composed-index audit — q149's fan-out with q151's
+      // reconstruction distance, probed arm joined to the bounded
+      // (query, cell, rank) probe table
+      "q155_ivfpq_recall",
       // q137: the Σw normalizer is a broadcast 1-row scalar
       "q137_negative_sampling")
 
