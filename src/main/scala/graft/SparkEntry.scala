@@ -1178,6 +1178,13 @@ object SparkEntry {
     "q139_lsh_calibration" -> ((s, dir) =>
       Dedup.lshCalibration(documents(s, dir), 0.5)),
 
+    // q139's audit for the HAMMING estimator: simhash Hamming distance ×
+    // exact-Jaccard decile over the SAME capped candidate population —
+    // the evidence behind q154's hamming<=3 near-dup radius, directly
+    // comparable to the MinHash operating points
+    "q156_simhash_calibration" -> ((s, dir) =>
+      Dedup.simhashCalibration(documents(s, dir), 0.5)),
+
     // Weighted without-replacement sampling (A-ES): 8 docs per source with
     // probability ∝ n_tokens, deterministic exponential keys, per-source
     // state = 8 packed longs (KMV) — never a per-source sort
@@ -3368,6 +3375,23 @@ cm AS (SELECT CAST(agree AS INT) AS est_agree,
 SELECT est_agree, ex_micro // 100000 AS ex_decile,
   count(*) AS n_pairs, CAST(sum(ex_micro) AS BIGINT) AS sum_ex_micro
 FROM cm GROUP BY 1, 2"""),
+
+    "q156_simhash_calibration" -> (EdgesSql + s""",
+simh AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(0, 32)]) AS BIGINT) AS sh
+  FROM hs WHERE len(hs) > 0),
+sds AS (SELECT doc_id, list_distinct(hs) AS s FROM hs),
+scm AS (SELECT CAST(bit_count(xor(fa.sh, fb.sh)) AS INT) AS hamming,
+    len(list_intersect(a.s, b.s)) AS i,
+    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM ed0 p JOIN simh fa ON p.doc_a = fa.doc_id JOIN simh fb ON p.doc_b = fb.doc_id
+  JOIN sds a ON p.doc_a = a.doc_id JOIN sds b ON p.doc_b = b.doc_id),
+scm2 AS (SELECT hamming,
+    CASE WHEN u = 0 THEN 1000000 ELSE i * 1000000 // u END AS ex_micro
+  FROM scm)
+SELECT hamming, ex_micro // 100000 AS ex_decile,
+  count(*) AS n_pairs, CAST(sum(ex_micro) AS BIGINT) AS sum_ex_micro
+FROM scm2 GROUP BY 1, 2"""),
 
     "q140_weighted_sample" -> """WITH tk AS (SELECT doc_id, source,
     CASE WHEN length(trim(text)) = 0 THEN 0

@@ -662,6 +662,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), sum("ex_micro").as("sum_ex_micro"))
   }
 
+  /** SimHash calibration matrix — [[lshCalibration]]'s estimator audit for
+    * the HAMMING estimator: over the SAME capped-LSH candidate population,
+    * each pair's simhash Hamming distance (the signal the q154 `hamming ≤ r`
+    * cut reads) against its EXACT distinct-shingle-Jaccard decile, with
+    * pair counts and exact micro-Jaccard sums per cell — the evidence
+    * justifying a near-dup radius (how much true similarity does each
+    * Hamming shell actually hold?). Published alongside q139 so both text
+    * estimators are audited against the same estimand on the same
+    * population, making their operating points directly comparable.
+    *
+    * Scale shape: candidates come from the capped LSH join (never
+    * all-pairs); fingerprints and exact sets ride id-keyed joins exactly
+    * like the verifiers; the matrix is a ≤ 33×11-cell aggregate. Same
+    * integer discipline as q139 (`inter·10⁶ div union`, empty-vs-empty
+    * → 10⁶).
+    */
+  def simhashCalibration(docs: DataFrame, minEst: Double): DataFrame = {
+    val pairs = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+    // same shingle-less guard as simhashNearDup: tiny docs collapse to the
+    // degenerate 0 fingerprint; dropping them here drops those pairs from
+    // the matrix rather than polluting the hamming-0 cell
+    val fp = docs.filter(length(col("text")) > 4)
+      .select(col("doc_id"), simhash32(col("text")).as("sh"))
+      .filter(col("sh").isNotNull)
+    val sets = docs.withColumn("s", shingleSetUdf(col("text")))
+      .select(col("doc_id"), col("s"))
+    val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
+    val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
+    pairs
+      .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int").as("hamming"),
+        inter.as("i"), uni.as("u"))
+      .select(col("hamming"),
+        when(col("u") === 0, lit(1000000L))
+          .otherwise(expr("i * 1000000 div u")).as("ex_micro"))
+      .groupBy(col("hamming"), expr("ex_micro div 100000").as("ex_decile"))
+      .agg(count(lit(1)).as("n_pairs"), sum("ex_micro").as("sum_ex_micro"))
+  }
+
   /** Deterministic node2vec-style walks over the near-dup graph: one walk
     * per node, `steps` hops, each hop moving to the neighbor that
     * minimizes the hash ((dst·1299721 + step·7) mod M) — a reproducible

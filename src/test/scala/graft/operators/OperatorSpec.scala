@@ -741,6 +741,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.size < 30 * 29 / 2, "fixture degenerate: everything matches")
   }
 
+  test("simhashCalibration covers the candidate population exactly and " +
+    "every cell's mean sits inside its own decile") {
+    val docs = OccurrenceView.documents(spark, Dir)
+    val m = Dedup.simhashCalibration(docs, 0.5).collect()
+    assert(m.nonEmpty, "corpus produced no calibration cells")
+    // population: every capped-LSH candidate pair whose BOTH docs carry a
+    // fingerprint (length > 4) lands in exactly one cell
+    val fp = docs.filter(length(col("text")) > 4).select("doc_id")
+    val expected = Dedup.lshCandidatePairs(docs, 0.5)
+      .join(fp.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(fp.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      .count()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum === expected)
+    m.foreach { r =>
+      val (h, d) = (r.getAs[Int]("hamming"), r.getAs[Long]("ex_decile"))
+      val (n, s) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("sum_ex_micro"))
+      assert(h >= 0 && h <= 32, s"hamming $h out of fingerprint range")
+      assert(d >= 0 && d <= 10, s"decile $d out of range")
+      // cell mean must lie in the decile's own micro-Jaccard band — the
+      // aggregation can't mix pairs across deciles
+      assert(s >= n * d * 100000 && s <= n * (d * 100000 + 99999),
+        s"cell ($h,$d) sum $s outside its decile band for $n pairs")
+    }
+  }
+
   test("winnowing is alignment-free: a shared ≥11-char substring is found " +
     "at ANY offset, where fixed chunk boundaries would shift") {
     val ss = spark; import ss.implicits._
