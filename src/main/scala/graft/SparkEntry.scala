@@ -669,6 +669,13 @@ object SparkEntry {
     "q154_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(documents(s, dir))),
 
+    // hyperplane-LSH ANN recall sweep — the fourth index family's audit
+    // (q33's probe set IS the radius-1 row): recall@5 per (query, bucket
+    // Hamming radius); radius 8 admits every bucket ≡ brute and must read
+    // exactly 10⁶ (built-in sanity, also OperatorSpec-asserted)
+    "q157_lsh_recall" -> ((s, dir) =>
+      Similarity.lshAnnRecallSweep(embeddings(s, dir), 5, Seq(0, 1, 2, 8))),
+
     // the COMPOSED index's recall curve: recall@5 per (query, nprobe) of
     // the ADC-quantized, probe-truncated top-k vs exact ground truth —
     // both error axes (q149 probe truncation × q151 quantization bias)
@@ -2126,6 +2133,35 @@ SELECT t.query_id, CAST(t.m_sub AS INT) AS m_sub,
   CAST(count(b.vec_id) AS BIGINT) * 1000000 // 5 AS recall_micro
 FROM topk t LEFT JOIN brute b ON t.query_id = b.query_id AND t.vec_id = b.vec_id
 GROUP BY t.query_id, t.m_sub"""),
+
+    "q157_lsh_recall" -> (s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+    ${dotSql("embedding", "embedding")} AS sq, ${bucketSql("embedding")} AS qb
+  FROM embeddings WHERE vec_id % 100 = 0),
+c0 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS se,
+    ${bucketSql("embedding")} AS bucket
+  FROM embeddings WHERE vec_id % 100 <> 0),
+sims AS (SELECT q.query_id, c0.vec_id,
+    CAST(bit_count(xor(c0.bucket, q.qb)) AS INT) AS hd,
+    CAST(round(round(${dotSql("c0.embedding", "q.qv")}
+      / (sqrt(c0.se) * sqrt(q.sq)), 6) * 1000000, 0) AS BIGINT) AS sm
+  FROM c0 CROSS JOIN q),
+bp AS (SELECT query_id, (1000000 - sm) * 1099511627776 + vec_id AS pk FROM sims),
+brute AS (SELECT query_id, pk % 1099511627776 AS vec_id FROM (
+  SELECT query_id, pk, row_number() OVER (PARTITION BY query_id ORDER BY pk) AS rn FROM bp)
+  WHERE rn <= 5),
+grid AS (SELECT unnest([0, 1, 2, 8]) AS radius),
+ap AS (SELECT s.query_id, g.radius,
+    (1000000 - s.sm) * 1099511627776 + s.vec_id AS pk
+  FROM sims s CROSS JOIN grid g WHERE s.hd <= g.radius),
+arm AS (SELECT query_id, radius, pk % 1099511627776 AS vec_id FROM (
+  SELECT query_id, radius, pk,
+    row_number() OVER (PARTITION BY query_id, radius ORDER BY pk) AS rn FROM ap)
+  WHERE rn <= 5)
+SELECT a.query_id, CAST(a.radius AS INT) AS radius,
+  CAST(count(b.vec_id) AS BIGINT) AS n_hits,
+  CAST(count(b.vec_id) AS BIGINT) * 1000000 // 5 AS recall_micro
+FROM arm a LEFT JOIN brute b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+GROUP BY a.query_id, a.radius"""),
 
     "q155_ivfpq_recall" -> {
       def l2Sql(a: String, b: String) =

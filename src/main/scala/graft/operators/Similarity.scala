@@ -923,6 +923,65 @@ object Similarity {
         col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
   }
 
+  /** Hyperplane-LSH ANN recall sweep — the q150 analog for the FOURTH
+    * index family (q33's multiprobe random-hyperplane LSH), completing
+    * the audit matrix: every ANN index this engine serves (IVF, PQ,
+    * IVF+PQ, hyperplane LSH) now ships recall evidence. Recall@k per
+    * (query, probe radius) of the exact-cosine top-k restricted to
+    * candidates whose sign-pattern bucket lies within Hamming distance
+    * `radius` of the query's bucket, against brute-force ground truth.
+    * Radius 1 IS q33's probe set (own bucket + the [[NumPlanes]]
+    * flip-one neighbours); radius [[NumPlanes]] admits every bucket ≡
+    * brute, so that row must read exactly 10⁶ — the built-in sanity both
+    * engines must agree on (asserted per query in OperatorSpec too).
+    * Scan fraction at radius r is Σ_{i≤r} C(P,i)/2^P in expectation —
+    * the recall-vs-scan curve an operator reads to size the probe set.
+    *
+    * Scale shape: the same corpus × broadcast-query fan-out + packed-key
+    * KMV top-k as q149/q150/q155; the bucket Hamming test is one codegen
+    * bit_count per pair (no probe table at all — the radius grid fans
+    * bounded arms exactly like q150's nprobe grid). At 100 TB the
+    * candidate arms would scan bucket-partitioned slices instead; the
+    * recall numbers this audit publishes are identical either way.
+    */
+  def lshAnnRecallSweep(emb: DataFrame, k: Int, radii: Seq[Int]): DataFrame = {
+    require(radii.nonEmpty && radii.forall(r => r >= 0 && r <= NumPlanes),
+      s"radius grid must be within 0..$NumPlanes, got $radii")
+    val base = emb.select(col("vec_id"), col("embedding"),
+      sqrt(sqNorm(col("embedding"))).as("nrm"),
+      bucketCol(col("embedding")).as("bucket"))
+    val queries = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val corpus = base.filter(col("vec_id") % 100 =!= 0)
+    val kmv = udaf(new Sketch.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val simMicro = round(
+      round(dotCols(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+        * 1e6, 0).cast("long")
+    val sims = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"),
+        bit_count(col("bucket").bitwiseXOR(col("qb"))).cast("int").as("hd"),
+        ((lit(1000000L) - simMicro) * lit(1099511627776L) + col("vec_id"))
+          .as("pk"))
+    val brute = sims
+      .groupBy("query_id").agg(kmv(col("pk")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("pk"))
+      .select(col("query_id"), expr("pk % 1099511627776").as("vec_id"))
+    val grid = array(radii.map(lit): _*)
+    val arms = sims.withColumn("radius", explode(grid))
+      .filter(col("hd") <= col("radius"))
+      .groupBy("query_id", "radius").agg(kmv(col("pk")).as("topk"))
+      .select(col("query_id"), col("radius"), explode(col("topk")).as("pk"))
+      .select(col("query_id"), col("radius"),
+        expr("pk % 1099511627776").as("vec_id"))
+    arms.join(brute.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id", "radius")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("radius").cast("int").as("radius"),
+        col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+  }
+
   /** Per-label embedding statistics — the class prototype (nearest-class-
     * mean classification, contrastive anchor means) and per-dimension
     * variance (feature-collapse / dead-dimension detection) a training

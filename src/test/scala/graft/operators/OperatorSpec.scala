@@ -926,6 +926,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     sweep.unpersist()
   }
 
+  test("lshAnnRecallSweep: radius = NumPlanes admits every bucket and " +
+      "reads recall 1.0 for every query") {
+    val emb = OccurrenceView.embeddings(spark, Dir)
+    val sweep = Similarity.lshAnnRecallSweep(emb, 5,
+      Seq(1, Similarity.NumPlanes)).cache()
+    val nq = emb.filter(col("vec_id") % 100 === 0).count()
+    val full = sweep.filter(col("radius") === Similarity.NumPlanes)
+    assert(full.count() === nq)
+    assert(full.filter(col("recall_micro") =!= 1000000L).count() === 0,
+      "full-radius arm must equal brute force exactly")
+    // the radius-1 arm (q33's probe set) emits at most one row per query
+    // and never exceeds full recall
+    assert(sweep.filter(col("radius") === 1).count() <= nq)
+    sweep.unpersist()
+  }
+
   test("funnel: stages must occur strictly after the previous stage") {
     val ss = spark; import ss.implicits._
     val ev = Seq(

@@ -144,6 +144,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // reconstruction distance, probed arm joined to the bounded
       // (query, cell, rank) probe table
       "q155_ivfpq_recall",
+      // q157: the hyperplane-LSH audit — q149's fan-out, arms gated by a
+      // row-local bucket bit_count (no probe table)
+      "q157_lsh_recall",
       // q137: the Σw normalizer is a broadcast 1-row scalar
       "q137_negative_sampling")
 
