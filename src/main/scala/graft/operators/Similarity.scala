@@ -559,6 +559,46 @@ object Similarity {
           / 1e6, 6).as("sim"))
   }
 
+  /** Per-query IVF cell ranking — the ONE probe-table implementation every
+    * recall audit shares ([[ivfRecall]], [[ivfRecallSweep]],
+    * [[ivfPqRecallSweep]]): squared-L2 of each query to each of the
+    * [[IvfK]] centroids (canonical ascending fold, oracle-mirrored),
+    * ranked per query with the lowest-cell tiebreak, kept to
+    * `maxRank`. Broadcast-bounded: queries × IvfK rows.
+    */
+  private def probeRanked(queries: DataFrame,
+      cents: Array[Array[Double]], maxRank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = queries.sparkSession
+    import ss.implicits._
+    val centDf = cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cemb")
+    val l2 = expr("aggregate(zip_with(qv, cemb, " +
+      "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+    queries.select("query_id", "qv")
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", l2)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("crank") <= maxRank).select("query_id", "cell", "crank")
+  }
+
+  /** The recall tail every audit shares: mark `left`'s ids that appear in
+    * `right` (both keyed (query_id, vec_id)), count hits per `groupCols`,
+    * derive integer micro-recall. Which side is `left` decides row
+    * presence for empty arms — [[ivfRecall]] groups from the brute side
+    * (every query emits a row even when its probed arm is empty), the
+    * sweeps group from the arm side (an empty arm emits no row) — so the
+    * direction stays at each call site.
+    */
+  private def hitCount(left: DataFrame, right: DataFrame, k: Int,
+      groupCols: Seq[String]): DataFrame =
+    left.join(right.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_micro", expr(s"n_hits * 1000000 div $k"))
+
   /** IVF RECALL AUDIT — the evaluation an ANN index ships with: for every
     * query of the broadcast query set (the q134 convention,
     * vec_id % 100 = 0), the brute-force cosine top-k is the ground truth
@@ -576,7 +616,6 @@ object Similarity {
     * watch-list class) crossed with the query set — both broadcast-bounded.
     */
   def ivfRecall(emb: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     val cents = ivfCentroids(emb)
     val base = emb.select(col("vec_id"), col("embedding"),
@@ -587,19 +626,7 @@ object Similarity {
     val corpus = base.filter(col("vec_id") % 100 =!= 0)
       .withColumn("cell", ivfCellCol(spark, cents))
     // nprobe nearest cells per query, from the 16-row codebook table
-    val ss = spark
-    import ss.implicits._
-    val centDf = cents.toIndexedSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cemb")
-    val l2 = expr("aggregate(zip_with(qv, cemb, " +
-      "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
-      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
-    val probes = queries.select("query_id", "qv")
-      .crossJoin(broadcast(centDf))
-      .withColumn("dist", l2)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
-      .filter(col("rn") <= nprobe).select("query_id", "cell")
+    val probes = probeRanked(queries, cents, nprobe).select("query_id", "cell")
     val kmv = udaf(new Sketch.KmvAgg(k),
       org.apache.spark.sql.Encoders.scalaLong)
     val simMicro = round(
@@ -615,11 +642,10 @@ object Similarity {
     val brute = topIds(corpus.crossJoin(broadcast(queries)))
     val ivf = topIds(corpus.crossJoin(broadcast(queries))
       .join(broadcast(probes), Seq("query_id", "cell"), "left_semi"))
-    brute.join(ivf.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
-      .groupBy("query_id")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .select(col("query_id"), col("n_hits"),
-        expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+    // grouped from the BRUTE side: every query emits a row even when its
+    // probed arm found nothing (see hitCount)
+    hitCount(brute, ivf, k, Seq("query_id"))
+      .select(col("query_id"), col("n_hits"), col("recall_micro"))
   }
 
   /** The nprobe TUNING SWEEP over [[ivfRecall]]'s audit: recall@k per
@@ -633,7 +659,6 @@ object Similarity {
     * asserted by the oracle since both engines must agree on it).
     */
   def ivfRecallSweep(emb: DataFrame, k: Int, nprobes: Seq[Int]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     val cents = ivfCentroids(emb)
     val base = emb.select(col("vec_id"), col("embedding"),
@@ -643,19 +668,7 @@ object Similarity {
         col("nrm").as("qn"))
     val corpus = base.filter(col("vec_id") % 100 =!= 0)
       .withColumn("cell", ivfCellCol(spark, cents))
-    val ss = spark
-    import ss.implicits._
-    val centDf = cents.toIndexedSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cemb")
-    val l2 = expr("aggregate(zip_with(qv, cemb, " +
-      "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
-      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
-    val ranked = queries.select("query_id", "qv")
-      .crossJoin(broadcast(centDf))
-      .withColumn("dist", l2)
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
-      .filter(col("crank") <= nprobes.max).select("query_id", "cell", "crank")
+    val ranked = probeRanked(queries, cents, nprobes.max)
     val kmv = udaf(new Sketch.KmvAgg(k),
       org.apache.spark.sql.Encoders.scalaLong)
     val simMicro = round(
@@ -677,11 +690,9 @@ object Similarity {
       .select(col("query_id"), col("nprobe"), explode(col("topk")).as("pk"))
       .select(col("query_id"), col("nprobe"),
         expr("pk % 1099511627776").as("vec_id"))
-    ivf.join(brute.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
-      .groupBy("query_id", "nprobe")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    hitCount(ivf, brute, k, Seq("query_id", "nprobe"))
       .select(col("query_id"), col("nprobe").cast("int").as("nprobe"),
-        col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+        col("n_hits"), col("recall_micro"))
   }
 
   /** PQ RECALL AUDIT + m-SWEEP — the q149/q150 evidence for the OTHER
@@ -716,27 +727,25 @@ object Similarity {
     * class). The brute arm is the audit's cost, run-once by design (same
     * verdict as q149).
     */
-  def pqRecallSweep(emb: DataFrame, k: Int, ms: Seq[Int]): DataFrame = {
+  /** The ONE PQ-reconstruction kernel ([[pqRecallSweep]],
+    * [[ivfPqRecallSweep]]): collects the sampled codebook vectors (the
+    * q76 convention — vec_id 0..PqK-1) and returns (dim, reconUdf) where
+    * reconUdf(embedding, m) is the m-way quantized reconstruction — per
+    * subspace, the argmin-L2 centroid's slice (ascending-index fold,
+    * strict < ⇒ lowest code); m = 0 reconstructs the vector itself
+    * (identity quantizer). One implementation so the composed audit's
+    * full-probe ≡ [[pqRecall]] equality holds by construction, not by
+    * parallel edits.
+    */
+  private def pqReconUdf(emb: DataFrame)
+      : (Int, org.apache.spark.sql.expressions.UserDefinedFunction) = {
     val spark = emb.sparkSession
     val sample = emb.filter(col("vec_id") < PqK).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length == PqK,
       s"PQ codebook needs embeddings with vec_id 0..${PqK - 1}; got ${sample.length}")
     val dim = sample(0).length
-    require(ms.forall(m => m > 0 && dim % m == 0),
-      s"every m_sub must divide dim=$dim, got $ms")
     val bc = spark.sparkContext.broadcast(sample)
-    // the 2²¹ packing bound below is narrower than ivfRecall's 2⁴⁰
-    // (quantized L2² needs the wider distance field) — assert the id
-    // range instead of silently unpacking corrupt ids past 2M vectors;
-    // one column-pruned 1-row aggregate on a run-once audit
-    val maxId = emb.agg(max("vec_id")).head.getLong(0)
-    require(maxId < 2097152L,
-      s"pqRecallSweep packs vec_id into 21 bits; max vec_id $maxId >= 2^21 " +
-        "— widen the packing or shard the audit")
-    // quantized reconstruction per arm: per subspace, the argmin-L2
-    // centroid's slice (ascending-index fold, strict < ⇒ lowest code);
-    // arm 0 reconstructs the vector itself (identity quantizer)
     val reconUdf = udf { (a: Seq[Float], m: Int) =>
       if (a == null) null
       else if (m == 0) a.map(_.toDouble).toArray
@@ -763,6 +772,27 @@ object Similarity {
         out
       }
     }
+    (dim, reconUdf)
+  }
+
+  /** 21-bit vec_id packing bound shared by the reconstruction-distance
+    * audits (narrower than ivfRecall's 2⁴⁰ — quantized L2² needs the
+    * wider distance field): assert the id range instead of silently
+    * unpacking corrupt ids past 2M vectors; one column-pruned 1-row
+    * aggregate on run-once audits.
+    */
+  private def requirePackableIds(emb: DataFrame, who: String): Unit = {
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    require(maxId < 2097152L,
+      s"$who packs vec_id into 21 bits; max vec_id $maxId >= 2^21 " +
+        "— widen the packing or shard the audit")
+  }
+
+  def pqRecallSweep(emb: DataFrame, k: Int, ms: Seq[Int]): DataFrame = {
+    val (dim, reconUdf) = pqReconUdf(emb)
+    require(ms.forall(m => m > 0 && dim % m == 0),
+      s"every m_sub must divide dim=$dim, got $ms")
+    requirePackableIds(emb, "pqRecallSweep")
     val base = emb.select(col("vec_id"), col("embedding"))
     val queries = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -785,11 +815,9 @@ object Similarity {
       .select(col("query_id"), col("m_sub"), explode(col("topk")).as("pk"))
       .select(col("query_id"), col("m_sub"), expr("pk % 2097152").as("vec_id"))
     val brute = topk.filter(col("m_sub") === 0).select("query_id", "vec_id")
-    topk.join(brute.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
-      .groupBy("query_id", "m_sub")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    hitCount(topk, brute, k, Seq("query_id", "m_sub"))
       .select(col("query_id"), col("m_sub").cast("int").as("m_sub"),
-        col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+        col("n_hits"), col("recall_micro"))
   }
 
   /** The production-geometry PQ recall audit: recall@k of the [[PqM]]-way
@@ -832,66 +860,24 @@ object Similarity {
     * design (same verdict as q149/q151).
     */
   def ivfPqRecallSweep(emb: DataFrame, k: Int, nprobes: Seq[Int]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= IvfK),
       s"nprobe grid must be within 1..$IvfK, got $nprobes")
     val spark = emb.sparkSession
     val cents = ivfCentroids(emb)
-    val cb0 = pqCodebook(emb)
-    // same 21-bit packing bound (and rationale) as pqRecallSweep: assert
-    // the id range instead of silently unpacking corrupt ids
-    val maxId = emb.agg(max("vec_id")).head.getLong(0)
-    require(maxId < 2097152L,
-      s"ivfPqRecallSweep packs vec_id into 21 bits; max vec_id $maxId >= 2^21 " +
-        "— widen the packing or shard the audit")
-    val bc = spark.sparkContext.broadcast(cb0)
-    // PqM-way quantized reconstruction: argmin centroid slice per subspace,
-    // strict < ⇒ lowest-code tiebreak — the q76 encode convention
-    val reconUdf = udf { (a: Seq[Float]) =>
-      if (a == null) null
-      else {
-        val cb = bc.value
-        val dsub = cb(0)(0).length
-        val out = new Array[Double](PqM * dsub)
-        var m = 0
-        while (m < PqM) {
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < PqK) {
-            var d = 0.0; var i = 0
-            while (i < dsub) {
-              val t = a(m * dsub + i).toDouble - cb(m)(c)(i); d += t * t; i += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          var i = 0
-          while (i < dsub) { out(m * dsub + i) = cb(m)(best)(i); i += 1 }
-          m += 1
-        }
-        out
-      }
-    }
+    // the SAME reconstruction kernel as pqRecallSweep, applied at the
+    // production geometry (m = PqM) — the full-probe ≡ pqRecall equality
+    // is structural
+    val (dim, reconUdf) = pqReconUdf(emb)
+    require(dim % PqM == 0, s"PqM=$PqM must divide dim=$dim")
+    requirePackableIds(emb, "ivfPqRecallSweep")
     val base = emb.select(col("vec_id"), col("embedding"))
     val queries = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val corpus = base.filter(col("vec_id") % 100 =!= 0)
       .withColumn("cell", ivfCellCol(spark, cents))
-      .withColumn("recon", reconUdf(col("embedding")))
+      .withColumn("recon", reconUdf(col("embedding"), lit(PqM)))
       .withColumn("xd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-    val ss = spark
-    import ss.implicits._
-    val centDf = cents.toIndexedSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cemb")
-    val l2 = expr("aggregate(zip_with(qv, cemb, " +
-      "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
-      "CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
-    val ranked = queries.select("query_id", "qv")
-      .crossJoin(broadcast(centDf))
-      .withColumn("dist", l2)
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist"), col("cell"))))
-      .filter(col("crank") <= nprobes.max).select("query_id", "cell", "crank")
+    val ranked = probeRanked(queries, cents, nprobes.max)
     // ONE canonical distance fold for both arms (`xd` = identity doubles,
     // `recon` = quantized reconstruction) — the oracle's list_reduce mirror
     def dm(rc: String) = round(round(expr(
@@ -916,11 +902,9 @@ object Similarity {
       .groupBy("query_id", "nprobe").agg(kmv(col("pk")).as("topk"))
       .select(col("query_id"), col("nprobe"), explode(col("topk")).as("pk"))
       .select(col("query_id"), col("nprobe"), expr("pk % 2097152").as("vec_id"))
-    composed.join(brute.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
-      .groupBy("query_id", "nprobe")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    hitCount(composed, brute, k, Seq("query_id", "nprobe"))
       .select(col("query_id"), col("nprobe").cast("int").as("nprobe"),
-        col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+        col("n_hits"), col("recall_micro"))
   }
 
   /** Hyperplane-LSH ANN recall sweep — the q150 analog for the FOURTH
@@ -947,9 +931,15 @@ object Similarity {
   def lshAnnRecallSweep(emb: DataFrame, k: Int, radii: Seq[Int]): DataFrame = {
     require(radii.nonEmpty && radii.forall(r => r >= 0 && r <= NumPlanes),
       s"radius grid must be within 0..$NumPlanes, got $radii")
+    // bucketUdf yields null for null/short embeddings; an unfiltered null
+    // bucket would silently drop the row from every ARM (null hd fails
+    // every <=) while the brute arm still ranks it — breaking the
+    // radius = NumPlanes ≡ brute invariant. Drop malformed rows from BOTH
+    // sides instead, so the audit population is consistent.
     val base = emb.select(col("vec_id"), col("embedding"),
       sqrt(sqNorm(col("embedding"))).as("nrm"),
       bucketCol(col("embedding")).as("bucket"))
+      .filter(col("bucket").isNotNull)
     val queries = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qb"))
@@ -975,11 +965,9 @@ object Similarity {
       .select(col("query_id"), col("radius"), explode(col("topk")).as("pk"))
       .select(col("query_id"), col("radius"),
         expr("pk % 1099511627776").as("vec_id"))
-    arms.join(brute.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
-      .groupBy("query_id", "radius")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    hitCount(arms, brute, k, Seq("query_id", "radius"))
       .select(col("query_id"), col("radius").cast("int").as("radius"),
-        col("n_hits"), expr(s"n_hits * 1000000 div $k").as("recall_micro"))
+        col("n_hits"), col("recall_micro"))
   }
 
   /** Per-label embedding statistics — the class prototype (nearest-class-
