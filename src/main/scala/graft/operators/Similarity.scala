@@ -594,7 +594,11 @@ object Similarity {
     */
   private def hitCount(left: DataFrame, right: DataFrame, k: Int,
       groupCols: Seq[String]): DataFrame =
-    left.join(right.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+    // the marked side is a bounded top-k set (≤ queries × k × arms rows),
+    // so broadcast it: the hit join becomes a BroadcastHashJoin instead of
+    // a sort-merge with an exchange+sort pair on both post-KMV sides
+    left.join(broadcast(right.withColumn("hit", lit(1L))),
+        Seq("query_id", "vec_id"), "left")
       .groupBy(groupCols.map(col): _*)
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .withColumn("recall_micro", expr(s"n_hits * 1000000 div $k"))
