@@ -1185,6 +1185,14 @@ object SparkEntry {
     "q139_lsh_calibration" -> ((s, dir) =>
       Dedup.lshCalibration(documents(s, dir), 0.5)),
 
+    // k-core of the near-dup graph — the fifth graph-analytic on the q47
+    // edge list (CC/PageRank/triangles/walks): iterative peel to the
+    // maximal subgraph where every member keeps >= 3 near-dup neighbours
+    // INSIDE it — the densely cross-linked duplication communities
+    // (template farms, mirror rings); fixpoint asserted within 8 rounds
+    "q158_kcore" -> ((s, dir) =>
+      Dedup.kCore(documents(s, dir), 0.5, 3, 8)),
+
     // q139's audit for the HAMMING estimator: simhash Hamming distance ×
     // exact-Jaccard decile over the SAME capped candidate population —
     // the evidence behind q154's hamming<=3 near-dup radius, directly
@@ -3411,6 +3419,29 @@ cm AS (SELECT CAST(agree AS INT) AS est_agree,
 SELECT est_agree, ex_micro // 100000 AS ex_decile,
   count(*) AS n_pairs, CAST(sum(ex_micro) AS BIGINT) AS sum_ex_micro
 FROM cm GROUP BY 1, 2"""),
+
+    "q158_kcore" -> {
+      // 8 unrolled peel rounds (mirrors Dedup.kCore's fixed-round loop —
+      // peeling is idempotent at the fixpoint, so both engines agree as
+      // long as the Spark-side convergence require holds). Every round CTE
+      // is MATERIALIZED: each references its predecessor twice, so plain
+      // inlining expands the whole edge pipeline 2^rounds times (measured:
+      // fd exhaustion on the documents scan).
+      val rounds = 8
+      val peel = (1 to rounds).map { r =>
+        val prev = s"ka${r - 1}"
+        s"""kd$r AS MATERIALIZED (SELECT src, count(*) AS c FROM ke
+  WHERE src IN (SELECT id FROM $prev) AND dst IN (SELECT id FROM $prev) GROUP BY src),
+ka$r AS MATERIALIZED (SELECT src AS id FROM kd$r WHERE c >= 3)"""
+      }.mkString(",\n")
+      EdgesSql + s""",
+ke AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ed0 UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ed0),
+ka0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM ke),
+$peel
+SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM ke
+WHERE src IN (SELECT id FROM ka$rounds) AND dst IN (SELECT id FROM ka$rounds)
+GROUP BY src HAVING count(*) >= 3"""
+    },
 
     "q156_simhash_calibration" -> (EdgesSql + s""",
 simh AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0

@@ -320,6 +320,61 @@ object Dedup {
     labels
   }
 
+  /** k-CORE of an arbitrary (doc_a, doc_b) edge list — iterative peeling
+    * (Matula–Beck 1983; distributed round shape à la Montresor et al.,
+    * "Distributed k-Core Decomposition", 2011): each round recounts every
+    * survivor's degree AMONG survivors and drops nodes under `k`; what
+    * remains at the fixpoint is the maximal subgraph where every member
+    * keeps ≥ k neighbours inside it. The driver loop runs EXACTLY
+    * `rounds` rounds — peeling is idempotent at the fixpoint, so extra
+    * rounds are no-ops and a fixed round count is engine-mirrorable —
+    * then asserts the fixpoint WAS reached (one more recount must drop
+    * nobody): a too-small `rounds` fails loudly instead of shipping a
+    * half-peeled core. Worst-case rounds-to-fixpoint is the peel depth (a
+    * k=2 path peels from the ends, O(n) rounds); real duplicate graphs
+    * are shallow — monitor the per-round survivor delta and raise
+    * `rounds` if the assert ever fires. Emits (doc_id, core_deg) for the
+    * survivors.
+    *
+    * Scale shape: the edge list is checkpointed once; each round is two
+    * semi-joins of it against the (only-shrinking) survivor set plus one
+    * keyed count — the CC round shape ([[clustersFromEdges]]) without the
+    * pointer jumping; the convergence check is one bounded count.
+    */
+  def kCoreFromEdges(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    val edges = edgesIn.select("doc_a", "doc_b")
+    val sym = edges
+      .union(edges.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    def degAmong(active: DataFrame): DataFrame = sym
+      .join(active.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+      .join(active.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("core_deg"))
+    var active = sym.select(col("src").as("doc_id")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds)
+      active = degAmong(active).filter(col("core_deg") >= k)
+        .select("doc_id").localCheckpoint()
+    val core = degAmong(active).filter(col("core_deg") >= k).localCheckpoint()
+    require(core.count() == active.count(),
+      s"k-core peel did not reach its fixpoint within $rounds rounds — raise rounds")
+    core
+  }
+
+  /** [[kCoreFromEdges]] over the verified near-dup graph — the FIFTH
+    * graph-analytic on the same edge list (components q47, PageRank q106,
+    * triangles q117, walks q144): connectivity alone (CC) merges anything
+    * touching a chain, and degree alone crowns hubs that die in one peel
+    * round; the k-core isolates the densely CROSS-LINKED duplication
+    * communities (template farms, mirror rings) whose every member stays
+    * k-connected inside the community — the strongest of the graph-shaped
+    * curation signals.
+    */
+  def kCore(docs: DataFrame, minEst: Double, k: Int, rounds: Int): DataFrame =
+    kCoreFromEdges(lshCandidatePairs(docs, minEst).select("doc_a", "doc_b"),
+      k, rounds)
+
   /** Fixed-iteration PageRank over the symmetrized near-dup graph, in
     * EXACT INTEGER MICRO-UNITS: ranks live as micro-longs (1.0 = 10⁶),
     * each node passes `r div deg` to every neighbour (truncating integer

@@ -741,6 +741,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.size < 30 * 29 / 2, "fixture degenerate: everything matches")
   }
 
+  test("kCoreFromEdges peels a chain over multiple rounds, keeps the " +
+    "clique, and fails loudly when rounds are too few") {
+    val ss = spark; import ss.implicits._
+    // 4-clique {1,2,3,4} (every member degree 3 inside) + a pendant chain
+    // 4-5-6-7: the chain peels one node per k=2... at k=2 the chain tail
+    // peels over THREE successive rounds (7, then 6, then 5), so a
+    // single-round "peel" cannot fake convergence
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val core = Dedup.kCoreFromEdges(edges, 3, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "k=3 core must be exactly the clique with inside-degree 3")
+    // k=2: the whole clique plus nothing of the chain (needs >= 3 rounds)
+    val core2 = Dedup.kCoreFromEdges(edges, 2, 4).collect()
+      .map(_.getLong(0)).toSet
+    assert(core2 === Set(1L, 2L, 3L, 4L))
+    // under-provisioned rounds: the convergence require must fire rather
+    // than returning a half-peeled core
+    intercept[IllegalArgumentException] {
+      Dedup.kCoreFromEdges(edges, 2, 1)
+    }
+  }
+
   test("simhashCalibration covers the candidate population exactly and " +
     "every cell's mean sits inside its own decile") {
     val docs = OccurrenceView.documents(spark, Dir)
