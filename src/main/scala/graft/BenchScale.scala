@@ -62,7 +62,11 @@ object BenchScale {
     // pigeonhole Hamming banding (q154's 4-band equi-join with hot cap) —
     // the probe must confirm both stay ~linear as the corpus grows with
     // fresh vocabulary
-    "q147_ppjoin_exact", "q154_simhash_neardup")
+    "q147_ppjoin_exact", "q154_simhash_neardup",
+    // k-core peel: per-round cost is edges-among-survivors — the probe
+    // must confirm rounds-to-fixpoint stays flat and the peel tracks the
+    // edge growth, not survivor-set churn
+    "q158_kcore")
 
   /** Per-stage totals between two markers — shuffle volume and spill are
     * the quantities that separate "the exchange really carries 7× the
