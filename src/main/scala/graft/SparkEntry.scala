@@ -1193,6 +1193,22 @@ object SparkEntry {
     "q158_kcore" -> ((s, dir) =>
       Dedup.kCore(documents(s, dir), 0.5, 3, 8)),
 
+    // ExactSubstr (Lee et al. ACL'22): every 40-char window occurring at
+    // >1 (doc,position) marks its span duplicated; per doc, the duplicated
+    // position count, the UNION-covered characters, and the duplicated
+    // fraction — the position-complete exact signal winnowing samples
+    "q159_exact_substring" -> ((s, dir) =>
+      Dedup.exactSubstringSpans(documents(s, dir), 40)),
+
+    // edge-level recall audit of the LSH candidate graph: non-edges with
+    // >= 2 common neighbors (counted over a bounded 8-slot per-node
+    // sketch — the naive wedge join is c^3 on near-clique clusters) are
+    // predicted missed near-dups, each verified with the exact shingle
+    // Jaccard (the q139 estimand) — the measured false-negative evidence
+    // for the q47 transitive-closure assumption
+    "q160_lsh_miss_audit" -> ((s, dir) =>
+      Dedup.lshMissAudit(documents(s, dir), 0.5, 2, 8)),
+
     // q139's audit for the HAMMING estimator: simhash Hamming distance ×
     // exact-Jaccard decile over the SAME capped candidate population —
     // the evidence behind q154's hamming<=3 near-dup radius, directly
@@ -3442,6 +3458,44 @@ SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM ke
 WHERE src IN (SELECT id FROM ka$rounds) AND dst IN (SELECT id FROM ka$rounds)
 GROUP BY src HAVING count(*) >= 3"""
     },
+
+    "q159_exact_substring" -> """WITH g AS (
+  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
+  WHERE length(text) >= 40),
+gdup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+gdp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM gdup)),
+gagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos,
+    list_sort(list(pos)) AS ps FROM gdp GROUP BY doc_id),
+gcov AS (SELECT doc_id, n_dup_pos,
+    40 + CAST(coalesce(list_sum(list_transform(generate_series(1, len(ps) - 1),
+      k -> least(40, ps[k+1] - ps[k]))), 0) AS BIGINT) AS covered_chars
+  FROM gagg)
+SELECT c.doc_id, c.n_dup_pos, c.covered_chars,
+  c.covered_chars * 1000000 // length(d.text) AS dup_frac_micro
+FROM gcov c JOIN documents d USING (doc_id)""",
+
+    "q160_lsh_miss_audit" -> (EdgesSql + """,
+ke AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ed0
+  UNION ALL SELECT doc_b, doc_a FROM ed0),
+kr AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+    ORDER BY (dst * 1103515245 + 12345) % 2147483648) AS rn
+  FROM ke),
+ks AS (SELECT src, dst FROM kr WHERE rn <= 8),
+wp AS (SELECT x.dst AS doc_a, y.dst AS doc_b, count(*) AS common_neighbors
+  FROM ks x JOIN ks y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+pr AS (SELECT w.* FROM wp w LEFT JOIN ed0 e
+    ON w.doc_a = e.doc_a AND w.doc_b = e.doc_b
+  WHERE e.doc_a IS NULL),
+mds AS (SELECT doc_id, list_distinct(hs) AS s FROM hs),
+mj AS (SELECT p.doc_a, p.doc_b, p.common_neighbors,
+    len(list_intersect(a.s, b.s)) AS i,
+    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+  FROM pr p JOIN mds a ON p.doc_a = a.doc_id JOIN mds b ON p.doc_b = b.doc_id)
+SELECT doc_a, doc_b, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+  CASE WHEN u = 0 THEN 1000000 ELSE i * 1000000 // u END AS jacc_micro
+FROM mj"""),
 
     "q156_simhash_calibration" -> (EdgesSql + s""",
 simh AS (SELECT doc_id, CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) > 0

@@ -1081,4 +1081,142 @@ object Dedup {
       .agg(sum("nd").as("n_docs"), count(lit(1)).as("n_clusters"),
         sum("sc").as("sum_chars"))
   }
+
+  /** Exact substring duplication spans (Lee et al., ACL 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr): every fixed-length character window (length `L`; the
+    * paper uses 50 BPE tokens over a suffix array) occurring at MORE THAN
+    * ONE (doc, position) in the corpus marks its span duplicated. Per doc
+    * this emits the duplicated-position count and the characters covered
+    * by the UNION of the duplicated [pos, pos+L) intervals — the exact
+    * span ExactSubstr would cut, and the duplicated-text fraction curation
+    * pipelines threshold on. Complements winnowing (q113): winnowing is a
+    * SAMPLED fingerprint with pair-level overlap evidence; this is the
+    * position-complete exact signal — zero false positives/negatives on
+    * ≥ L-char verbatim repeats, intra- AND inter-document.
+    *
+    * Scale shape: window generation is row-local (sequence → explode →
+    * substring, inside codegen; one row per position, the same fan-out
+    * class as shingling). The only wide exchanges are keyed on the gram —
+    * a partially-aggregated count (map-side combine absorbs hot
+    * boilerplate grams before the shuffle) and a semi-join marking
+    * duplicated positions — then one groupBy(doc_id) whose collected state
+    * is bounded by the document's own length (the chunking/packing bound).
+    * The interval union is a fold over adjacent gaps of the SORTED
+    * position list (`Σ min(L, pₖ₊₁ − pₖ) + L`), row-local HOF arithmetic.
+    * At 100 TB, widen L and exchange a 64-bit gram hash instead of the
+    * string (collision-tolerant marking); the string key here keeps the
+    * DuckDB oracle byte-exact.
+    */
+  def exactSubstringSpans(docs: DataFrame, L: Int): DataFrame = {
+    require(L >= 2, s"window length must be >= 2, got $L")
+    val grams = docs
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${L - 1})")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos, $L)").as("gram"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select("gram")
+    grams.join(dup, Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_pos"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("covered_chars",
+        expr(s"""$L + aggregate(
+          zip_with(slice(ps, 1, size(ps) - 1), slice(ps, 2, size(ps) - 1),
+            (a, b) -> least(CAST($L AS BIGINT), CAST(b - a AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_dup_pos"), col("covered_chars"),
+        expr("covered_chars * 1000000 div len").as("dup_frac_micro"))
+  }
+
+  /** LSH false-negative recovery by common-neighbor triangulation — the
+    * EDGE-level recall audit completing the round-8 audit set (q139/q156
+    * audit the estimators, q149/q151/q155/q157 the ANN indexes; this
+    * audits the candidate GRAPH itself). LSH misses true near-dup pairs
+    * whose bands never collide (or that the hot-bucket cap dropped); but a
+    * missed pair inside a duplicate cluster usually shares surviving
+    * neighbors. Every non-edge (a, b) with ≥ `minSupport` common neighbors
+    * in the symmetrized candidate graph is predicted as a missed near-dup
+    * and VERIFIED with the exact distinct-shingle Jaccard (the q139
+    * estimand) — emitting (pair, support, exact micro-Jaccard): the
+    * measured false-negative evidence behind "one LSH pass + transitive
+    * closure is enough" (or not) for a given corpus.
+    *
+    * Scale shape: common neighbors are counted over a bounded per-node
+    * sketch (see [[missedPairsFromEdges]] — the naive Σ deg² wedge join is
+    * c³ on a near-clique cluster of size c; the sketch caps both the wedge
+    * fan-out and the predicted output at n·C(B,2), linear in the corpus).
+    * Prediction is one keyed count over row-local sketch pairs + an
+    * anti-join against the edge list; verification rides the same
+    * id-keyed set joins as [[lshCalibration]]. No window, no collect.
+    */
+  /** [[lshMissAudit]]'s prediction core over an explicit (doc_a, doc_b)
+    * edge list: non-edges whose common-neighbor support in the symmetrized
+    * graph — counted over a BOUNDED per-node neighbor sketch — reaches
+    * `minSupport`, with that support count. Separated so the wedge
+    * arithmetic is unit-testable on hand graphs.
+    *
+    * The sketch is the `maxNeighbors` neighbors with the smallest
+    * injective-LCG hash (Corpus.lcg is a bijection mod 2³¹, so the pick is
+    * deterministic and engine-portable with no tiebreak column). The naive
+    * formulation joins the full adjacency with itself — Σ deg² wedge rows,
+    * which on a near-clique duplicate cluster of size c is c³ (measured:
+    * 629 k edges at sf0.1 → 312 M wedges, 34 s, 5.6 M predicted pairs —
+    * output BIGGER than the corpus). Sketching bounds wedges at
+    * n·C(B,2) row-local pairs and predicted output at the same, linear in
+    * the corpus, while dense clusters still surface with support ≈ the
+    * number of shared sketch slots — exactly the link-prediction sketch
+    * trade (sampled common-neighbor evidence, not the exhaustive count).
+    */
+  def missedPairsFromEdges(edgesIn: DataFrame, minSupport: Int,
+      maxNeighbors: Int): DataFrame = {
+    require(minSupport >= 1, s"need minSupport >= 1, got $minSupport")
+    require(maxNeighbors >= 2, s"need maxNeighbors >= 2, got $maxNeighbors")
+    val e = edgesIn.select("doc_a", "doc_b")
+    val sym = e.union(e.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
+    // per-middle sketch: collect_list state is bounded by the candidate
+    // graph's constructive degree cap (≤ NumBands·DefaultBucketCap), the
+    // same bound that makes the LSH join itself safe
+    val sk = sym
+      .select(col("src"),
+        struct(Corpus.lcg(col("dst")).as("h"), col("dst").as("dst")).as("hd"))
+      .groupBy("src")
+      .agg(expr(s"slice(array_sort(collect_list(hd)), 1, $maxNeighbors)")
+        .as("ns"))
+    // all C(B,2) in-sketch pairs, generated row-local — no self-join
+    val wedges = sk.select(explode(expr(
+      """flatten(transform(ns, (x, i) ->
+           transform(slice(ns, i + 2, size(ns)), y ->
+             named_struct('doc_a', least(x.dst, y.dst),
+                          'doc_b', greatest(x.dst, y.dst)))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    wedges.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= minSupport)
+      .join(e, Seq("doc_a", "doc_b"), "left_anti")
+  }
+
+  def lshMissAudit(docs: DataFrame, minEst: Double, minSupport: Int,
+      maxNeighbors: Int = 8): DataFrame = {
+    val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+      // read three times (sketch build via sym + the anti-join);
+      // candidate-sized, same caller-owned lifecycle as triangleStats
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val predicted = missedPairsFromEdges(e, minSupport, maxNeighbors)
+    val sh = docs.withColumn("s", shingleSetUdf(col("text")))
+      .select(col("doc_id"), col("s"))
+    val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
+    val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
+    predicted
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("common_neighbors"),
+        inter.as("i"), uni.as("u"))
+      .select(col("doc_a"), col("doc_b"), col("common_neighbors"),
+        when(col("u") === 0, lit(1000000L))
+          .otherwise(expr("i * 1000000 div u")).as("jacc_micro"))
+  }
 }

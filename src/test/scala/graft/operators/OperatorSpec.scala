@@ -766,6 +766,100 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exactSubstringSpans matches a brute-force reference on a hand " +
+    "corpus: shifted shared span recovered exactly, intra-doc runs count") {
+    val ss = spark; import ss.implicits._
+    val L = 20
+    // 41 chars, no internal repeated 20-gram
+    val shared = "the quick brown fox jumps over a lazy dog"
+    val fixture = Seq(
+      (1L, "abcdefghij" + shared + "KLMNOPQRST", "a"),
+      (2L, "uvwxyz0123456789" + shared, "b"), // same span, shifted offset
+      (3L, "entirely unrelated content with no repeats here", "c"),
+      (4L, "z" * 25, "d")) // intra-doc: 'z'*20 repeats at 6 positions
+    val docs = fixture.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val out = Dedup.exactSubstringSpans(docs, L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent brute-force reference with the same semantics
+    val texts = fixture.map(t => t._1 -> t._2).toMap
+    val grams = texts.toSeq.flatMap { case (id, t) =>
+      (0 to t.length - L).map(i => (t.substring(i, i + L), id, i + 1)) }
+    val dupG = grams.groupBy(_._1).filter(_._2.size > 1).keySet
+    val expect = grams.filter(g => dupG(g._1)).groupBy(_._2).map {
+      case (id, gs) =>
+        val ps = gs.map(_._3).sorted
+        val cov = L + ps.sliding(2).collect {
+          case Seq(a, b) => math.min(L, b - a) }.sum
+        id -> (ps.size.toLong, cov.toLong,
+          cov.toLong * 1000000L / texts(id).length)
+    }
+    assert(out === expect)
+    // union coverage is exactly the shared span's length at BOTH offsets
+    assert(out(1L)._2 === shared.length.toLong)
+    assert(out(2L)._2 === shared.length.toLong)
+    assert(!out.contains(3L), "unique doc must not appear")
+    // the z-run duplicates intra-doc: whole doc covered, frac == 10^6
+    assert(out(4L) === ((6L, 25L, 1000000L)))
+  }
+
+  test("missedPairsFromEdges predicts exactly the non-edges with enough " +
+    "common-neighbor support") {
+    val ss = spark; import ss.implicits._
+    // C4 {1-3, 2-3, 1-4, 2-4}: diagonals (1,2)/(3,4) have 2 common
+    // neighbors; star 5-(6,7,8): spoke pairs share only the center
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (5L, 6L), (5L, 7L), (5L, 8L)).toDF("doc_a", "doc_b")
+    // sketch wide enough to hold every adjacency: exact semantics
+    val got = Dedup.missedPairsFromEdges(edges, 2, 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map((1L, 2L) -> 2L, (3L, 4L) -> 2L))
+    val s1 = Dedup.missedPairsFromEdges(edges, 1, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // support 1 admits the spoke pairs; existing edges never appear
+    assert(s1 === Set((1L, 2L), (3L, 4L), (6L, 7L), (6L, 8L), (7L, 8L)))
+    intercept[IllegalArgumentException](
+      Dedup.missedPairsFromEdges(edges, 0, 8))
+    intercept[IllegalArgumentException](
+      Dedup.missedPairsFromEdges(edges, 1, 1))
+  }
+
+  test("missedPairsFromEdges neighbor sketch bounds the wedge fan-out to " +
+    "the B lowest-hash neighbors of each middle") {
+    val ss = spark; import ss.implicits._
+    // star: center 100 with 10 spokes — a B=3 sketch must emit exactly
+    // C(3,2) spoke pairs, among the 3 spokes the injective LCG ranks first
+    val spokes = (1L to 10L)
+    val edges = spokes.map(s => (100L, s)).toDF("doc_a", "doc_b")
+    val got = Dedup.missedPairsFromEdges(edges, 1, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val keep = spokes.sortBy(d => (d * 1103515245L + 12345L) % 2147483648L)
+      .take(3).sorted
+    val expect = (for {
+      i <- keep.indices; j <- i + 1 until keep.size
+    } yield (keep(i), keep(j)) -> 1L).toMap
+    assert(got === expect, s"sketch kept wrong spokes (expected $keep)")
+  }
+
+  test("lshMissAudit emits only non-candidate pairs, every one with its " +
+    "support and exact Jaccard in range") {
+    val docs = OccurrenceView.documents(spark, Dir)
+    val out = Dedup.lshMissAudit(docs, 0.5, 2).collect()
+    val edges = Dedup.lshCandidatePairs(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty, "corpus produced no predicted pairs")
+    out.foreach { r =>
+      val p = (r.getLong(0), r.getLong(1))
+      assert(p._1 < p._2, s"pair $p not canonically ordered")
+      assert(!edges(p), s"pair $p is already a candidate edge")
+      assert(r.getLong(2) >= 2, s"pair $p below the support threshold")
+      val j = r.getLong(3)
+      assert(j >= 0 && j <= 1000000, s"pair $p jacc_micro $j out of range")
+    }
+  }
+
   test("simhashCalibration covers the candidate population exactly and " +
     "every cell's mean sits inside its own decile") {
     val docs = OccurrenceView.documents(spark, Dir)
