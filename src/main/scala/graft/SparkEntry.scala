@@ -1200,6 +1200,12 @@ object SparkEntry {
     "q159_exact_substring" -> ((s, dir) =>
       Dedup.exactSubstringSpans(documents(s, dir), 40)),
 
+    // the ACTION half of ExactSubstr: cut every duplicated span and emit
+    // the cleaned corpus (merged span count, kept length, cleaned text);
+    // kept + covered == n_chars against q159 is OperatorSpec-asserted
+    "q161_substring_cut" -> ((s, dir) =>
+      Dedup.exactSubstringCut(documents(s, dir), 40)),
+
     // edge-level recall audit of the LSH candidate graph: non-edges with
     // >= 2 common neighbors (counted over a bounded 8-slot per-node
     // sketch — the naive wedge join is c^3 on near-clique clusters) are
@@ -3474,6 +3480,39 @@ gcov AS (SELECT doc_id, n_dup_pos,
 SELECT c.doc_id, c.n_dup_pos, c.covered_chars,
   c.covered_chars * 1000000 // length(d.text) AS dup_frac_micro
 FROM gcov c JOIN documents d USING (doc_id)""",
+
+    "q161_substring_cut" -> """WITH g AS (
+  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
+  WHERE length(text) >= 40),
+gdup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+gdp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM gdup)),
+isl AS (SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+      THEN 0 ELSE 1 END AS brk
+  FROM gdp),
+gi AS (SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
+iv AS (SELECT doc_id, min(pos) AS s, max(pos) + 39 AS e
+  FROM gi GROUP BY doc_id, grp),
+sg AS (
+  SELECT doc_id,
+    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ss,
+    s - 1 AS se
+  FROM iv
+  UNION ALL
+  SELECT i.doc_id, max(i.e) + 1 AS ss, CAST(max(length(d.text)) AS BIGINT) AS se
+  FROM iv i JOIN documents d USING (doc_id) GROUP BY i.doc_id),
+cl AS (SELECT s.doc_id,
+    string_agg(CASE WHEN se >= ss THEN substring(d.text, CAST(ss AS INT), CAST(se - ss + 1 AS INT))
+      ELSE '' END, '' ORDER BY ss) AS cleaned_text
+  FROM sg s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
+ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans
+  FROM iv GROUP BY doc_id)
+SELECT d.doc_id, coalesce(ns.n_cut_spans, 0) AS n_cut_spans,
+  CAST(length(coalesce(cl.cleaned_text, d.text)) AS BIGINT) AS kept_chars,
+  coalesce(cl.cleaned_text, d.text) AS cleaned_text
+FROM documents d LEFT JOIN cl USING (doc_id) LEFT JOIN ns USING (doc_id)""",
 
     "q160_lsh_miss_audit" -> (EdgesSql + """,
 ke AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ed0

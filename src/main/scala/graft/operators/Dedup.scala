@@ -1108,7 +1108,10 @@ object Dedup {
     * string (collision-tolerant marking); the string key here keeps the
     * DuckDB oracle byte-exact.
     */
-  def exactSubstringSpans(docs: DataFrame, L: Int): DataFrame = {
+  /** (doc_id, pos) of every duplicated L-gram — the shared core of
+    * [[exactSubstringSpans]] (measure) and [[exactSubstringCut]] (act).
+    */
+  private def dupGramPositions(docs: DataFrame, L: Int): DataFrame = {
     require(L >= 2, s"window length must be >= 2, got $L")
     val grams = docs
       .filter(length(col("text")) >= L)
@@ -1118,7 +1121,11 @@ object Dedup {
         expr(s"substring(text, pos, $L)").as("gram"))
     val dup = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select("gram")
-    grams.join(dup, Seq("gram"), "left_semi")
+    grams.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos")
+  }
+
+  def exactSubstringSpans(docs: DataFrame, L: Int): DataFrame = {
+    dupGramPositions(docs, L)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_pos"),
         sort_array(collect_list(col("pos"))).as("ps"))
@@ -1131,6 +1138,48 @@ object Dedup {
         Seq("doc_id"))
       .select(col("doc_id"), col("n_dup_pos"), col("covered_chars"),
         expr("covered_chars * 1000000 div len").as("dup_frac_micro"))
+  }
+
+  /** The ACTION half of ExactSubstr dedup: CUT every duplicated span
+    * ([[exactSubstringSpans]] measures them) and emit the cleaned corpus —
+    * per doc, the text with the union of duplicated [pos, pos+L) intervals
+    * removed (remaining segments concatenated in order), plus the merged
+    * span count and kept length. Docs with no duplicated window pass
+    * through verbatim; invariant (test-asserted): kept_chars +
+    * covered_chars == n_chars against the q159 measurement.
+    *
+    * Scale shape: identical to [[exactSubstringSpans]] through the
+    * gram exchanges; the reconstruction is ONE fold over the sorted
+    * position list carrying a (cursor, builder) accumulator — row-local,
+    * state bounded by the document's own length. The corpus rewrite
+    * never shuffles text: the only exchanged columns are (doc_id, pos)
+    * and the gram keys.
+    */
+  def exactSubstringCut(docs: DataFrame, L: Int): DataFrame = {
+    val perDoc = dupGramPositions(docs, L)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    docs.select(col("doc_id"), col("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr(s"""1 + aggregate(
+            zip_with(slice(ps, 1, size(ps) - 1), slice(ps, 2, size(ps) - 1),
+              (a, b) -> CASE WHEN b - a > $L THEN 1 ELSE 0 END),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)"""), lit(0L))
+          .as("n_cut_spans"),
+        when(col("ps").isNull, col("text"))
+          .otherwise(expr(s"""aggregate(ps,
+            named_struct('cur', 1, 'txt', ''),
+            (st, p) -> named_struct(
+              'cur', greatest(st.cur, p + $L),
+              'txt', CASE WHEN p > st.cur
+                THEN concat(st.txt, substring(text, st.cur, p - st.cur))
+                ELSE st.txt END),
+            st -> concat(st.txt,
+              substring(text, st.cur, length(text) - st.cur + 1)))"""))
+          .as("cleaned_text"))
+      .withColumn("kept_chars", length(col("cleaned_text")).cast("long"))
+      .select("doc_id", "n_cut_spans", "kept_chars", "cleaned_text")
   }
 
   /** LSH false-negative recovery by common-neighbor triangulation — the

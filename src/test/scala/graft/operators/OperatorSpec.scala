@@ -804,6 +804,46 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((6L, 25L, 1000000L)))
   }
 
+  test("exactSubstringCut removes exactly the measured spans: cleaned " +
+    "text matches a brute-force mask cut, kept + covered == n_chars") {
+    val ss = spark; import ss.implicits._
+    val L = 20
+    val shared = "the quick brown fox jumps over a lazy dog"
+    val fixture = Seq(
+      (1L, "abcdefghij" + shared + "KLMNOPQRST", "a"),
+      (2L, "uvwxyz0123456789" + shared, "b"),
+      (3L, "entirely unrelated content with no repeats here", "c"),
+      (4L, "z" * 25, "d"))
+    val docs = fixture.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val out = Dedup.exactSubstringCut(docs, L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // brute-force reference: boolean cover mask, cut masked chars
+    val texts = fixture.map(t => t._1 -> t._2).toMap
+    val grams = texts.toSeq.flatMap { case (id, t) =>
+      (0 to t.length - L).map(i => (t.substring(i, i + L), id, i)) }
+    val dupG = grams.groupBy(_._1).filter(_._2.size > 1).keySet
+    val expect = texts.map { case (id, t) =>
+      val mask = Array.fill(t.length)(false)
+      grams.filter(g => g._2 == id && dupG(g._1))
+        .foreach(g => (g._3 until g._3 + L).foreach(mask(_) = true))
+      val cleaned = t.zipWithIndex.collect {
+        case (c, i) if !mask(i) => c }.mkString
+      val spans = t.indices.count(i => mask(i) && (i == 0 || !mask(i - 1)))
+      id -> ((spans.toLong, cleaned.length.toLong, cleaned))
+    }
+    assert(out === expect)
+    // cross-gate with the MEASUREMENT half: kept + covered == n_chars
+    val covered = Dedup.exactSubstringSpans(docs, L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    covered.foreach { case (id, cov) =>
+      assert(out(id)._2 + cov === texts(id).length.toLong,
+        s"doc $id kept+covered != len") }
+    assert(out(3L)._3 === texts(3L), "untouched doc must pass verbatim")
+    assert(out(4L)._3 === "", "fully-duplicated doc must clean to empty")
+  }
+
   test("missedPairsFromEdges predicts exactly the non-edges with enough " +
     "common-neighbor support") {
     val ss = spark; import ss.implicits._
