@@ -66,7 +66,15 @@ object BenchScale {
     // k-core peel: per-round cost is edges-among-survivors — the probe
     // must confirm rounds-to-fixpoint stays flat and the peel tracks the
     // edge growth, not survivor-set churn
-    "q158_kcore")
+    "q158_kcore",
+    // ExactSubstr pair: gram-count + semi-join exchanges must track the
+    // position count (~corpus chars) linearly — replicas share no grams
+    // (alphabet rotation), so cross-replica dup inflation can't flatter it
+    "q159_exact_substring", "q161_substring_cut",
+    // sketched common-neighbor audit: the B-slot sketch claims wedge work
+    // linear in nodes regardless of cluster density — the probe watches
+    // exactly that (the naive form measured 312 M wedges here)
+    "q160_lsh_miss_audit")
 
   /** Per-stage totals between two markers — shuffle volume and spill are
     * the quantities that separate "the exchange really carries 7× the
