@@ -1206,6 +1206,12 @@ object SparkEntry {
     "q161_substring_cut" -> ((s, dir) =>
       Dedup.exactSubstringCut(documents(s, dir), 40)),
 
+    // duplicate-cluster size spectrum over the q47 labels: per cluster
+    // size, cluster and doc counts — partitions the corpus exactly
+    // (sigma n_docs == corpus, OperatorSpec-asserted), singletons included
+    "q162_cluster_spectrum" -> ((s, dir) =>
+      Dedup.clusterSpectrum(documents(s, dir), 0.5)),
+
     // edge-level recall audit of the LSH candidate graph: non-edges with
     // >= 2 common neighbors (counted over a bounded 8-slot per-node
     // sketch — the naive wedge join is c^3 on near-clique clusters) are
@@ -3513,6 +3519,13 @@ SELECT d.doc_id, coalesce(ns.n_cut_spans, 0) AS n_cut_spans,
   CAST(length(coalesce(cl.cleaned_text, d.text)) AS BIGINT) AS kept_chars,
   coalesce(cl.cleaned_text, d.text) AS cleaned_text
 FROM documents d LEFT JOIN cl USING (doc_id) LEFT JOIN ns USING (doc_id)""",
+
+    "q162_cluster_spectrum" -> (ClustersSql + """,
+csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM lbl GROUP BY cluster_id)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM csz GROUP BY cluster_size"""),
 
     "q160_lsh_miss_audit" -> (EdgesSql + """,
 ke AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ed0

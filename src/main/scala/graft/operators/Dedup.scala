@@ -1140,6 +1140,25 @@ object Dedup {
         expr("covered_chars * 1000000 div len").as("dup_frac_micro"))
   }
 
+  /** Duplicate-cluster SIZE SPECTRUM — the one-table summary a dedup
+    * report publishes (how much of the corpus sits in clusters of size
+    * 1, 2, … k): per cluster size, the number of clusters and the docs
+    * they hold. Singleton docs count as size-1 clusters, so the spectrum
+    * PARTITIONS the corpus exactly — Σ n_docs == corpus size
+    * (test-asserted) — and the size-1 row is the honest "untouched by
+    * dedup" denominator most reports omit.
+    *
+    * Scale shape: two keyed counts over the q47 labels (the CC iteration
+    * is the only real work); output is bounded by the number of DISTINCT
+    * cluster sizes — at most √(2n) rows by the partition-number bound.
+    */
+  def clusterSpectrum(docs: DataFrame, minEst: Double): DataFrame =
+    duplicateClusters(docs, minEst)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** The ACTION half of ExactSubstr dedup: CUT every duplicated span
     * ([[exactSubstringSpans]] measures them) and emit the cleaned corpus —
     * per doc, the text with the union of duplicated [pos, pos+L) intervals

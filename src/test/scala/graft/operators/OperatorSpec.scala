@@ -804,6 +804,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((6L, 25L, 1000000L)))
   }
 
+  test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
+    "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
+    val docs = OccurrenceView.documents(spark, Dir)
+    val spec = Dedup.clusterSpectrum(docs, 0.5).collect()
+    assert(spec.nonEmpty)
+    spec.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1),
+        s"row $r: n_docs != cluster_size * n_clusters") }
+    assert(spec.map(_.getLong(2)).sum === docs.count(),
+      "spectrum does not partition the corpus")
+    val labels = Dedup.duplicateClusters(docs, 0.5)
+    assert(spec.map(_.getLong(1)).sum ===
+      labels.select("cluster_id").distinct().count(),
+      "cluster count mismatch vs the q47 labels")
+    // the corpus is known to contain near-dups: some cluster has size >= 2
+    assert(spec.exists(_.getLong(0) >= 2L), "no multi-doc cluster found")
+  }
+
   test("exactSubstringCut removes exactly the measured spans: cleaned " +
     "text matches a brute-force mask cut, kept + covered == n_chars") {
     val ss = spark; import ss.implicits._
