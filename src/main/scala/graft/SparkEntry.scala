@@ -1212,6 +1212,24 @@ object SparkEntry {
     "q162_cluster_spectrum" -> ((s, dir) =>
       Dedup.clusterSpectrum(documents(s, dir), 0.5)),
 
+    // q141's provenance report at ExactSubstr granularity: per source
+    // pair, distinct 40-grams both contain verbatim — shared-TEXT flow,
+    // visible long before whole docs become near-duplicates
+    "q163_substring_flow" -> ((s, dir) =>
+      Dedup.substringFlow(documents(s, dir), 40)),
+
+    // the ExactSubstr paper's own report: distribution of merged
+    // duplicated-span lengths (mass at 40 = phrase reuse; long tail =
+    // copied sections) — row-local island fold, keyed count
+    "q164_span_spectrum" -> ((s, dir) =>
+      Dedup.spanLengthSpectrum(documents(s, dir), 40)),
+
+    // per-source duplication profile: internal (template) vs external
+    // (cross-source copying) duplicated window positions + share —
+    // the evidence separating two different curation fixes
+    "q165_source_dup_profile" -> ((s, dir) =>
+      Dedup.sourceDupProfile(documents(s, dir), 40)),
+
     // edge-level recall audit of the LSH candidate graph: non-edges with
     // >= 2 common neighbors (counted over a bounded 8-slot per-node
     // sketch — the naive wedge join is c^3 on near-clique clusters) are
@@ -3526,6 +3544,51 @@ csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
 FROM csz GROUP BY cluster_size"""),
+
+    "q163_substring_flow" -> """WITH g AS (
+  SELECT DISTINCT source, substring(text, u.i, 40) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
+  WHERE length(text) >= 40)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2""",
+
+    "q164_span_spectrum" -> """WITH g AS (
+  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
+  WHERE length(text) >= 40),
+gdup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+gdp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM gdup)),
+isl AS (SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+      THEN 0 ELSE 1 END AS brk
+  FROM gdp),
+gi AS (SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
+iv AS (SELECT doc_id, CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS span_len
+  FROM gi GROUP BY doc_id, grp)
+SELECT span_len, CAST(count(*) AS BIGINT) AS n_spans
+FROM iv GROUP BY span_len""",
+
+    "q165_source_dup_profile" -> """WITH g AS (
+  SELECT source, u.i AS pos, substring(text, u.i, 40) AS gram
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
+  WHERE length(text) >= 40),
+c AS (SELECT gram, count(*) AS n_occ, count(DISTINCT source) AS n_src
+  FROM g GROUP BY gram),
+d AS (SELECT g.source, CASE WHEN c.n_src >= 2 THEN 1 ELSE 0 END AS ext
+  FROM g JOIN c USING (gram) WHERE c.n_occ > 1),
+dd AS (SELECT source,
+    CAST(sum(CASE WHEN ext = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_int_pos,
+    CAST(sum(CASE WHEN ext = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ext_pos
+  FROM d GROUP BY source),
+t AS (SELECT source, CAST(count(*) AS BIGINT) AS total_pos FROM g GROUP BY source)
+SELECT t.source, coalesce(dd.n_int_pos, 0) AS n_int_pos,
+  coalesce(dd.n_ext_pos, 0) AS n_ext_pos, t.total_pos,
+  (coalesce(dd.n_int_pos, 0) + coalesce(dd.n_ext_pos, 0)) * 1000000
+    // t.total_pos AS dup_share_micro
+FROM t LEFT JOIN dd USING (source)""",
 
     "q160_lsh_miss_audit" -> (EdgesSql + """,
 ke AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ed0

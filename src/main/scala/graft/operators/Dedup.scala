@@ -1140,6 +1140,110 @@ object Dedup {
         expr("covered_chars * 1000000 div len").as("dup_frac_micro"))
   }
 
+  /** Duplicated-SPAN LENGTH SPECTRUM — the distribution ExactSubstr's own
+    * paper reports (Lee et al. ACL'22 §4: how long are the verbatim
+    * repeats?): per merged duplicated span length (the [pos, pos+L)
+    * interval-union islands [[exactSubstringCut]] removes), the number of
+    * such spans corpus-wide. Long tails here mean whole sections/documents
+    * are copied; mass at exactly L means isolated phrase reuse.
+    *
+    * Scale shape: q159's exchanges, then ONE fold per doc building the
+    * island lengths row-local (start/prev/lengths accumulator over the
+    * sorted positions), an explode bounded by spans-per-doc, and a keyed
+    * count over ≤ max-doc-length distinct keys.
+    */
+  def spanLengthSpectrum(docs: DataFrame, L: Int): DataFrame =
+    dupGramPositions(docs, L)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(explode(expr(s"""aggregate(ps,
+        named_struct('start', 0, 'prev', 0,
+          'lens', CAST(array() AS ARRAY<BIGINT>)),
+        (st, p) -> CASE
+          WHEN st.start = 0 THEN
+            named_struct('start', p, 'prev', p, 'lens', st.lens)
+          WHEN p - st.prev > $L THEN
+            named_struct('start', p, 'prev', p, 'lens',
+              concat(st.lens, array(CAST(st.prev + $L - st.start AS BIGINT))))
+          ELSE named_struct('start', st.start, 'prev', p, 'lens', st.lens)
+          END,
+        st -> CASE WHEN st.start = 0 THEN st.lens
+          ELSE concat(st.lens,
+            array(CAST(st.prev + $L - st.start AS BIGINT))) END)"""))
+        .as("span_len"))
+      .groupBy("span_len").agg(count(lit(1)).as("n_spans"))
+
+  /** Per-source duplication PROFILE: every duplicated L-gram position
+    * split INTERNAL (the gram repeats, but only within this source) vs
+    * EXTERNAL (the gram also appears in another source) — "template-heavy"
+    * and "copying/copied" are different curation problems with different
+    * fixes (cut boilerplate vs deduplicate against the other source), and
+    * this is the per-source evidence separating them. Emits both counts,
+    * the source's total window count, and the duplicated-position share.
+    *
+    * Scale shape: gram classification is one keyed count whose per-gram
+    * source-set state is bounded by the source-domain cardinality (q163's
+    * bound); the classify join is gram-keyed like q159's semi-join; final
+    * aggregates are keyed by source. No window, no collect.
+    */
+  def sourceDupProfile(docs: DataFrame, L: Int): DataFrame = {
+    require(L >= 2, s"window length must be >= 2, got $L")
+    val grams = docs.filter(length(col("text")) >= L)
+      .select(col("source"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${L - 1})")).as("pos"))
+      .select(col("source"), expr(s"substring(text, pos, $L)").as("gram"))
+    val cls = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"),
+        size(expr("collect_set(source)")).as("n_src"))
+      .filter(col("n_occ") > 1)
+      .select(col("gram"), (col("n_src") >= 2).as("ext"))
+    val dup = grams.join(cls, Seq("gram"))
+      .groupBy("source")
+      .agg(sum(when(col("ext"), 0L).otherwise(1L)).as("n_int_pos"),
+        sum(when(col("ext"), 1L).otherwise(0L)).as("n_ext_pos"))
+    grams.groupBy("source").agg(count(lit(1)).as("total_pos"))
+      .join(dup, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_int_pos"), lit(0L)).as("n_int_pos"),
+        coalesce(col("n_ext_pos"), lit(0L)).as("n_ext_pos"),
+        col("total_pos"))
+      .withColumn("dup_share_micro",
+        expr("(n_int_pos + n_ext_pos) * 1000000 div total_pos"))
+  }
+
+  /** Cross-source SUBSTRING provenance matrix — [[dupFlow]] (q141) at
+    * ExactSubstr granularity: per unordered source pair, the number of
+    * DISTINCT duplicated L-grams both sources contain verbatim — which
+    * sources copy from which, measured in shared text rather than
+    * near-dup pair counts (a source that quotes another shares grams long
+    * before whole documents become near-duplicates).
+    *
+    * Scale shape: one distinct over (source, gram) — partial-aggregated,
+    * the gram exchange q159 already pays — then per gram a
+    * collect_set(source) whose state is bounded by the SOURCE-DOMAIN
+    * cardinality (a config-scale dimension, not corpus-scale), pair
+    * expansion row-local over the sorted source array (the q160 HOF), and
+    * one keyed count over ≤ C(#sources, 2) keys. No window, no collect.
+    */
+  def substringFlow(docs: DataFrame, L: Int): DataFrame = {
+    require(L >= 2, s"window length must be >= 2, got $L")
+    val gs = docs.filter(length(col("text")) >= L)
+      .select(col("source"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${L - 1})")).as("pos"))
+      .select(col("source"), expr(s"substring(text, pos, $L)").as("gram"))
+      .distinct()
+    gs.groupBy("gram")
+      .agg(expr("array_sort(collect_set(source))").as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+             transform(slice(ss, i + 2, size(ss)), b ->
+               named_struct('source_a', a, 'source_b', b))))""")).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Duplicate-cluster SIZE SPECTRUM — the one-table summary a dedup
     * report publishes (how much of the corpus sits in clusters of size
     * 1, 2, … k): per cluster size, the number of clusters and the docs

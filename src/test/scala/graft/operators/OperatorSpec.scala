@@ -804,6 +804,67 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((6L, 25L, 1000000L)))
   }
 
+  test("substringFlow counts distinct shared grams per source pair, " +
+    "ignoring within-source duplication") {
+    val ss = spark; import ss.implicits._
+    val L = 20
+    val shared = "the quick brown fox jumps over a lazy dog"
+    val docs = Seq(
+      (1L, "abcdefghij" + shared, "a"),
+      (2L, "uvwxyz0123456789" + shared, "b"),
+      // same source as doc 2 — within-source duplication must not inflate
+      (3L, shared + "KLMNOPQRST", "b"),
+      (4L, "entirely unrelated content with no repeats here", "c"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val got = Dedup.substringFlow(docs, L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // exactly the windows fully inside the shared span, once per pair
+    assert(got === Map(("a", "b") -> (shared.length - L + 1).toLong))
+  }
+
+  test("spanLengthSpectrum reports merged island lengths: full shared " +
+    "span at both offsets, intra-doc run as one span") {
+    val ss = spark; import ss.implicits._
+    val L = 20
+    val shared = "the quick brown fox jumps over a lazy dog" // 41 chars
+    val docs = Seq(
+      (1L, "abcdefghij" + shared + "KLMNOPQRST", "a"),
+      (2L, "uvwxyz0123456789" + shared, "b"),
+      (3L, "entirely unrelated content with no repeats here", "c"),
+      (4L, "z" * 25, "d"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val got = Dedup.spanLengthSpectrum(docs, L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shared span merges to one 41-char island in each of docs 1/2; the
+    // z-run merges to one 25-char island
+    assert(got === Map(41L -> 2L, 25L -> 1L))
+  }
+
+  test("sourceDupProfile splits duplicated positions internal vs " +
+    "external and keeps dup-free sources with zero counts") {
+    val ss = spark; import ss.implicits._
+    val L = 20
+    val shared = "the quick brown fox jumps over a lazy dog"
+    val docs = Seq(
+      (1L, "abcdefghij" + shared + "KLMNOPQRST", "a"),
+      (2L, "uvwxyz0123456789" + shared, "b"),
+      (3L, "entirely unrelated content with no repeats here", "c"),
+      (4L, "z" * 25, "d"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val got = Dedup.sourceDupProfile(docs, L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val n1 = 61 - L + 1; val n2 = 57 - L + 1; val n3 = 47 - L + 1
+    assert(got === Map(
+      "a" -> ((0L, 22L, n1.toLong, 22L * 1000000L / n1)),
+      "b" -> ((0L, 22L, n2.toLong, 22L * 1000000L / n2)),
+      "c" -> ((0L, 0L, n3.toLong, 0L)),
+      "d" -> ((6L, 0L, 6L, 1000000L))))
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
