@@ -978,6 +978,13 @@ object SparkEntry {
     "q147_ppjoin_exact" -> ((s, dir) =>
       Dedup.ppjoinPairs(documents(s, dir), 600000L)),
 
+    // LSH (bands x rows) tuner weighted by the corpus's own positive
+    // pairs: the MMDS S-curve's expected recall per signature split,
+    // evaluated over the EXACT J >= t pair set q147 enumerates
+    // losslessly — plus the worst single pair and the analytic s50
+    "q166_lsh_tuner" -> ((s, dir) =>
+      Dedup.lshParamTuner(documents(s, dir), 600000L)),
+
     // Sketch algebra HLL lacks: KMV bottom-k sketches support UNION and
     // INTERSECTION (|U∩A∩B|/|U| Jaccard) — the train/eval-overlap
     // estimator. Typed Aggregator with k-long-bounded mergeable state.
@@ -1434,6 +1441,34 @@ hs AS (SELECT doc_id, source,
     * at 0.5) — the graph underlying q47/q66/q106/q117. Canonical a<b rows
     * in `ed0`.
     */
+  /** PPJoin CTE chain ending in `res(doc_a, doc_b, n_common, n_a, n_b)`:
+    * every prefix-filter candidate pair with exact trigram-shingle
+    * intersection/sizes (mirrors Dedup.ppjoinPairs at t = 0.6) — shared by
+    * q147 (the exact-threshold pairs) and q166 (the banding tuner weighted
+    * by that complete positive set).
+    */
+  private val PpjoinSql = """WITH tkp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+tgp AS (SELECT doc_id,
+  [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS gs FROM tkp),
+shp0 AS (SELECT doc_id, list_distinct([list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(unicode(c) AS BIGINT) for c in string_split(g, '')]),
+    (a, b) -> (a*31 + b) % 2147483647) for g in gs]) AS s FROM tgp),
+shp AS (SELECT doc_id, s FROM shp0 WHERE len(s) > 0),
+tok AS (SELECT doc_id, unnest(s) AS h FROM shp),
+dfreq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
+ordd AS (SELECT doc_id, list_sort(list(df * 2147483648 + h)) AS os, count(*) AS n
+  FROM tok JOIN dfreq USING (h) GROUP BY doc_id),
+probe AS (SELECT doc_id, n,
+  unnest(os[1 : CAST(n - ((600000 * n + 999999) // 1000000) + 1 AS BIGINT)]) % 2147483648 AS h
+  FROM ordd),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM probe a JOIN probe b ON a.h = b.h AND a.doc_id < b.doc_id
+   AND least(a.n, b.n) * 1000000 >= greatest(a.n, b.n) * 600000),
+res AS (SELECT cand.doc_a, cand.doc_b,
+  CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_common,
+  CAST(len(x.s) AS BIGINT) AS n_a, CAST(len(y.s) AS BIGINT) AS n_b
+  FROM cand JOIN shp x ON cand.doc_a = x.doc_id JOIN shp y ON cand.doc_b = y.doc_id)"""
+
   /** Calibration CTE: every capped-LSH candidate pair with its signature
     * agreement (0–8) and exact distinct-shingle sets — the q139 oracle's
     * shared prefix (mirrors Dedup.lshCalibration at minEst = 0.5 ⇔
@@ -3070,30 +3105,26 @@ res AS (SELECT cand.doc_a, cand.doc_b,
   FROM cand JOIN shc a ON cand.doc_a = a.doc_id JOIN shc b ON cand.doc_b = b.doc_id)
 SELECT * FROM res WHERE contain_a >= CAST('0.8' AS DOUBLE)""",
 
-    "q147_ppjoin_exact" -> """WITH tkp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-tgp AS (SELECT doc_id,
-  [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS gs FROM tkp),
-shp0 AS (SELECT doc_id, list_distinct([list_reduce(list_prepend(CAST(0 AS BIGINT),
-    [CAST(unicode(c) AS BIGINT) for c in string_split(g, '')]),
-    (a, b) -> (a*31 + b) % 2147483647) for g in gs]) AS s FROM tgp),
-shp AS (SELECT doc_id, s FROM shp0 WHERE len(s) > 0),
-tok AS (SELECT doc_id, unnest(s) AS h FROM shp),
-dfreq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
-ordd AS (SELECT doc_id, list_sort(list(df * 2147483648 + h)) AS os, count(*) AS n
-  FROM tok JOIN dfreq USING (h) GROUP BY doc_id),
-probe AS (SELECT doc_id, n,
-  unnest(os[1 : CAST(n - ((600000 * n + 999999) // 1000000) + 1 AS BIGINT)]) % 2147483648 AS h
-  FROM ordd),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM probe a JOIN probe b ON a.h = b.h AND a.doc_id < b.doc_id
-   AND least(a.n, b.n) * 1000000 >= greatest(a.n, b.n) * 600000),
-res AS (SELECT cand.doc_a, cand.doc_b,
-  CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS n_common,
-  CAST(len(x.s) AS BIGINT) AS n_a, CAST(len(y.s) AS BIGINT) AS n_b
-  FROM cand JOIN shp x ON cand.doc_a = x.doc_id JOIN shp y ON cand.doc_b = y.doc_id)
+    "q147_ppjoin_exact" -> (PpjoinSql + """
 SELECT doc_a, doc_b, n_common, n_a, n_b,
   n_common * 1000000 // (n_a + n_b - n_common) AS jacc_micro
-FROM res WHERE n_common * 1000000 // (n_a + n_b - n_common) >= 600000""",
+FROM res WHERE n_common * 1000000 // (n_a + n_b - n_common) >= 600000"""),
+
+    "q166_lsh_tuner" -> (PpjoinSql + """,
+pos AS (SELECT n_common * 1000000 // (n_a + n_b - n_common) AS jacc_micro
+  FROM res WHERE n_common * 1000000 // (n_a + n_b - n_common) >= 600000),
+grid(bands, rows_per_band) AS (VALUES (1, 8), (2, 4), (4, 2), (8, 1)),
+pp AS (SELECT bands, rows_per_band, CAST(round(round(
+    1 - power(1 - power(jacc_micro / 1000000.0, CAST(rows_per_band AS DOUBLE)),
+              CAST(bands AS DOUBLE)), 6) * 1000000.0, 0) AS BIGINT) AS p_micro
+  FROM pos CROSS JOIN grid)
+SELECT bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_true_pairs,
+  CAST(CAST(sum(p_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+    AS exp_recall_micro,
+  min(p_micro) AS worst_pair_micro,
+  CAST(round(round(power(1.0 / bands, 1.0 / rows_per_band), 6)
+    * 1000000.0, 0) AS BIGINT) AS s50_micro
+FROM pp GROUP BY bands, rows_per_band"""),
 
     "q112_kmv_overlap" -> s"""WITH hs AS (SELECT source, ${javaHashSql("text")} AS h FROM documents),
 d AS (SELECT DISTINCT source, h FROM hs),

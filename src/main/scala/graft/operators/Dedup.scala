@@ -1391,4 +1391,42 @@ object Dedup {
         when(col("u") === 0, lit(1000000L))
           .otherwise(expr("i * 1000000 div u")).as("jacc_micro"))
   }
+
+  /** LSH (bands × rows) PARAMETER TUNER, weighted by the corpus's OWN
+    * positive-pair similarity distribution — the MMDS §3.4 S-curve
+    * P(candidate) = 1 − (1 − J^r)^b evaluated not on a uniform similarity
+    * prior but on the EXACT set of pairs the banding must recall: every
+    * pair with shingle-Jaccard ≥ t, enumerated losslessly by
+    * [[ppjoinPairs]] (zero recall loss by the prefix-filter theorem), so
+    * the expected-recall column is an unbiased corpus-specific number, not
+    * a curve sketch. Complements q139 (empirical agreement-vs-Jaccard on
+    * the CAPPED candidate population) with the analytic recall each
+    * (b, r) split of the NumHashes-minhash signature would achieve —
+    * including the worst single pair (the one most likely missed) and the
+    * split's analytic balance point s50 = (1/b)^(1/r).
+    *
+    * Scale shape: q147's exchanges produce the positive pairs; the grid
+    * fan-out is a row-local explode of a 4-element literal (no join); the
+    * result is one keyed aggregate over exactly 4 groups. Double math
+    * (power/round) is mirrored token-for-token in the oracle.
+    */
+  def lshParamTuner(docs: DataFrame, tMicro: Long): DataFrame = {
+    val splits = (0 to 3).map(i => (1 << i, NumHashes >> i)) // b·r = 8
+    val grid = typedlit(splits.map { case (b, r) => (b, r) })
+    ppjoinPairs(docs, tMicro)
+      .select(col("jacc_micro"), explode(grid).as("g"))
+      .select(col("g._1").as("bands"), col("g._2").as("rows_per_band"),
+        col("jacc_micro"),
+        expr("""CAST(round(round(
+          1 - power(1 - power(jacc_micro / 1000000.0, CAST(g._2 AS DOUBLE)),
+                    CAST(g._1 AS DOUBLE)), 6) * 1000000.0, 0) AS BIGINT)""")
+          .as("p_micro"))
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        expr("sum(p_micro) div count(1)").as("exp_recall_micro"),
+        min(col("p_micro")).as("worst_pair_micro"))
+      .withColumn("s50_micro",
+        expr("""CAST(round(round(power(1.0 / bands, 1.0 / rows_per_band), 6)
+          * 1000000.0, 0) AS BIGINT)"""))
+  }
 }

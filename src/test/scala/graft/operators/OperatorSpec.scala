@@ -865,6 +865,43 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d" -> ((6L, 0L, 6L, 1000000L))))
   }
 
+  test("lshParamTuner: identical pair scores 1.0 on every split; partial " +
+    "pair recall is monotone in bands; s50 matches the analytic points") {
+    val ss = spark; import ss.implicits._
+    // identical pair -> J = 1.0 -> P = 1.0 for every (b, r)
+    val same = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "a"),
+      (2L, "alpha beta gamma delta epsilon zeta", "b"),
+      (3L, "totally different words here now folks", "c"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val r1 = Dedup.lshParamTuner(same, 600000L).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(r1.keySet === Set((1, 8), (2, 4), (4, 2), (8, 1)))
+    r1.values.foreach { case (n, exp, worst, _) =>
+      assert(n === 1L); assert(exp === 1000000L); assert(worst === 1000000L)
+    }
+    assert(r1((1, 8))._4 === 1000000L)   // s50 = (1/1)^(1/8)
+    assert(r1((2, 4))._4 === 840896L)    // (1/2)^(1/4)
+    assert(r1((4, 2))._4 === 500000L)    // (1/4)^(1/2)
+    assert(r1((8, 1))._4 === 125000L)    // (1/8)^1
+    // partial-overlap pair: more bands (fewer rows) can only raise the
+    // S-curve at any fixed J, so expected recall is monotone in bands
+    val part = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "a"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val r2 = Dedup.lshParamTuner(part, 600000L).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(r2.size === 4)
+    assert(r2((8, 1)) >= r2((4, 2)))
+    assert(r2((4, 2)) >= r2((2, 4)))
+    assert(r2((2, 4)) >= r2((1, 8)))
+    assert(r2((1, 8)) > 0L && r2((8, 1)) < 1000000L)
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
