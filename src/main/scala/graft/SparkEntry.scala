@@ -985,6 +985,13 @@ object SparkEntry {
     "q166_lsh_tuner" -> ((s, dir) =>
       Dedup.lshParamTuner(documents(s, dir), 600000L)),
 
+    // DSIR importance weights (Xie et al. NeurIPS'23): per doc,
+    // log p_target - log p_raw under add-one hashed-bigram bag models
+    // (target = the 'en' slice) — the weight column importance
+    // resampling (q140's sampler) consumes
+    "q167_dsir_weights" -> ((s, dir) =>
+      graft.operators.Corpus.dsirWeights(documents(s, dir), "en", 4096)),
+
     // Sketch algebra HLL lacks: KMV bottom-k sketches support UNION and
     // INTERSECTION (|U∩A∩B|/|U| Jaccard) — the train/eval-overlap
     // estimator. Typed Aggregator with k-long-bounded mergeable state.
@@ -3125,6 +3132,30 @@ SELECT bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_true_pairs,
   CAST(round(round(power(1.0 / bands, 1.0 / rows_per_band), 6)
     * 1000000.0, 0) AS BIGINT) AS s50_micro
 FROM pp GROUP BY bands, rows_per_band"""),
+
+    "q167_dsir_weights" -> s"""WITH tk AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+dbase AS (SELECT doc_id, lang, toks FROM tk WHERE len(toks) >= 2),
+bgl AS (SELECT doc_id, lang,
+  [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bgs FROM dbase),
+ft AS (SELECT doc_id, lang, ${javaHashSql("bg")} % 4096 AS f
+  FROM (SELECT doc_id, lang, unnest(bgs) AS bg FROM bgl)),
+raw AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM ft GROUP BY f),
+tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS ct0 FROM ft WHERE lang = 'en' GROUP BY f),
+lm AS (SELECT raw.f, raw.cr, coalesce(tgt.ct0, 0) AS ct
+  FROM raw LEFT JOIN tgt USING (f)),
+tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM lm),
+lmw AS (SELECT f, CAST(round(round(
+    ln((ct + 1.0) / (nt + 4096.0)) - ln((cr + 1.0) / (nr + 4096.0)),
+    6) * 1000000.0, 0) AS BIGINT) AS micro FROM lm CROSS JOIN tot),
+docf AS (SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS occ
+  FROM ft GROUP BY doc_id, lang, f)
+SELECT docf.doc_id, docf.lang, CAST(sum(occ) AS BIGINT) AS n_feats,
+  CAST(sum(occ * micro) AS BIGINT) AS micro_logweight
+FROM docf JOIN lmw USING (f) GROUP BY docf.doc_id, docf.lang""",
 
     "q112_kmv_overlap" -> s"""WITH hs AS (SELECT source, ${javaHashSql("text")} AS h FROM documents),
 d AS (SELECT DISTINCT source, h FROM hs),

@@ -604,6 +604,51 @@ object Corpus {
           / 1e6, 6).as("avg_nll"))
   }
 
+  /** DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection for
+    * Language Models via Importance Resampling"): per doc, the
+    * log-importance weight log p_target(x) − log p_raw(x) under two
+    * add-one-smoothed HASHED-BIGRAM bag models — the target LM fit on the
+    * `targetLang` slice, the raw LM on the whole corpus. Positive weight =
+    * the doc looks more like the target distribution than the corpus at
+    * large; resampling by these weights is the paper's curation step (the
+    * q140 weighted sampler consumes exactly such weights). Features are
+    * Java-hash buckets of word bigrams (`buckets` a power of two so the
+    * `& (buckets-1)` mask mirrors the oracle's unsigned `% buckets`).
+    *
+    * Scale shape: bigram→bucket is row-local (codegen hash, no UDF
+    * dictionary); both LMs are bucket-keyed counts (map-side combined)
+    * collapsing to ≤ `buckets` rows, joined to docs via ONE broadcast of
+    * the bucket→micro table; totals ride a broadcast 1-row cross join.
+    * Per-feature micro-rounding (round(ln…,6)·10⁶) makes the sum exact in
+    * any engine. No window, no collect, no corpus-sized shuffle beyond
+    * the (doc, bucket) aggregate.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String, buckets: Int): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val base = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(allNgrams("toks", 2)).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.GeoFunctions.javaHash(col("bg"))
+          .bitwiseAND(lit(buckets - 1)).cast("int").as("f"))
+    val raw = base.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tgt = base.filter(col("lang") === targetLang)
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val lm = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val tot = lm.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val lmw = broadcast(lm.crossJoin(broadcast(tot))
+      .select(col("f"), expr(s"""CAST(round(round(
+        ln((ct + 1.0) / (nt + $buckets.0)) - ln((cr + 1.0) / (nr + $buckets.0)),
+        6) * 1000000.0, 0) AS BIGINT)""").as("micro")))
+    base.groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("occ"))
+      .join(lmw, Seq("f"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("occ").as("n_feats"),
+        sum(col("occ") * col("micro")).as("micro_logweight"))
+  }
+
   /** Adjacent code-point pairs of a word — one BPE pair-statistics pass.
     * Code points (not chars) so the DuckDB mirror's character-based
     * substr agrees on any Unicode input.

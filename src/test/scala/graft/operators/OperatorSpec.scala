@@ -902,6 +902,52 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2((1, 8)) > 0L && r2((8, 1)) < 1000000L)
   }
 
+  test("dsirWeights: all-target corpus scores exactly zero everywhere; " +
+    "disjoint-vocab corpus separates target-like from raw-like docs; " +
+    "micro sums match the hand-computed two-LM log-ratio") {
+    val ss = spark; import ss.implicits._
+    val allEn = Seq(
+      (1L, "x y x y x", "en"), (2L, "y x z x y", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    // ct == cr for every bucket when the target slice IS the corpus
+    Corpus.dsirWeights(allEn, "en", 4096).collect()
+      .foreach(r => assert(r.getLong(3) === 0L))
+
+    val docs = Seq(
+      (1L, "x y x y x", "en"), (2L, "x y z x y", "en"),
+      (3L, "a b a b a", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val got = Corpus.dsirWeights(docs, "en", 4096).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute-force reference: same hashing, same per-feature micro-rounding
+    def bucket(bg: String): Int = bg.hashCode & 4095
+    val all = Seq(1L -> ("en", "x y x y x"), 2L -> ("en", "x y z x y"),
+      3L -> ("fr", "a b a b a"))
+    val bigrams = all.map { case (id, (lang, t)) =>
+      val ts = t.split("\\s+"); (id, lang, ts.indices.dropRight(1)
+        .map(i => bucket(ts(i) + " " + ts(i + 1))))
+    }
+    val cr = bigrams.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val ct = bigrams.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val nr = cr.values.sum.toDouble; val nt = ct.values.sum.toDouble
+    def micro(f: Int): Long = {
+      val v = math.log((ct.getOrElse(f, 0) + 1.0) / (nt + 4096.0)) -
+        math.log((cr(f) + 1.0) / (nr + 4096.0))
+      BigDecimal(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    bigrams.foreach { case (id, lang, fs) =>
+      val (gl, gn, gw) = got(id)
+      assert(gl === lang); assert(gn === fs.size.toLong)
+      assert(gw === fs.map(micro).sum)
+    }
+    // disjoint vocab: the en docs lean target, the fr doc leans raw
+    assert(got(1L)._3 > 0L && got(2L)._3 > 0L && got(3L)._3 < 0L)
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
