@@ -992,6 +992,12 @@ object SparkEntry {
     "q167_dsir_weights" -> ((s, dir) =>
       graft.operators.Corpus.dsirWeights(documents(s, dir), "en", 4096)),
 
+    // Gopher rule card (Rae et al. 2021 App. A): per source, the named
+    // pass/fail filter rules with per-rule fail counts and the
+    // conjunctive keep rate — WHICH rule drives each source's attrition
+    "q168_gopher_card" -> ((s, dir) =>
+      graft.operators.Corpus.gopherQualityCard(documents(s, dir))),
+
     // Sketch algebra HLL lacks: KMV bottom-k sketches support UNION and
     // INTERSECTION (|U∩A∩B|/|U| Jaccard) — the train/eval-overlap
     // estimator. Typed Aggregator with k-long-bounded mergeable state.
@@ -3156,6 +3162,47 @@ docf AS (SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS occ
 SELECT docf.doc_id, docf.lang, CAST(sum(occ) AS BIGINT) AS n_feats,
   CAST(sum(occ * micro) AS BIGINT) AS micro_logweight
 FROM docf JOIN lmw USING (f) GROUP BY docf.doc_id, docf.lang""",
+
+    "q168_gopher_card" -> """WITH tk AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+pd AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+  coalesce(list_sum([CAST(length(t) AS BIGINT) for t in toks]), 0) AS sum_chars,
+  CAST(len(list_distinct([t for t in toks
+    if t IN ('the','a','of','and','to','with')])) AS BIGINT) AS n_stop,
+  CAST(len([t for t in toks if regexp_matches(t, '[A-Za-z]')]) AS BIGINT) AS n_alpha
+  FROM tk),
+bgx AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+    for i in range(1, len(toks))]) AS bg FROM tk WHERE len(toks) >= 2),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY doc_id, bg),
+tb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bg,
+  CAST(sum(c) AS BIGINT) AS n_bg FROM bgc GROUP BY doc_id),
+fl AS (SELECT pd.source,
+  CASE WHEN n_tokens < 50 OR n_tokens > 100000 THEN 1 ELSE 0 END AS f_wc,
+  CASE WHEN n_tokens = 0 THEN 1
+    WHEN sum_chars * 1000000 // n_tokens < 3000000
+      OR sum_chars * 1000000 // n_tokens > 10000000 THEN 1
+    ELSE 0 END AS f_mwl,
+  CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_sw,
+  CASE WHEN n_bg IS NULL OR max_bg <= 1 THEN 0
+    WHEN max_bg * 1000000 // n_bg > 100000 THEN 1 ELSE 0 END AS f_bg,
+  CASE WHEN n_tokens = 0 THEN 1
+    WHEN n_alpha * 1000000 // n_tokens < 800000 THEN 1 ELSE 0 END AS f_aw
+  FROM pd LEFT JOIN tb USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(f_wc) AS BIGINT) AS n_fail_word_count,
+  CAST(sum(f_mwl) AS BIGINT) AS n_fail_mean_word_len,
+  CAST(sum(f_sw) AS BIGINT) AS n_fail_stopwords,
+  CAST(sum(f_bg) AS BIGINT) AS n_fail_top_bigram,
+  CAST(sum(f_aw) AS BIGINT) AS n_fail_alpha_words,
+  CAST(sum(CASE WHEN f_wc + f_mwl + f_sw + f_bg + f_aw = 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  CAST(sum(CASE WHEN f_wc + f_mwl + f_sw + f_bg + f_aw = 0
+    THEN 1 ELSE 0 END) * 1000000 AS BIGINT) // CAST(count(*) AS BIGINT)
+    AS keep_micro
+FROM fl GROUP BY source""",
 
     "q112_kmv_overlap" -> s"""WITH hs AS (SELECT source, ${javaHashSql("text")} AS h FROM documents),
 d AS (SELECT DISTINCT source, h FROM hs),

@@ -649,6 +649,69 @@ object Corpus {
         sum(col("occ") * col("micro")).as("micro_logweight"))
   }
 
+  /** Gopher-style quality RULE CARD (Rae et al. 2021, Appendix A —
+    * MassiveText filtering): the named pass/fail rules a curation team
+    * reads, not raw signals (q22 publishes those). Per source: document
+    * count, per-rule fail counts, and the keep rate under the conjunction —
+    * the report that says WHICH rule is responsible for each source's
+    * attrition. Rules (integer micro thresholds, conjunctive keep):
+    *   word_count     — token count in [minWords, maxWords]
+    *   mean_word_len  — mean token length in [3, 10] chars
+    *   stopwords      — ≥ 2 distinct of {the, a, of, and, to, with}
+    *   top_bigram     — most frequent bigram ≤ 10% of bigram occurrences
+    *                    (Gopher's top-2-gram duplication rule, count form;
+    *                    a bigram seen ONCE is not duplication, so the rule
+    *                    never fires at max_bg ≤ 1 — short all-distinct
+    *                    docs would otherwise fail on 1/n > 10% alone)
+    *   alpha_words    — ≥ 80% of tokens contain an alphabetic character
+    *
+    * Scale shape: four rules are row-local token-array HOFs; the bigram
+    * rule is one doc-keyed count (q91's exchange) re-aggregated to a
+    * per-doc max; the card is a source-keyed sum. No window, no collect.
+    */
+  def gopherQualityCard(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col("text")))
+    val perDoc = base.select(col("doc_id"), col("source"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+        .as("sum_chars"),
+      expr("""size(array_distinct(filter(toks,
+        t -> t IN ('the','a','of','and','to','with'))))""").cast("long")
+        .as("n_stop"),
+      expr("size(filter(toks, t -> t rlike '[A-Za-z]'))").cast("long")
+        .as("n_alpha"))
+    val topBg = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(allNgrams("toks", 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_bg"), sum("c").as("n_bg"))
+    val flags = perDoc.join(topBg, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("n_tokens") < minWords || col("n_tokens") > maxWords, 1L)
+          .otherwise(0L).as("f_wc"),
+        expr("""CASE WHEN n_tokens = 0 THEN 1
+          WHEN sum_chars * 1000000 div n_tokens < 3000000
+            OR sum_chars * 1000000 div n_tokens > 10000000 THEN 1
+          ELSE 0 END""").cast("long").as("f_mwl"),
+        when(col("n_stop") < 2, 1L).otherwise(0L).as("f_sw"),
+        expr("""CASE WHEN n_bg IS NULL OR max_bg <= 1 THEN 0
+          WHEN max_bg * 1000000 div n_bg > 100000 THEN 1
+          ELSE 0 END""").cast("long").as("f_bg"),
+        expr("""CASE WHEN n_tokens = 0 THEN 1
+          WHEN n_alpha * 1000000 div n_tokens < 800000 THEN 1
+          ELSE 0 END""").cast("long").as("f_aw"))
+    flags.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("f_wc").as("n_fail_word_count"),
+        sum("f_mwl").as("n_fail_mean_word_len"),
+        sum("f_sw").as("n_fail_stopwords"),
+        sum("f_bg").as("n_fail_top_bigram"),
+        sum("f_aw").as("n_fail_alpha_words"),
+        sum(when(col("f_wc") + col("f_mwl") + col("f_sw") + col("f_bg")
+          + col("f_aw") === 0L, 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_micro", expr("n_keep * 1000000 div n_docs"))
+  }
+
   /** Adjacent code-point pairs of a word — one BPE pair-statistics pass.
     * Code points (not chars) so the DuckDB mirror's character-based
     * substr agrees on any Unicode input.

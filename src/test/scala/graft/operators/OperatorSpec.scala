@@ -948,6 +948,34 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L)._3 > 0L && got(2L)._3 > 0L && got(3L)._3 < 0L)
   }
 
+  test("gopherQualityCard: each rule fires on exactly its crafted doc, " +
+    "clean doc keeps, attribution lands in the right fail column") {
+    val ss = spark; import ss.implicits._
+    def words(n: Int, len: Int, pre: String): Seq[String] =
+      (1 to n).map(i => (pre + i.toString).padTo(len, 'x').take(len))
+    val clean = ("the a " + words(58, 6, "w").mkString(" "), "sa")
+    val short = ("the a " + words(8, 6, "w").mkString(" "), "sb")
+    val longw = ("the a " + words(58, 12, "l").mkString(" "), "sc")
+    val nostop = (words(60, 6, "n").mkString(" "), "sd")
+    val bigram = ("the a " + Seq.fill(29)("alpha beta").mkString(" "), "se")
+    val nums = ("the a " + words(45, 6, "w").mkString(" ") + " " +
+      (111 to 123).map(_.toString).mkString(" "), "sf")
+    val docs = Seq(clean, short, longw, nostop, bigram, nums).zipWithIndex
+      .map { case ((t, src), i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val got = Corpus.gopherQualityCard(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    //                 (f_wc, f_mwl, f_sw, f_bg, f_aw, n_keep)
+    assert(got("sa") === ((0L, 0L, 0L, 0L, 0L, 1L)))
+    assert(got("sb") === ((1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got("sc") === ((0L, 1L, 0L, 0L, 0L, 0L)))
+    assert(got("sd") === ((0L, 0L, 1L, 0L, 0L, 0L)))
+    assert(got("se") === ((0L, 0L, 0L, 1L, 0L, 0L)))
+    assert(got("sf") === ((0L, 0L, 0L, 0L, 1L, 0L)))
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
