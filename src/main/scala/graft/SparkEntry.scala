@@ -1213,6 +1213,13 @@ object SparkEntry {
     "q158_kcore" -> ((s, dir) =>
       Dedup.kCore(documents(s, dir), 0.5, 3, 8)),
 
+    // label-propagation communities — the sixth graph-analytic on the
+    // q47 edge list: locally-cohesive duplication communities (CC merges
+    // chains, k-core keeps only the dense core); fixed-round synchronous
+    // LPA with self-vote and min-label tie-break, engine-mirrorable
+    "q169_lpa_communities" -> ((s, dir) =>
+      Dedup.lpaCommunities(documents(s, dir), 0.5, 4)),
+
     // ExactSubstr (Lee et al. ACL'22): every 40-char window occurring at
     // >1 (doc,position) marks its span duplicated; per doc, the duplicated
     // position count, the UNION-covered characters, and the duplicated
@@ -3596,6 +3603,29 @@ $peel
 SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM ke
 WHERE src IN (SELECT id FROM ka$rounds) AND dst IN (SELECT id FROM ka$rounds)
 GROUP BY src HAVING count(*) >= 3"""
+    },
+
+    "q169_lpa_communities" -> {
+      // 4 unrolled synchronous LPA rounds (mirrors Dedup.lpaFromEdges's
+      // fixed-round loop). MATERIALIZED for the same reason as q158: each
+      // round references its predecessor twice (neighbour join + self
+      // vote) — plain inlining is 2^rounds.
+      val rounds = 4
+      val steps = (1 to rounds).map { r =>
+        val prev = s"ll${r - 1}"
+        s"""lv$r AS MATERIALIZED (
+  SELECT e.src, l.community AS nl FROM le e JOIN $prev l ON e.dst = l.doc_id
+  UNION ALL SELECT doc_id AS src, community AS nl FROM $prev),
+ll$r AS MATERIALIZED (SELECT src AS doc_id,
+  CAST(min((1048576 - c) * 1099511627776 + nl) % 1099511627776 AS BIGINT) AS community
+  FROM (SELECT src, nl, CAST(count(*) AS BIGINT) AS c FROM lv$r GROUP BY src, nl)
+  GROUP BY src)"""
+      }.mkString(",\n")
+      EdgesSql + s""",
+le AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ed0 UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ed0),
+ll0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS community FROM le),
+$steps
+SELECT doc_id, community FROM ll$rounds"""
     },
 
     "q159_exact_substring" -> """WITH g AS (

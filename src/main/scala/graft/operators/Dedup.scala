@@ -1392,6 +1392,54 @@ object Dedup {
           .otherwise(expr("i * 1000000 div u")).as("jacc_micro"))
   }
 
+  /** Synchronous LABEL-PROPAGATION communities (Raghavan et al. 2007) over
+    * an arbitrary edge list — the SIXTH graph-analytic on the near-dup
+    * graph (CC q47, PageRank q106, triangles q117, walks q144, k-core
+    * q158): where CC merges anything chain-connected and k-core keeps only
+    * the dense core, LPA partitions the graph into locally-cohesive
+    * communities — each node repeatedly adopts the most frequent label in
+    * its closed neighbourhood. Deterministic engine-mirrorable form:
+    * fixed `rounds` synchronous updates; the vote includes the node's OWN
+    * current label (the self-loop variant — a bare two-node component
+    * otherwise label-swaps forever under synchronous updates); ties break
+    * to the SMALLEST label via one packed integer key
+    * (maxc − c)·2⁴⁰ + label, so argmax-count/min-label is a plain `min`.
+    *
+    * Scale shape: per round, one dst-keyed join of the (checkpointed) edge
+    * list against the label table, one (node, label) count (map-side
+    * combined), one node-keyed min — the CC round shape without pointer
+    * jumping; labels are node-keyed rows, never collected. Requires
+    * degree < 2²⁰ (the packed key's count field), which the LSH bucket cap
+    * upstream guarantees by construction.
+    */
+  def lpaFromEdges(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val edges = edgesIn.select("doc_a", "doc_b")
+    val sym = edges.union(edges.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("community", col("doc_id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.select(col("doc_id").as("dst"), col("community").as("nl")),
+          Seq("dst"))
+        .select(col("src"), col("nl"))
+        .unionByName(labels.select(col("doc_id").as("src"),
+          col("community").as("nl")))
+      labels = votes.groupBy("src", "nl").agg(count(lit(1)).as("c"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(expr("""CAST(min((1048576 - c) * 1099511627776 + nl)
+          % 1099511627776 AS BIGINT)""").as("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** [[lpaFromEdges]] over the verified near-dup candidate graph. */
+  def lpaCommunities(docs: DataFrame, minEst: Double, rounds: Int): DataFrame =
+    lpaFromEdges(lshCandidatePairs(docs, minEst).select("doc_a", "doc_b"),
+      rounds)
+
   /** LSH (bands × rows) PARAMETER TUNER, weighted by the corpus's OWN
     * positive-pair similarity distribution — the MMDS §3.4 S-curve
     * P(candidate) = 1 − (1 − J^r)^b evaluated not on a uniform similarity

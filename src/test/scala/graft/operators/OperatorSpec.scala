@@ -976,6 +976,22 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("sf") === ((0L, 0L, 0L, 0L, 1L, 0L)))
   }
 
+  test("lpaFromEdges: bridge between two cliques does NOT merge them " +
+    "(unlike CC), two-node pair converges under the self-vote, labels " +
+    "settle to community minima") {
+    val ss = spark; import ss.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L),
+      (12L, 14L), (13L, 14L), (4L, 11L), // bridge
+      (21L, 22L)) // bare pair: synchronous LPA without self-vote swaps forever
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.lpaFromEdges(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L,
+      21L -> 21L, 22L -> 21L))
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
