@@ -148,7 +148,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // row-local bucket bit_count (no probe table)
       "q157_lsh_recall",
       // q137: the Σw normalizer is a broadcast 1-row scalar
-      "q137_negative_sampling")
+      "q137_negative_sampling",
+      // q167: the (Nt, Nr) LM totals are a broadcast 1-row scalar joined
+      // to the ≤4096-row bucket LM table (q126's shape)
+      "q167_dsir_weights")
 
   // windows partitioned by `source` ALONE serialize a whole source (a
   // training corpus has few, enormous sources) through one task — the 100 TB
