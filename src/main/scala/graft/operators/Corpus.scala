@@ -623,31 +623,56 @@ object Corpus {
     * any engine. No window, no collect, no corpus-sized shuffle beyond
     * the (doc, bucket) aggregate.
     */
-  def dsirWeights(docs: DataFrame, targetLang: String, buckets: Int): DataFrame = {
+  /** Hashed-bigram feature rows (doc_id, lang, f) — the shared front end
+    * of the DSIR LM build and the scoring pass.
+    */
+  private def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
-    val base = docs.withColumn("toks", tokens(col("text")))
+    docs.withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(allNgrams("toks", 2)).as("bg"))
       .select(col("doc_id"), col("lang"),
         graft.functions.GeoFunctions.javaHash(col("bg"))
           .bitwiseAND(lit(buckets - 1)).cast("int").as("f"))
-    val raw = base.groupBy("f").agg(count(lit(1)).as("cr"))
-    val tgt = base.filter(col("lang") === targetLang)
-      .groupBy("f").agg(count(lit(1)).as("ct"))
-    val lm = raw.join(tgt, Seq("f"), "left")
-      .select(col("f"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+  }
+
+  /** The DSIR LM state: per hashed-bigram bucket, raw (`cr`, every doc)
+    * and target (`ct`, `targetLang` docs) occurrence counts. Counts only
+    * ever add, so this exact aggregation also runs as a STREAMING
+    * aggregation over document appends with state bounded at `buckets`
+    * rows (EventStream.dsirLmStream) — the incremental LM equals this
+    * batch build on any prefix.
+    */
+  def dsirLm(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
+    dsirFeatures(docs, buckets)
+      .select(col("f"),
+        when(col("lang") === targetLang, 1L).otherwise(0L).as("t"))
+      .groupBy("f").agg(count(lit(1)).as("cr"), sum("t").as("ct"))
+
+  /** Score `docs` against an LM table `lm(f, cr, ct)` (from [[dsirLm]] or
+    * its streaming twin's snapshot). The LM must cover every bucket the
+    * scored docs hash into — true by construction when the LM was built
+    * over a superset of `docs` (the inner bucket join keeps the plan
+    * broadcast-only; a serving path scoring unseen text should rebuild
+    * the LM over the union first).
+    */
+  def dsirScoreAgainst(docs: DataFrame, lm: DataFrame, buckets: Int): DataFrame = {
     val tot = lm.agg(sum("cr").as("nr"), sum("ct").as("nt"))
     val lmw = broadcast(lm.crossJoin(broadcast(tot))
       .select(col("f"), expr(s"""CAST(round(round(
         ln((ct + 1.0) / (nt + $buckets.0)) - ln((cr + 1.0) / (nr + $buckets.0)),
         6) * 1000000.0, 0) AS BIGINT)""").as("micro")))
-    base.groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("occ"))
+    dsirFeatures(docs, buckets)
+      .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("occ"))
       .join(lmw, Seq("f"))
       .groupBy("doc_id", "lang")
       .agg(sum("occ").as("n_feats"),
         sum(col("occ") * col("micro")).as("micro_logweight"))
   }
+
+  def dsirWeights(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
+    dsirScoreAgainst(docs, dsirLm(docs, targetLang, buckets), buckets)
 
   /** Gopher-style quality RULE CARD (Rae et al. 2021, Appendix A —
     * MassiveText filtering): the named pass/fail rules a curation team

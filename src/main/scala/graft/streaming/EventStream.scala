@@ -172,6 +172,19 @@ object EventStream {
     graft.operators.Sketch.bloomPositionRows(docStream)
       .groupBy("pos").agg(count(lit(1)).as("n_docs"))
 
+  /** Streaming DSIR LM maintenance: the per-bucket (raw, target)
+    * hashed-bigram counts of Corpus.dsirLm kept incrementally over
+    * document appends. Counts only ever add, so the streaming state after
+    * any batch split equals the batch LM over the same prefix EXACTLY —
+    * and the state is AT MOST `buckets` rows (4096 at the q167 default)
+    * no matter how much text streams through: the same ideal
+    * fixed-size-state shape as [[cmsSketch]]/[[bloomBits]]. Serving scores
+    * a doc batch against the latest snapshot via Corpus.dsirScoreAgainst.
+    */
+  def dsirLmStream(docStream: DataFrame, targetLang: String,
+      buckets: Int): DataFrame =
+    graft.operators.Corpus.dsirLm(docStream, targetLang, buckets)
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

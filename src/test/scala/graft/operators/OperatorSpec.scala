@@ -424,6 +424,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size <= Sketch.D * Sketch.W)
   }
 
+  test("streaming DSIR LM equals the batch LM after all batches (state " +
+    "<= buckets rows) and scoring the snapshot reproduces q167 exactly") {
+    import java.nio.file.Files
+    val docs = OccurrenceView.documents(spark, Dir)
+    val tmp = Files.createTempDirectory("dsirlm")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.dsirLmStream(stream, "en", 4096)
+      .writeStream.format("memory").queryName("dsir_lm")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val snapshot = spark.table("dsir_lm")
+    val streamed = snapshot.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Corpus.dsirLm(docs, "en", 4096).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.size <= 4096)
+    // serving off the snapshot = the one-shot q167 operator, bit-identical
+    val served = Corpus.dsirScoreAgainst(docs, snapshot, 4096).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val oneShot = Corpus.dsirWeights(docs, "en", 4096).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(served === oneShot)
+  }
+
   test("streaming KMV sketch equals the batch sketch after all batches " +
     "(state = k longs per source)") {
     import java.nio.file.Files
