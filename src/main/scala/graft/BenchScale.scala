@@ -74,7 +74,15 @@ object BenchScale {
     // sketched common-neighbor audit: the B-slot sketch claims wedge work
     // linear in nodes regardless of cluster density — the probe watches
     // exactly that (the naive form measured 312 M wedges here)
-    "q160_lsh_miss_audit")
+    "q160_lsh_miss_audit",
+    // LPA: 4 fixed rounds of dst-keyed join + (node,label) count over the
+    // near-dup graph — the probe must confirm the per-round cost tracks
+    // the edge count (the label table churns but never grows past nodes)
+    "q169_lpa_communities",
+    // cross-source gram flow: per-gram collect_set state is bounded by
+    // the source-domain cardinality, NOT corpus size — the probe watches
+    // the distinct+flow exchanges track gram count linearly
+    "q163_substring_flow")
 
   /** Per-stage totals between two markers — shuffle volume and spill are
     * the quantities that separate "the exchange really carries 7× the
