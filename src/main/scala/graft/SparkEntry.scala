@@ -998,6 +998,19 @@ object SparkEntry {
     "q168_gopher_card" -> ((s, dir) =>
       graft.operators.Corpus.gopherQualityCard(documents(s, dir))),
 
+    // n-gram diversity card: per n in 1..5, occurrence/distinct counts,
+    // type-token ratio, Shannon entropy (nano) — the memorization-risk /
+    // diversity summary; the n-slope shows where repetition sets in
+    "q170_ngram_diversity" -> ((s, dir) =>
+      graft.operators.Corpus.ngramDiversityCard(documents(s, dir), 5)),
+
+    // PII scrub report: per source, email/IPv4/phone match counts and the
+    // redaction character delta — row-local regex scrub (the corpus is
+    // synthetic word-salad, so the zeros ARE the expected report; the
+    // scrub mechanics are pinned by OperatorSpec fixtures)
+    "q171_pii_report" -> ((s, dir) =>
+      graft.operators.Corpus.piiReport(documents(s, dir))),
+
     // Sketch algebra HLL lacks: KMV bottom-k sketches support UNION and
     // INTERSECTION (|U∩A∩B|/|U| Jaccard) — the train/eval-overlap
     // estimator. Typed Aggregator with k-long-bounded mergeable state.
@@ -3210,6 +3223,51 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
     THEN 1 ELSE 0 END) * 1000000 AS BIGINT) // CAST(count(*) AS BIGINT)
     AS keep_micro
 FROM fl GROUP BY source""",
+
+    "q170_ngram_diversity" -> {
+      val branches = (1 to 5).map { n =>
+        if (n == 1) "SELECT 1 AS n, unnest(toks) AS g FROM tk"
+        else {
+          val cc = (0 until n)
+            .map(k => if (k == 0) "toks[i]" else s"toks[i+$k]")
+            .mkString(" || ' ' || ")
+          s"SELECT $n AS n, unnest([$cc for i in range(1, len(toks) - ${n - 2})]) AS g FROM tk"
+        }
+      }.mkString("\nUNION ALL ")
+      s"""WITH tk AS (SELECT
+  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+g AS ($branches),
+c AS (SELECT n, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY n, g),
+t AS (SELECT n, CAST(sum(c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS d
+  FROM c GROUP BY n)
+SELECT c.n, t.tot AS n_occurrences, t.d AS n_distinct,
+  t.d * 1000000 // t.tot AS ttr_micro,
+  CAST(sum(CAST(round(round(-(c / tot) * ln(c / tot), 9)
+    * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS entropy_nano
+FROM c JOIN t USING (n) GROUP BY c.n, t.tot, t.d"""
+    },
+
+    "q171_pii_report" -> s"""WITH sc AS (SELECT source,
+  CAST(len(regexp_extract_all(text, '${graft.operators.Corpus.PiiEmail}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '${graft.operators.Corpus.PiiIpv4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '${graft.operators.Corpus.PiiPhone}')) AS BIGINT) AS n_phone,
+  CAST(length(text) AS BIGINT) AS n_chars_in,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '${graft.operators.Corpus.PiiEmail}', '<EMAIL>', 'g'),
+    '${graft.operators.Corpus.PiiIpv4}', '<IP>', 'g'),
+    '${graft.operators.Corpus.PiiPhone}', '<PHONE>', 'g') AS clean_text
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN n_email + n_ipv4 + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_with_pii,
+  CAST(sum(n_email) AS BIGINT) AS n_email,
+  CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+  CAST(sum(n_chars_in) AS BIGINT) AS n_chars_in,
+  CAST(sum(length(clean_text)) AS BIGINT) AS n_chars_out
+FROM sc GROUP BY source""",
 
     "q112_kmv_overlap" -> s"""WITH hs AS (SELECT source, ${javaHashSql("text")} AS h FROM documents),
 d AS (SELECT DISTINCT source, h FROM hs),

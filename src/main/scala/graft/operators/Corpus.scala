@@ -737,6 +737,83 @@ object Corpus {
       .withColumn("keep_micro", expr("n_keep * 1000000 div n_docs"))
   }
 
+  /** N-gram DIVERSITY CARD: per n ∈ [1, maxN], the corpus-wide occurrence
+    * and distinct counts, the type-token ratio, and the Shannon entropy of
+    * the n-gram distribution (nano-units; per-gram term
+    * −(c/N)·ln(c/N) rounded at 9 decimals so the sum is engine-exact) —
+    * the information-theoretic summary behind memorization-risk and
+    * diversity reporting (a low-entropy, low-TTR corpus is template-heavy
+    * and memorizes; the n-slope says at which phrase length repetition
+    * sets in). The 9-decimal term rounding is the sandbox-scale oracle
+    * compromise; at corpus scale serve raw doubles (terms shrink as
+    * (ln N)/N and a fixed decimal floor would zero them).
+    *
+    * Scale shape: one gram-keyed count per n (map-side combined), a 5-row
+    * totals broadcast, and a 5-group final sum. Output is `maxN` rows.
+    */
+  def ngramDiversityCard(docs: DataFrame, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"need 1 <= maxN <= 8, got $maxN")
+    val base = docs.withColumn("toks", tokens(col("text")))
+    val grams = (1 to maxN).map(n =>
+      base.select(lit(n).as("n"), explode(allNgrams("toks", n)).as("g")))
+      .reduce(_ unionByName _)
+    val c = grams.groupBy("n", "g").agg(count(lit(1)).as("c"))
+    val t = c.groupBy("n")
+      .agg(sum("c").as("tot"), count(lit(1)).as("d"))
+    c.join(broadcast(t), Seq("n"))
+      .groupBy(col("n"), col("tot").as("n_occurrences"), col("d").as("n_distinct"))
+      .agg(sum(expr("""CAST(round(round(-(c / tot) * ln(c / tot), 9)
+          * 1000000000.0, 0) AS BIGINT)""")).as("entropy_nano"))
+      .select(col("n"), col("n_occurrences"), col("n_distinct"),
+        expr("n_distinct * 1000000 div n_occurrences").as("ttr_micro"),
+        col("entropy_nano"))
+  }
+
+  /** PII patterns shared by the scrub and the report. Written to the
+    * RE2 ∩ Java-regex common subset (no lookaround, no backrefs) so the
+    * Spark executor and any RE2-based engine (the oracle included) agree
+    * match-for-match.
+    */
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIpv4 =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[graft] val PiiPhone = "\\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** PII SCRUB — the redaction pass every production corpus runs before
+    * training: per doc, match counts for email / IPv4 / phone patterns
+    * (counted on the ORIGINAL text, independently — a token that matches
+    * two patterns counts in both) and the scrubbed text with each match
+    * replaced by a typed placeholder, replacements applied
+    * email → ip → phone so an address consumed by the email rule cannot
+    * re-match as a phone. Entirely row-local (regexp_count /
+    * regexp_replace are codegen'd) — the ideal 100 TB shape.
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      regexp_count(col("text"), lit(PiiEmail)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(PiiIpv4)).cast("long").as("n_ipv4"),
+      regexp_count(col("text"), lit(PiiPhone)).cast("long").as("n_phone"),
+      length(col("text")).cast("long").as("n_chars_in"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        PiiEmail, "<EMAIL>"), PiiIpv4, "<IP>"), PiiPhone, "<PHONE>")
+        .as("clean_text"))
+
+  /** Per-source PII report off [[piiScrub]]: doc and match counts plus the
+    * scrubbed character delta — the evidence a curation run publishes
+    * (which sources leak identifiers, how much text redaction touches).
+    */
+  def piiReport(docs: DataFrame): DataFrame =
+    piiScrub(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_ipv4") + col("n_phone") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"),
+        sum("n_email").as("n_email"),
+        sum("n_ipv4").as("n_ipv4"),
+        sum("n_phone").as("n_phone"),
+        sum("n_chars_in").as("n_chars_in"),
+        sum(length(col("clean_text")).cast("long")).as("n_chars_out"))
+
   /** Adjacent code-point pairs of a word — one BPE pair-statistics pass.
     * Code points (not chars) so the DuckDB mirror's character-based
     * substr agrees on any Unicode input.

@@ -1023,6 +1023,53 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       21L -> 21L, 22L -> 21L))
   }
 
+  test("ngramDiversityCard: counts/TTR/entropy match the hand-computed " +
+    "distribution; single-gram level has zero entropy; empty levels absent") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((1L, "x x y", "a"), (2L, "x y", "a"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    def nano(c: Long, bigN: Long): Long = {
+      val v = -(c.toDouble / bigN) * math.log(c.toDouble / bigN)
+      BigDecimal(BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1000000000.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val got = Corpus.ngramDiversityCard(docs, 5).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // n=1: {x:3, y:2}; n=2: {"x x":1, "x y":2}; n=3: {"x x y":1}; n>=4 empty
+    assert(got.keySet === Set(1, 2, 3))
+    assert(got(1) === ((5L, 2L, 400000L, nano(3, 5) + nano(2, 5))))
+    assert(got(2) === ((3L, 2L, 666666L, nano(1, 3) + nano(2, 3))))
+    assert(got(3) === ((1L, 1L, 1000000L, 0L)))
+  }
+
+  test("piiScrub: email/ip/phone counted and replaced with typed " +
+    "placeholders; report aggregates per source with char deltas") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "contact me at john.doe+spam@example.co.uk or 192.168.0.1 ok", "sa"),
+      (2L, "call +12345678901 now or 555-123-4567", "sa"),
+      (3L, "nothing here", "sb"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val sc = Corpus.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(6)))).toMap
+    assert(sc(1L) === ((1L, 1L, 0L, "contact me at <EMAIL> or <IP> ok")))
+    assert(sc(2L) === ((0L, 0L, 2L, "call <PHONE> now or <PHONE>")))
+    assert(sc(3L) === ((0L, 0L, 0L, "nothing here")))
+    val rep = Corpus.piiReport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val in1 = docs.filter(col("source") === "sa")
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val out1 = ("contact me at <EMAIL> or <IP> ok".length
+      + "call <PHONE> now or <PHONE>".length).toLong
+    assert(rep("sa") === ((2L, 2L, 1L, 1L, 2L, in1, out1)))
+    assert(rep("sb") === ((1L, 0L, 0L, 0L, 0L, 12L, 12L)))
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
