@@ -3178,10 +3178,14 @@ lmw AS (SELECT f, CAST(round(round(
     ln((ct + 1.0) / (nt + 4096.0)) - ln((cr + 1.0) / (nr + 4096.0)),
     6) * 1000000.0, 0) AS BIGINT) AS micro FROM lm CROSS JOIN tot),
 docf AS (SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS occ
-  FROM ft GROUP BY doc_id, lang, f)
-SELECT docf.doc_id, docf.lang, CAST(sum(occ) AS BIGINT) AS n_feats,
+  FROM ft GROUP BY doc_id, lang, f),
+dw AS (SELECT docf.doc_id, CAST(sum(occ) AS BIGINT) AS n_feats,
   CAST(sum(occ * micro) AS BIGINT) AS micro_logweight
-FROM docf JOIN lmw USING (f) GROUP BY docf.doc_id, docf.lang""",
+  FROM docf JOIN lmw USING (f) GROUP BY docf.doc_id)
+SELECT d.doc_id, d.lang,
+  CAST(coalesce(dw.n_feats, 0) AS BIGINT) AS n_feats,
+  CAST(coalesce(dw.micro_logweight, 0) AS BIGINT) AS micro_logweight
+FROM documents d LEFT JOIN dw USING (doc_id)""",
 
     "q168_gopher_card" -> """WITH tk AS (
   SELECT doc_id, source,

@@ -655,7 +655,10 @@ object Corpus {
     * scored docs hash into — true by construction when the LM was built
     * over a superset of `docs` (the inner bucket join keeps the plan
     * broadcast-only; a serving path scoring unseen text should rebuild
-    * the LM over the union first).
+    * the LM over the union first). EVERY doc gets a row: a doc with no
+    * bigram features (< 2 tokens) carries the neutral weight 0 with
+    * n_feats 0 — an importance resampler joining weights onto the corpus
+    * must not silently drop it.
     */
   def dsirScoreAgainst(docs: DataFrame, lm: DataFrame, buckets: Int): DataFrame = {
     val tot = lm.agg(sum("cr").as("nr"), sum("ct").as("nt"))
@@ -663,12 +666,17 @@ object Corpus {
       .select(col("f"), expr(s"""CAST(round(round(
         ln((ct + 1.0) / (nt + $buckets.0)) - ln((cr + 1.0) / (nr + $buckets.0)),
         6) * 1000000.0, 0) AS BIGINT)""").as("micro")))
-    dsirFeatures(docs, buckets)
+    val scored = dsirFeatures(docs, buckets)
       .groupBy("doc_id", "lang", "f").agg(count(lit(1)).as("occ"))
       .join(lmw, Seq("f"))
       .groupBy("doc_id", "lang")
       .agg(sum("occ").as("n_feats"),
         sum(col("occ") * col("micro")).as("micro_logweight"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("micro_logweight"), lit(0L)).as("micro_logweight"))
   }
 
   def dsirWeights(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =

@@ -1111,14 +1111,21 @@ object Dedup {
   /** (doc_id, pos) of every duplicated L-gram — the shared core of
     * [[exactSubstringSpans]] (measure) and [[exactSubstringCut]] (act).
     */
-  private def dupGramPositions(docs: DataFrame, L: Int): DataFrame = {
+  /** Every character-position L-gram as (`key`, pos, gram) — the single
+    * window-extraction convention the whole ExactSubstr family shares
+    * (spans/cut, span spectrum, source flow, source profile). One change
+    * here (e.g. the planned 64-bit gram hash at scale) reaches them all.
+    */
+  private def windowGrams(docs: DataFrame, L: Int, key: String): DataFrame = {
     require(L >= 2, s"window length must be >= 2, got $L")
-    val grams = docs
-      .filter(length(col("text")) >= L)
-      .select(col("doc_id"), col("text"),
+    docs.filter(length(col("text")) >= L)
+      .select(col(key), col("text"),
         explode(expr(s"sequence(1, length(text) - ${L - 1})")).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(text, pos, $L)").as("gram"))
+      .select(col(key), col("pos"), expr(s"substring(text, pos, $L)").as("gram"))
+  }
+
+  private def dupGramPositions(docs: DataFrame, L: Int): DataFrame = {
+    val grams = windowGrams(docs, L, "doc_id")
     val dup = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select("gram")
     grams.join(dup, Seq("gram"), "left_semi").select("doc_id", "pos")
@@ -1181,32 +1188,32 @@ object Dedup {
     * this is the per-source evidence separating them. Emits both counts,
     * the source's total window count, and the duplicated-position share.
     *
-    * Scale shape: gram classification is one keyed count whose per-gram
-    * source-set state is bounded by the source-domain cardinality (q163's
-    * bound); the classify join is gram-keyed like q159's semi-join; final
-    * aggregates are keyed by source. No window, no collect.
+    * Scale shape: the char-position explode collapses in ONE pass to the
+    * persisted (source, gram, cnt) table (state per gram bounded by the
+    * source-domain cardinality); gram classification and the per-source
+    * rollup are keyed aggregates over that table, joined gram-keyed like
+    * q159's semi-join. No window, no collect.
     */
   def sourceDupProfile(docs: DataFrame, L: Int): DataFrame = {
-    require(L >= 2, s"window length must be >= 2, got $L")
-    val grams = docs.filter(length(col("text")) >= L)
-      .select(col("source"), col("text"),
-        explode(expr(s"sequence(1, length(text) - ${L - 1})")).as("pos"))
-      .select(col("source"), expr(s"substring(text, pos, $L)").as("gram"))
-    val cls = grams.groupBy("gram")
-      .agg(count(lit(1)).as("n_occ"),
-        size(expr("collect_set(source)")).as("n_src"))
+    // ONE window explode, collapsed immediately to (source, gram, cnt);
+    // persisted because both the per-gram classification and the
+    // per-source rollup read it (without the persist the char-position
+    // explode — the dominant cost — would execute once per branch).
+    // Caller-owned lifecycle, as with ppjoinPairs' shingle table.
+    val sg = windowGrams(docs, L, "source")
+      .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cls = sg.groupBy("gram")
+      .agg(sum("cnt").as("n_occ"), count(lit(1)).as("n_src"))
       .filter(col("n_occ") > 1)
       .select(col("gram"), (col("n_src") >= 2).as("ext"))
-    val dup = grams.join(cls, Seq("gram"))
+    sg.join(cls, Seq("gram"), "left")
       .groupBy("source")
-      .agg(sum(when(col("ext"), 0L).otherwise(1L)).as("n_int_pos"),
-        sum(when(col("ext"), 1L).otherwise(0L)).as("n_ext_pos"))
-    grams.groupBy("source").agg(count(lit(1)).as("total_pos"))
-      .join(dup, Seq("source"), "left")
-      .select(col("source"),
-        coalesce(col("n_int_pos"), lit(0L)).as("n_int_pos"),
-        coalesce(col("n_ext_pos"), lit(0L)).as("n_ext_pos"),
-        col("total_pos"))
+      .agg(sum(when(col("ext") === false, col("cnt")).otherwise(0L))
+          .as("n_int_pos"),
+        sum(when(col("ext") === true, col("cnt")).otherwise(0L))
+          .as("n_ext_pos"),
+        sum("cnt").as("total_pos"))
       .withColumn("dup_share_micro",
         expr("(n_int_pos + n_ext_pos) * 1000000 div total_pos"))
   }
@@ -1226,12 +1233,8 @@ object Dedup {
     * one keyed count over ≤ C(#sources, 2) keys. No window, no collect.
     */
   def substringFlow(docs: DataFrame, L: Int): DataFrame = {
-    require(L >= 2, s"window length must be >= 2, got $L")
-    val gs = docs.filter(length(col("text")) >= L)
-      .select(col("source"), col("text"),
-        explode(expr(s"sequence(1, length(text) - ${L - 1})")).as("pos"))
-      .select(col("source"), expr(s"substring(text, pos, $L)").as("gram"))
-      .distinct()
+    val gs = windowGrams(docs, L, "source")
+      .select("source", "gram").distinct()
     gs.groupBy("gram")
       .agg(expr("array_sort(collect_set(source))").as("ss"))
       .filter(size(col("ss")) >= 2)
@@ -1408,15 +1411,30 @@ object Dedup {
     * Scale shape: per round, one dst-keyed join of the (checkpointed) edge
     * list against the label table, one (node, label) count (map-side
     * combined), one node-keyed min — the CC round shape without pointer
-    * jumping; labels are node-keyed rows, never collected. Requires
-    * degree < 2²⁰ (the packed key's count field), which the LSH bucket cap
-    * upstream guarantees by construction.
+    * jumping; labels are node-keyed rows, never collected. The packed
+    * key's field bounds (degree+1 < 2²⁰, ids in [0, 2⁴⁰)) are ENFORCED by
+    * a one-row up-front check — the near-dup graph satisfies both by
+    * construction (bucket cap; doc_id domain), an arbitrary edge list
+    * must fail loudly instead of truncating silently.
     */
   def lpaFromEdges(edgesIn: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val edges = edgesIn.select("doc_a", "doc_b")
     val sym = edges.union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
+    // the packed vote key holds (count, label) in (24, 40) bits — enforce
+    // both field bounds up front (one bounded 1-row collect, the q117
+    // dispatch shape) rather than silently truncating communities on
+    // 64-bit-hash ids or >2^20-degree hubs. Aggregates over an empty edge
+    // list yield nulls — coalesce before comparing (round-7 ADVICE).
+    val b = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .agg(coalesce(max("deg"), lit(0L)).as("maxd"),
+        coalesce(max("src"), lit(0L)).as("maxid"),
+        coalesce(min("src"), lit(0L)).as("minid")).collect()(0)
+    require(b.getLong(0) + 1 < (1L << 20) &&
+        b.getLong(1) < (1L << 40) && b.getLong(2) >= 0L,
+      s"lpaFromEdges packed key needs degree+1 < 2^20 and ids in [0, 2^40); " +
+        s"got max degree ${b.getLong(0)}, id range [${b.getLong(2)}, ${b.getLong(1)}]")
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("community", col("doc_id")).localCheckpoint()
     for (_ <- 1 to rounds) {

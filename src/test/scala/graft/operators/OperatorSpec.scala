@@ -947,11 +947,13 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val docs = Seq(
       (1L, "x y x y x", "en"), (2L, "x y z x y", "en"),
-      (3L, "a b a b a", "fr"))
+      (3L, "a b a b a", "fr"),
+      (4L, "solo", "fr")) // featureless: must still get a neutral-0 row
       .toDF("doc_id", "text", "lang")
       .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
     val got = Corpus.dsirWeights(docs, "en", 4096).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(4L) === (("fr", 0L, 0L)))
     // brute-force reference: same hashing, same per-feature micro-rounding
     def bucket(bg: String): Int = bg.hashCode & 4095
     val all = Seq(1L -> ("en", "x y x y x"), 2L -> ("en", "x y z x y"),
