@@ -761,10 +761,13 @@ object Corpus {
     */
   def ngramDiversityCard(docs: DataFrame, maxN: Int): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"need 1 <= maxN <= 8, got $maxN")
-    val base = docs.withColumn("toks", tokens(col("text")))
-    val grams = (1 to maxN).map(n =>
-      base.select(lit(n).as("n"), explode(allNgrams("toks", n)).as("g")))
-      .reduce(_ unionByName _)
+    // ONE scan + tokenize: all maxN gram levels fan out row-locally from
+    // the same token array (a per-n union would re-scan the text column
+    // maxN times — real money at corpus scale)
+    val grams = docs.withColumn("toks", tokens(col("text")))
+      .select(posexplode(array((1 to maxN).map(n => allNgrams("toks", n)): _*))
+        .as(Seq("i", "gs")))
+      .select((col("i") + 1).as("n"), explode(col("gs")).as("g"))
     val c = grams.groupBy("n", "g").agg(count(lit(1)).as("c"))
     val t = c.groupBy("n")
       .agg(sum("c").as("tot"), count(lit(1)).as("d"))
