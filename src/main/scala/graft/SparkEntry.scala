@@ -1226,6 +1226,12 @@ object SparkEntry {
     "q158_kcore" -> ((s, dir) =>
       Dedup.kCore(documents(s, dir), 0.5, 3, 8)),
 
+    // quality-aware canonical: keep the LONGEST member of each near-dup
+    // cluster (q66 keeps min-id) — the production "keep best copy"
+    // policy, with the measured per-source delta between the two policies
+    "q172_keep_longest" -> ((s, dir) =>
+      Dedup.keepLongestCanonical(documents(s, dir), 0.5)),
+
     // label-propagation communities — the sixth graph-analytic on the
     // q47 edge list: locally-cohesive duplication communities (CC merges
     // chains, k-core keeps only the dense core); fixed-round synchronous
@@ -1963,6 +1969,17 @@ SELECT doc_id, cluster_id FROM lbl"""),
 SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
 FROM documents d JOIN lbl ON d.doc_id = lbl.doc_id AND lbl.cluster_id = d.doc_id
 GROUP BY d.source"""),
+
+    "q172_keep_longest" -> (ClustersSql + """,
+ck AS (SELECT lbl.cluster_id,
+  CAST(min((4194304 - d.n_chars) * 1099511627776 + lbl.doc_id)
+    % 1099511627776 AS BIGINT) AS keep_id
+  FROM lbl JOIN documents d ON lbl.doc_id = d.doc_id GROUP BY lbl.cluster_id)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(CASE WHEN ck.keep_id <> ck.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_policy_delta
+FROM ck JOIN documents d ON d.doc_id = ck.keep_id GROUP BY d.source"""),
 
     "q48_corpus_filter" -> """WITH canon AS (
   SELECT md5(text) AS h, min(doc_id) AS cid FROM documents GROUP BY md5(text)),

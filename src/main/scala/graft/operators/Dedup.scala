@@ -1395,6 +1395,43 @@ object Dedup {
           .otherwise(expr("i * 1000000 div u")).as("jacc_micro"))
   }
 
+  /** Quality-aware CANONICAL SELECTION — the "keep the BEST copy" dedup
+    * action (q66 keeps the min-id member; production pipelines usually
+    * keep the LONGEST copy: truncated scrapes lose to the full article).
+    * Per near-dup cluster, the kept member maximizes (n_chars, then min
+    * doc_id) via one packed integer key (maxc − n_chars)·2⁴⁰ + doc_id —
+    * argmax-length/min-id as a plain `min`, the q169 packing. Emits the
+    * surviving corpus per source plus `n_policy_delta`: kept docs the
+    * min-id policy would NOT have kept — the measured difference between
+    * the two policies, not an assertion that they differ.
+    *
+    * Scale shape: labels ride the q47 CC machinery; selection is ONE
+    * cluster-keyed min; the survivors come back via an id-keyed join. The
+    * packed key's field bounds (n_chars < 2²², ids in [0, 2⁴⁰)) are
+    * enforced by a one-row check — chunking (q73) bounds doc length far
+    * below 4M chars upstream; anything else must fail loudly.
+    */
+  def keepLongestCanonical(docs: DataFrame, minEst: Double): DataFrame = {
+    val b = docs.agg(coalesce(max("n_chars"), lit(0L)).as("maxc"),
+      coalesce(max("doc_id"), lit(0L)).as("maxid"),
+      coalesce(min("doc_id"), lit(0L)).as("minid")).collect()(0)
+    require(b.getLong(0) < (1L << 22) &&
+        b.getLong(1) < (1L << 40) && b.getLong(2) >= 0L,
+      s"keepLongestCanonical packed key needs n_chars < 2^22 and ids in " +
+        s"[0, 2^40); got max n_chars ${b.getLong(0)}, id range " +
+        s"[${b.getLong(2)}, ${b.getLong(1)}]")
+    val keep = duplicateClusters(docs, minEst)
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(expr("""CAST(min((4194304 - n_chars) * 1099511627776 + doc_id)
+        % 1099511627776 AS BIGINT)""").as("keep_id"))
+    docs.join(keep, docs("doc_id") === keep("keep_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum(when(col("keep_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("n_policy_delta"))
+  }
+
   /** Synchronous LABEL-PROPAGATION communities (Raghavan et al. 2007) over
     * an arbitrary edge list — the SIXTH graph-analytic on the near-dup
     * graph (CC q47, PageRank q106, triangles q117, walks q144, k-core

@@ -1072,6 +1072,31 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep("sb") === ((1L, 0L, 0L, 0L, 0L, 12L, 12L)))
   }
 
+  test("keepLongestCanonical keeps the longest cluster member (not the " +
+    "min-id one), counts the policy delta, passes singletons through") {
+    val ss = spark; import ss.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "sa"),                 // near-dup of 2, SHORTER
+      (2L, base + " extratail", "sb"),  // the longest copy -> kept
+      (3L, "completely different words here making no duplicate at all " +
+        (1 to 20).map(i => s"x$i").mkString(" "), "sc"),
+      (4L, (1 to 30).map(i => s"y$i").mkString(" "), "sd"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    // precondition: 1 and 2 really form one cluster under the q47 labels
+    val lbl = Dedup.duplicateClusters(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(1L) === 1L && lbl(2L) === 1L && lbl(3L) === 3L && lbl(4L) === 4L)
+    val got = Dedup.keepLongestCanonical(docs, 0.5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(!got.contains("sa")) // the shorter near-dup copy is dropped
+    assert(got("sb")._1 === 1L && got("sb")._3 === 1L) // kept, policy differs
+    assert(got("sc") === ((1L, got("sc")._2, 0L)))
+    assert(got("sd") === ((1L, got("sd")._2, 0L)))
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
