@@ -1011,6 +1011,13 @@ object SparkEntry {
     "q171_pii_report" -> ((s, dir) =>
       graft.operators.Corpus.piiReport(documents(s, dir))),
 
+    // Heaps'-law vocabulary-growth curve: cumulative vocab vs cumulative
+    // token occurrences over 10 doc-id-decile prefixes — whether new data
+    // still brings new language; each token billed to its FIRST decile,
+    // so the whole curve is one keyed min (never a scan per point)
+    "q173_vocab_growth" -> ((s, dir) =>
+      graft.operators.Corpus.vocabGrowthCurve(documents(s, dir))),
+
     // Sketch algebra HLL lacks: KMV bottom-k sketches support UNION and
     // INTERSECTION (|U∩A∩B|/|U| Jaccard) — the train/eval-overlap
     // estimator. Typed Aggregator with k-long-bounded mergeable state.
@@ -3289,6 +3296,29 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars_in) AS BIGINT) AS n_chars_in,
   CAST(sum(length(clean_text)) AS BIGINT) AS n_chars_out
 FROM sc GROUP BY source""",
+
+    "q173_vocab_growth" -> """WITH tk AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+mx AS (SELECT max(doc_id) AS mxid FROM documents),
+fdec AS (SELECT CAST(fd * 10 // (mxid + 1) AS INT) AS decile,
+    CAST(count(*) AS BIGINT) AS new_vocab
+  FROM (SELECT w, min(doc_id) AS fd
+        FROM (SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY w)
+  CROSS JOIN mx GROUP BY 1),
+odec AS (SELECT CAST(doc_id * 10 // (mxid + 1) AS INT) AS decile,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(toks)) AS BIGINT) AS n_occ
+  FROM tk CROSS JOIN mx GROUP BY 1),
+cum AS (SELECT a.decile, CAST(sum(b.n_docs) AS BIGINT) AS cum_docs,
+    CAST(sum(b.n_occ) AS BIGINT) AS cum_tokens
+  FROM odec a JOIN odec b ON b.decile <= a.decile GROUP BY a.decile)
+SELECT cum.decile, cum.cum_docs, cum.cum_tokens,
+  CAST(coalesce(sum(f.new_vocab), 0) AS BIGINT) AS cum_vocab
+FROM cum LEFT JOIN fdec f ON f.decile <= cum.decile
+GROUP BY cum.decile, cum.cum_docs, cum.cum_tokens""",
 
     "q112_kmv_overlap" -> s"""WITH hs AS (SELECT source, ${javaHashSql("text")} AS h FROM documents),
 d AS (SELECT DISTINCT source, h FROM hs),

@@ -825,6 +825,52 @@ object Corpus {
         sum("n_chars_in").as("n_chars_in"),
         sum(length(col("clean_text")).cast("long")).as("n_chars_out"))
 
+  /** VOCABULARY-GROWTH CURVE (Heaps' law audit): cumulative distinct
+    * vocabulary vs cumulative token occurrences over 10 doc-id-decile
+    * corpus prefixes — the diagnostic that says whether new data still
+    * brings new language (a flattening curve means the next 10 TB adds
+    * tokens but no vocabulary — diminishing diversity returns). Each
+    * token's contribution to the curve is its FIRST-appearance decile, so
+    * the whole curve costs one token-keyed min — never one scan per
+    * prefix point.
+    *
+    * Scale shape: one keyed min over (token → first doc), one keyed sum
+    * over doc token counts, both collapsed to 10-row decile histograms;
+    * the cumulative step is a 10×10 triangular self-join of those
+    * histograms (broadcast, bounded — NOT a window, which the suite-wide
+    * guard bans unpartitioned). The max-doc-id scalar rides a broadcast
+    * 1-row join (the q126 shape).
+    */
+  def vocabGrowthCurve(docs: DataFrame): DataFrame = {
+    val mx = docs.agg(max("doc_id").as("mxid"))
+    val toks = docs.withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("toks"))
+    // decile of a doc id in [0, 9]; mxid+1 keeps the last doc in decile 9.
+    // INTEGER div on both sides (Spark `/` is double division and CAST
+    // truncates where DuckDB's rounds — the repo-wide floor-boundary trap)
+    def decile(name: String): Column =
+      expr(s"CAST($name * 10 div (mxid + 1) AS INT)")
+    val firstDec = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("w").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy(decile("fd").as("decile"))
+      .agg(count(lit(1)).as("new_vocab"))
+    val occDec = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .crossJoin(broadcast(mx))
+      .groupBy(decile("doc_id").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_occ"))
+    occDec.as("a")
+      .join(occDec.select(col("decile").as("d2"), col("n_docs").as("nd2"),
+        col("n_occ").as("no2")).as("b"), col("d2") <= col("decile"))
+      .groupBy(col("decile"))
+      .agg(sum("nd2").as("cum_docs"), sum("no2").as("cum_tokens"))
+      .join(firstDec.select(col("decile").as("d3"), col("new_vocab")).as("c"),
+        col("d3") <= col("decile"), "left")
+      .groupBy("decile", "cum_docs", "cum_tokens")
+      .agg(coalesce(sum("new_vocab"), lit(0L)).as("cum_vocab"))
+  }
+
   /** Adjacent code-point pairs of a word — one BPE pair-statistics pass.
     * Code points (not chars) so the DuckDB mirror's character-based
     * substr agrees on any Unicode input.

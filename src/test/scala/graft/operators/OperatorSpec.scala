@@ -1097,6 +1097,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("sd") === ((1L, got("sd")._2, 0L)))
   }
 
+  test("vocabGrowthCurve: each token billed to its FIRST decile, " +
+    "cumulative docs/tokens/vocab exact on a one-new-word-per-doc corpus") {
+    val ss = spark; import ss.implicits._
+    // 10 docs, ids 0..9 -> decile == doc_id; doc 0 = "w0 w0",
+    // doc i = "wi w0": exactly one NEW word per decile
+    val docs = (0 to 9).map(i =>
+      (i.toLong, if (i == 0) "w0 w0" else s"w$i w0", "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val got = Corpus.vocabGrowthCurve(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === (0 to 9).toSet)
+    (0 to 9).foreach { d =>
+      assert(got(d) === (((d + 1).toLong, 2L * (d + 1), (d + 1).toLong)))
+    }
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)

@@ -151,7 +151,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q137_negative_sampling",
       // q167: the (Nt, Nr) LM totals are a broadcast 1-row scalar joined
       // to the ≤4096-row bucket LM table (q126's shape)
-      "q167_dsir_weights")
+      "q167_dsir_weights",
+      // q173: the max-doc-id decile denominator is a broadcast 1-row
+      // scalar (twice — first-appearance and occurrence histograms)
+      "q173_vocab_growth")
 
   // windows partitioned by `source` ALONE serialize a whole source (a
   // training corpus has few, enormous sources) through one task — the 100 TB
