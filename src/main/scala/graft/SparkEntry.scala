@@ -1018,6 +1018,12 @@ object SparkEntry {
     "q173_vocab_growth" -> ((s, dir) =>
       graft.operators.Corpus.vocabGrowthCurve(documents(s, dir))),
 
+    // Zipf rank-frequency audit: ln(freq)-on-ln(rank) slope/intercept/r2
+    // over the top-100 terms — natural text sits near slope -1; flat =
+    // machine-generated signature, steep = boilerplate domination
+    "q174_zipf_slope" -> ((s, dir) =>
+      graft.operators.Corpus.zipfSlope(documents(s, dir), 100)),
+
     // Sketch algebra HLL lacks: KMV bottom-k sketches support UNION and
     // INTERSECTION (|U∩A∩B|/|U| Jaccard) — the train/eval-overlap
     // estimator. Typed Aggregator with k-long-bounded mergeable state.
@@ -3319,6 +3325,21 @@ SELECT cum.decile, cum.cum_docs, cum.cum_tokens,
   CAST(coalesce(sum(f.new_vocab), 0) AS BIGINT) AS cum_vocab
 FROM cum LEFT JOIN fdec f ON f.decile <= cum.decile
 GROUP BY cum.decile, cum.cum_docs, cum.cum_tokens""",
+
+    "q174_zipf_slope" -> """WITH tk AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents),
+tf AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+top AS (SELECT w, c FROM tf ORDER BY c DESC, w ASC LIMIT 100),
+rk AS (SELECT a.w, a.c, 1 + count(b.w) AS rnk FROM top a LEFT JOIN top b
+  ON b.c > a.c OR (b.c = a.c AND b.w < a.w) GROUP BY a.w, a.c)
+SELECT CAST(count(*) AS BIGINT) AS k,
+  round(regr_slope(ln(c), ln(rnk)), 6) + 0.0 AS slope,
+  round(regr_intercept(ln(c), ln(rnk)), 6) + 0.0 AS intercept,
+  round(regr_r2(ln(c), ln(rnk)), 6) + 0.0 AS r2
+FROM rk""",
 
     "q112_kmv_overlap" -> s"""WITH hs AS (SELECT source, ${javaHashSql("text")} AS h FROM documents),
 d AS (SELECT DISTINCT source, h FROM hs),

@@ -871,6 +871,36 @@ object Corpus {
       .agg(coalesce(sum("new_vocab"), lit(0L)).as("cum_vocab"))
   }
 
+  /** ZIPF RANK-FREQUENCY AUDIT: least-squares slope/intercept/r² of
+    * ln(freq) on ln(rank) over the top-`k` corpus terms — natural language
+    * sits near slope −1 (Zipf's law); a much flatter slope is the
+    * machine-generated / template signature, much steeper means a few
+    * tokens dominate (boilerplate). Rank ties break by term ascending, and
+    * ranking is a bounded k×k order-count join over the TakeOrdered
+    * result — NOT a global rank window (suite-wide ban). The regression
+    * rides regr_slope/intercept/r2 rounded at 6 decimals, the q55
+    * float-absorption convention.
+    *
+    * Scale shape: one term-keyed count (map-side combined), TakeOrdered
+    * top-k (no global sort), then everything is k-bounded.
+    */
+  def zipfSlope(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 3, s"need k >= 3 for a meaningful fit, got $k")
+    val tf = docs.withColumn("toks", tokens(col("text")))
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val top = tf.orderBy(col("c").desc, col("w").asc).limit(k)
+    val rk = top.as("a")
+      .join(top.select(col("w").as("w2"), col("c").as("c2")).as("b"),
+        col("c2") > col("c") ||
+          (col("c2") === col("c") && col("w2") < col("w")), "left")
+      .groupBy("w", "c").agg((count(col("w2")) + 1L).as("rnk"))
+    rk.agg(count(lit(1)).as("k"),
+      expr("round(regr_slope(ln(c), ln(rnk)), 6) + 0.0").as("slope"),
+      expr("round(regr_intercept(ln(c), ln(rnk)), 6) + 0.0").as("intercept"),
+      expr("round(regr_r2(ln(c), ln(rnk)), 6) + 0.0").as("r2"))
+  }
+
   /** Adjacent code-point pairs of a word — one BPE pair-statistics pass.
     * Code points (not chars) so the DuckDB mirror's character-based
     * substr agrees on any Unicode input.

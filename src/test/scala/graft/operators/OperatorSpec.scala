@@ -1115,6 +1115,21 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("zipfSlope: an exact freq = C/rank corpus fits slope -1, r2 = 1, " +
+    "intercept = ln(C)") {
+    val ss = spark; import ss.implicits._
+    // freqs 24, 12, 8, 6 = 24/rank for ranks 1..4 -> ln-ln line is exact
+    val text = (List.fill(24)("w1") ++ List.fill(12)("w2") ++
+      List.fill(8)("w3") ++ List.fill(6)("w4")).mkString(" ")
+    val docs = Seq((1L, text, "s")).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val r = Corpus.zipfSlope(docs, 100).collect()(0)
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === -1.0)
+    assert(r.getDouble(3) === 1.0)
+    assert(math.abs(r.getDouble(2) - 3.178054) < 1e-9) // round(ln 24, 6)
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)

@@ -154,7 +154,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q167_dsir_weights",
       // q173: the max-doc-id decile denominator is a broadcast 1-row
       // scalar (twice — first-appearance and occurrence histograms)
-      "q173_vocab_growth")
+      "q173_vocab_growth",
+      // q174: the rank assignment is a k-bounded (top-100 × top-100)
+      // order-count non-equi join over the TakeOrdered result — the
+      // bounded-grid shape, chosen over a global rank window
+      "q174_zipf_slope")
 
   // windows partitioned by `source` ALONE serialize a whole source (a
   // training corpus has few, enormous sources) through one task — the 100 TB
