@@ -698,14 +698,20 @@ object Corpus {
     *                    docs would otherwise fail on 1/n > 10% alone)
     *   alpha_words    — ≥ 80% of tokens contain an alphabetic character
     *
-    * Scale shape: four rules are row-local token-array HOFs; the bigram
-    * rule is one doc-keyed count (q91's exchange) re-aggregated to a
-    * per-doc max; the card is a source-keyed sum. No window, no collect.
+    * Scale shape: ENTIRELY row-local per doc — four rules are token-array
+    * HOFs and the bigram rule's per-doc max is a sorted-run fold over the
+    * doc's own bigram array (equal bigrams are adjacent after array_sort,
+    * so the longest run IS the max count; no doc-keyed exchange at all) —
+    * followed by ONE source-keyed sum. A single aggregation means the
+    * card also runs verbatim as a STREAMING aggregation
+    * (EventStream.gopherCardStream, batch-equal by construction).
     */
   def gopherQualityCard(docs: DataFrame, minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {
     val base = docs.withColumn("toks", tokens(col("text")))
-    val perDoc = base.select(col("doc_id"), col("source"),
+    val perDoc = base
+      .withColumn("bgs", allNgrams("toks", 2))
+      .select(col("doc_id"), col("source"),
       size(col("toks")).cast("long").as("n_tokens"),
       expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
         .as("sum_chars"),
@@ -713,12 +719,19 @@ object Corpus {
         t -> t IN ('the','a','of','and','to','with'))))""").cast("long")
         .as("n_stop"),
       expr("size(filter(toks, t -> t rlike '[A-Za-z]'))").cast("long")
-        .as("n_alpha"))
-    val topBg = base.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(allNgrams("toks", 2)).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("max_bg"), sum("c").as("n_bg"))
-    val flags = perDoc.join(topBg, Seq("doc_id"), "left")
+        .as("n_alpha"),
+      when(size(col("bgs")) === 0, lit(null).cast("long"))
+        .otherwise(size(col("bgs")).cast("long")).as("n_bg"),
+      expr("""aggregate(array_sort(bgs),
+        named_struct('prev', CAST(NULL AS STRING),
+          'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+        (st, b) -> CASE WHEN st.prev IS NOT NULL AND b = st.prev
+          THEN named_struct('prev', b, 'run', st.run + 1,
+            'best', greatest(st.best, st.run + 1))
+          ELSE named_struct('prev', b, 'run', CAST(1 AS BIGINT),
+            'best', greatest(st.best, CAST(1 AS BIGINT))) END,
+        st -> st.best)""").as("max_bg"))
+    val flags = perDoc
       .select(col("source"),
         when(col("n_tokens") < minWords || col("n_tokens") > maxWords, 1L)
           .otherwise(0L).as("f_wc"),

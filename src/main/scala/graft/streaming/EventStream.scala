@@ -185,6 +185,18 @@ object EventStream {
       buckets: Int): DataFrame =
     graft.operators.Corpus.dsirLm(docStream, targetLang, buckets)
 
+  /** Streaming Gopher rule card: Corpus.gopherQualityCard run as a
+    * streaming aggregation over document appends — possible because the
+    * round-8 rewrite made every rule (including the bigram max, a
+    * sorted-run fold over the doc's own bigrams) ROW-LOCAL, leaving one
+    * source-keyed sum whose counters only add. State is one row of 7
+    * counters per source (a config-scale dimension) — the quality monitor
+    * an ingest stream publishes continuously, batch-equal at every
+    * micro-batch by construction.
+    */
+  def gopherCardStream(docStream: DataFrame): DataFrame =
+    graft.operators.Corpus.gopherQualityCard(docStream)
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

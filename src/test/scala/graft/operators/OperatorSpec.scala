@@ -455,6 +455,30 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served === oneShot)
   }
 
+  test("streaming Gopher card equals the batch card after all batches " +
+    "(state = one counter row per source)") {
+    import java.nio.file.Files
+    val docs = OccurrenceView.documents(spark, Dir)
+    val tmp = Files.createTempDirectory("gcard")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.gopherCardStream(stream)
+      .writeStream.format("memory").queryName("gopher_card")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val streamed = spark.table("gopher_card").collect().map(key).toMap
+    val batch = Corpus.gopherQualityCard(docs).collect().map(key).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming KMV sketch equals the batch sketch after all batches " +
     "(state = k longs per source)") {
     import java.nio.file.Files
