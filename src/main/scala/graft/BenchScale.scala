@@ -82,7 +82,10 @@ object BenchScale {
     // cross-source gram flow: per-gram collect_set state is bounded by
     // the source-domain cardinality, NOT corpus size — the probe watches
     // the distinct+flow exchanges track gram count linearly
-    "q163_substring_flow")
+    "q163_substring_flow",
+    // keep-longest canonical: CC labels + one cluster-keyed min + an
+    // id-keyed survivor join — must track q47's CC ratio, not add to it
+    "q172_keep_longest")
 
   /** Per-stage totals between two markers — shuffle volume and spill are
     * the quantities that separate "the exchange really carries 7× the
