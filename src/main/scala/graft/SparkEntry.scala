@@ -1239,6 +1239,12 @@ object SparkEntry {
     "q158_kcore" -> ((s, dir) =>
       Dedup.kCore(documents(s, dir), 0.5, 3, 8)),
 
+    // soft dedup: downweight instead of drop — every doc keeps weight
+    // 1/cluster_size so each near-dup cluster contributes one document's
+    // worth of gradient; the third dedup action next to q66/q172
+    "q175_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(documents(s, dir), 0.5)),
+
     // quality-aware canonical: keep the LONGEST member of each near-dup
     // cluster (q66 keeps min-id) — the production "keep best copy"
     // policy, with the measured per-source delta between the two policies
@@ -1982,6 +1988,13 @@ SELECT doc_id, cluster_id FROM lbl"""),
 SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
 FROM documents d JOIN lbl ON d.doc_id = lbl.doc_id AND lbl.cluster_id = d.doc_id
 GROUP BY d.source"""),
+
+    "q175_soft_dedup" -> (ClustersSql + """,
+csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM lbl GROUP BY cluster_id)
+SELECT lbl.doc_id, lbl.cluster_id, csz.cluster_size,
+  1000000 // csz.cluster_size AS weight_micro
+FROM lbl JOIN csz USING (cluster_id)"""),
 
     "q172_keep_longest" -> (ClustersSql + """,
 ck AS (SELECT lbl.cluster_id,

@@ -1432,6 +1432,27 @@ object Dedup {
           .as("n_policy_delta"))
   }
 
+  /** SOFT dedup — DOWNWEIGHT duplicates instead of dropping them: every
+    * doc keeps a training weight 1/cluster_size (micro-units), so each
+    * near-dup cluster contributes one document's worth of gradient no
+    * matter how many copies exist. The third dedup ACTION next to q66
+    * (drop all but min-id) and q172 (drop all but longest) — preferred
+    * when near-dups carry real variation (edits, translations of
+    * boilerplate) that hard dropping would erase; the weight column feeds
+    * the q140 weighted sampler directly.
+    *
+    * Scale shape: the q47 CC labels, one cluster-keyed count, one
+    * id-keyed join back — nothing beyond what the labels already cost.
+    */
+  def softDedupWeights(docs: DataFrame, minEst: Double): DataFrame = {
+    val lbl = duplicateClusters(docs, minEst)
+    val sizes = lbl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    lbl.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_micro"))
+  }
+
   /** Synchronous LABEL-PROPAGATION communities (Raghavan et al. 2007) over
     * an arbitrary edge list — the SIXTH graph-analytic on the near-dup
     * graph (CC q47, PageRank q106, triangles q117, walks q144, k-core

@@ -1154,6 +1154,23 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(2) - 3.178054) < 1e-9) // round(ln 24, 6)
   }
 
+  test("softDedupWeights: every doc keeps 10^6 div cluster_size; " +
+    "clusters sum to ~one document of weight, singletons keep full weight") {
+    val ss = spark; import ss.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "sa"), (2L, base + " tail", "sb"), // one 2-cluster
+      (3L, (1 to 30).map(i => s"y$i").mkString(" "), "sc")) // singleton
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val got = Dedup.softDedupWeights(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((1L, 2L, 500000L)))
+    assert(got(2L) === ((1L, 2L, 500000L)))
+    assert(got(3L) === ((3L, 1L, 1000000L)))
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
