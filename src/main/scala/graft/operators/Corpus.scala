@@ -847,32 +847,45 @@ object Corpus {
     * the whole curve costs one token-keyed min — never one scan per
     * prefix point.
     *
-    * Scale shape: one keyed min over (token → first doc), one keyed sum
-    * over doc token counts, both collapsed to 10-row decile histograms;
-    * the cumulative step is a 10×10 triangular self-join of those
-    * histograms (broadcast, bounded — NOT a window, which the suite-wide
-    * guard bans unpartitioned). The max-doc-id scalar rides a broadcast
-    * 1-row join (the q126 shape).
+    * Scale shape: ONE scan+tokenize of the text column (the exploded
+    * token frame feeds BOTH the token→first-doc min and the per-decile
+    * occurrence count — a second branch off the tokenized frame would
+    * re-scan and re-tokenize the corpus); doc counts come from a
+    * doc_id-only column-pruned scan. Everything collapses to 10-row
+    * decile histograms; the cumulative step is a 10×10 triangular
+    * self-join of those (broadcast, bounded — NOT a window, which the
+    * suite-wide guard bans unpartitioned). The max-doc-id scalar rides a
+    * broadcast 1-row join (the q126 shape).
     */
   def vocabGrowthCurve(docs: DataFrame): DataFrame = {
     val mx = docs.agg(max("doc_id").as("mxid"))
-    val toks = docs.withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), col("toks"))
     // decile of a doc id in [0, 9]; mxid+1 keeps the last doc in decile 9.
     // INTEGER div on both sides (Spark `/` is double division and CAST
     // truncates where DuckDB's rounds — the repo-wide floor-boundary trap)
     def decile(name: String): Column =
       expr(s"CAST($name * 10 div (mxid + 1) AS INT)")
-    val firstDec = toks.select(col("doc_id"), explode(col("toks")).as("w"))
+    // one corpus-sized token explode, persisted for its two keyed
+    // aggregations (first-appearance min + per-decile occurrence count);
+    // caller-owned lifecycle, as with ppjoinPairs' shingle table
+    val ex = docs.withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstDec = ex
       .groupBy("w").agg(min("doc_id").as("fd"))
       .crossJoin(broadcast(mx))
       .groupBy(decile("fd").as("decile"))
       .agg(count(lit(1)).as("new_vocab"))
-    val occDec = toks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
-      .crossJoin(broadcast(mx))
+    // occurrences per decile from the SAME exploded frame; doc counts
+    // (which must include zero-token docs) from a doc_id-pruned scan
+    val occ = ex.crossJoin(broadcast(mx))
       .groupBy(decile("doc_id").as("decile"))
-      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_occ"))
+      .agg(count(lit(1)).as("n_occ"))
+    val occDec = docs.select("doc_id").crossJoin(broadcast(mx))
+      .groupBy(decile("doc_id").as("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(occ, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
     occDec.as("a")
       .join(occDec.select(col("decile").as("d2"), col("n_docs").as("nd2"),
         col("n_occ").as("no2")).as("b"), col("d2") <= col("decile"))

@@ -1399,8 +1399,10 @@ object Dedup {
     * action (q66 keeps the min-id member; production pipelines usually
     * keep the LONGEST copy: truncated scrapes lose to the full article).
     * Per near-dup cluster, the kept member maximizes (n_chars, then min
-    * doc_id) via one packed integer key (maxc − n_chars)·2⁴⁰ + doc_id —
-    * argmax-length/min-id as a plain `min`, the q169 packing. Emits the
+    * doc_id) via one packed integer key (2²² − n_chars)·2⁴⁰ + doc_id (the
+    * FIXED 2²² constant, NOT a corpus max — the SQL mirror hard-codes the
+    * same literal) — argmax-length/min-id as a plain `min`, the q169
+    * packing. Emits the
     * surviving corpus per source plus `n_policy_delta`: kept docs the
     * min-id policy would NOT have kept — the measured difference between
     * the two policies, not an assertion that they differ.
