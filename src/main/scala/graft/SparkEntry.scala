@@ -1011,6 +1011,14 @@ object SparkEntry {
     "q171_pii_report" -> ((s, dir) =>
       graft.operators.Corpus.piiReport(documents(s, dir))),
 
+    // DSIR hash-collision audit: per bucket-count arm, mean |weight
+    // difference| + sign agreement vs the EXACT unhashed-bigram LM —
+    // the q167 estimator's own recall-style evidence (hashing collides
+    // bigrams and biases the log-ratio; more buckets must dominate)
+    "q176_dsir_hash_audit" -> ((s, dir) =>
+      graft.operators.Corpus.dsirHashAudit(documents(s, dir), "en",
+        Seq(64, 512, 4096))),
+
     // Heaps'-law vocabulary-growth curve: cumulative vocab vs cumulative
     // token occurrences over 10 doc-id-decile prefixes — whether new data
     // still brings new language; each token billed to its FIRST decile,
@@ -3315,6 +3323,56 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars_in) AS BIGINT) AS n_chars_in,
   CAST(sum(length(clean_text)) AS BIGINT) AS n_chars_out
 FROM sc GROUP BY source""",
+
+    "q176_dsir_hash_audit" -> {
+      val arms = Seq(64, 512, 4096)
+      val armCtes = arms.map { b =>
+        s"""lm$b AS (SELECT ${javaHashSql("bg")} % $b AS f,
+  CAST(count(*) AS BIGINT) AS cr,
+  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM bx GROUP BY 1),
+lmw$b AS (SELECT f, CAST(round(round(
+    ln((ct + 1.0) / (nt + CAST(bex AS DOUBLE))) - ln((cr + 1.0) / (nr + CAST(bex AS DOUBLE))),
+    6) * 1000000.0, 0) AS BIGINT) AS micro FROM lm$b CROSS JOIN totE),
+w$b AS (SELECT doc_id, CAST(sum(occ * micro) AS BIGINT) AS w
+  FROM (SELECT doc_id, ${javaHashSql("bg")} % $b AS f,
+        CAST(count(*) AS BIGINT) AS occ FROM bx GROUP BY 1, 2)
+  JOIN lmw$b USING (f) GROUP BY doc_id)"""
+      }.mkString(",\n")
+      val armRows = arms.map { b =>
+        s"SELECT $b AS buckets, w$b.w, wE.wx FROM w$b JOIN wE USING (doc_id)"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH tk AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents),
+dbase AS (SELECT doc_id, lang, toks FROM tk WHERE len(toks) >= 2),
+bgl AS (SELECT doc_id, lang,
+  [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bgs FROM dbase),
+bx AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM bgl),
+lmE AS (SELECT bg AS f, CAST(count(*) AS BIGINT) AS cr,
+  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM bx GROUP BY bg),
+totE AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt,
+  CAST(count(*) AS BIGINT) AS bex FROM lmE),
+lmwE AS (SELECT f, CAST(round(round(
+    ln((ct + 1.0) / (nt + CAST(bex AS DOUBLE))) - ln((cr + 1.0) / (nr + CAST(bex AS DOUBLE))),
+    6) * 1000000.0, 0) AS BIGINT) AS micro FROM lmE CROSS JOIN totE),
+wE AS (SELECT doc_id, CAST(sum(occ * micro) AS BIGINT) AS wx
+  FROM (SELECT doc_id, bg AS f, CAST(count(*) AS BIGINT) AS occ
+        FROM bx GROUP BY doc_id, bg)
+  JOIN lmwE USING (f) GROUP BY doc_id),
+$armCtes
+SELECT buckets, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(abs(w - wx)) AS BIGINT) // CAST(count(*) AS BIGINT)
+    AS mean_abs_diff_micro,
+  CAST(sum(CASE WHEN (CASE WHEN w > 0 THEN 1 WHEN w < 0 THEN -1 ELSE 0 END)
+    = (CASE WHEN wx > 0 THEN 1 WHEN wx < 0 THEN -1 ELSE 0 END)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_sign_agree
+FROM ($armRows)
+GROUP BY buckets"""
+    },
 
     "q173_vocab_growth" -> """WITH tk AS (
   SELECT doc_id,

@@ -682,6 +682,78 @@ object Corpus {
   def dsirWeights(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
     dsirScoreAgainst(docs, dsirLm(docs, targetLang, buckets), buckets)
 
+  /** DSIR HASH-COLLISION AUDIT — the q167 estimator's published evidence
+    * (q139/q149/q151/q156/q157 give every other estimator/index one):
+    * feature hashing collides bigrams into buckets and biases the LM
+    * log-ratio; this audit scores every featured doc under each hashed
+    * arm AND under the EXACT unhashed-bigram LM (feature = the bigram
+    * string), then reports per arm the mean |weight difference| and the
+    * sign-agreement count — how many docs the hashed weight still points
+    * the same way for. EVERY arm (hashed and exact) smooths with the SAME
+    * denominator B = the exact distinct-bigram count, so the arms differ
+    * ONLY by collisions — the first cut of this audit smoothed each arm
+    * by its own bucket count and the 4096 row measured WORSE than 512
+    * (6.45M vs 1.26M mean |diff| micro at sf0.01): the smoothing-prior
+    * mismatch dominated the collision signal it was meant to isolate.
+    * With B fixed, a collision-free arm is bit-identical to exact (diff
+    * 0) and more buckets → fewer collisions → smaller diff.
+    *
+    * Scale shape: ONE persisted bigram explode feeds the exact arm and
+    * every hashed arm; each arm is the q167 pipeline (bucket-keyed LM,
+    * per-doc sum). The exact arm's LM is vocabulary²-bounded, not
+    * config-bounded — it is the audit's run-once cost, exactly as q149's
+    * brute arm is for IVF. Docs with no bigram features are outside every
+    * arm (the audit compares scores, not coverage).
+    */
+  def dsirHashAudit(docs: DataFrame, targetLang: String,
+      arms: Seq[Int]): DataFrame = {
+    arms.foreach(b => require(b >= 2 && (b & (b - 1)) == 0,
+      s"buckets must be powers of two, got $b"))
+    val bgs = docs.withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(allNgrams("toks", 2)).as("bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared totals: nr/nt are occurrence counts (hash-invariant) and bex
+    // is the exact distinct-bigram count — the ONE smoothing denominator
+    // every arm uses, so arms differ only by collisions
+    val exactLm = bgs
+      .select(col("bg").as("f"),
+        when(col("lang") === targetLang, 1L).otherwise(0L).as("t"))
+      .groupBy("f").agg(count(lit(1)).as("cr"), sum("t").as("ct"))
+    val tot = exactLm.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+      count(lit(1)).as("bex"))
+    // one DSIR arm over an arbitrary feature column, scored with the
+    // shared (nr, nt, bex) totals — micro expr mirrored verbatim
+    def arm(feat: Column): DataFrame = {
+      val base = bgs.select(col("doc_id"), col("lang"), feat.as("f"))
+      val lm = base
+        .select(col("f"),
+          when(col("lang") === targetLang, 1L).otherwise(0L).as("t"))
+        .groupBy("f").agg(count(lit(1)).as("cr"), sum("t").as("ct"))
+      val lmw = lm.crossJoin(broadcast(tot))
+        .select(col("f"), expr("""CAST(round(round(
+          ln((ct + 1.0) / (nt + CAST(bex AS DOUBLE)))
+          - ln((cr + 1.0) / (nr + CAST(bex AS DOUBLE))),
+          6) * 1000000.0, 0) AS BIGINT)""").as("micro"))
+      base.groupBy("doc_id", "f").agg(count(lit(1)).as("occ"))
+        .join(lmw, Seq("f"))
+        .groupBy("doc_id").agg(sum(expr("occ * micro")).as("w"))
+    }
+    val exact = arm(col("bg")).select(col("doc_id"), col("w").as("wx"))
+    arms.map { b =>
+      arm(graft.functions.GeoFunctions.javaHash(col("bg"))
+            .bitwiseAND(lit(b - 1)).cast("int"))
+        .join(exact, Seq("doc_id"))
+        .select(lit(b).as("buckets"), col("w"), col("wx"))
+    }.reduce(_ unionByName _)
+      .groupBy("buckets")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(abs(w - wx)) div count(1)").as("mean_abs_diff_micro"),
+        sum(expr("""CASE WHEN (CASE WHEN w > 0 THEN 1 WHEN w < 0 THEN -1
+          ELSE 0 END) = (CASE WHEN wx > 0 THEN 1 WHEN wx < 0 THEN -1
+          ELSE 0 END) THEN 1 ELSE 0 END""")).cast("long").as("n_sign_agree"))
+  }
+
   /** Gopher-style quality RULE CARD (Rae et al. 2021, Appendix A —
     * MassiveText filtering): the named pass/fail rules a curation team
     * reads, not raw signals (q22 publishes those). Per source: document

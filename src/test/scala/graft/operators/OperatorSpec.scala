@@ -1171,6 +1171,27 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) === ((3L, 1L, 1000000L)))
   }
 
+  test("dsirHashAudit: a collision-free arm is bit-identical to the exact " +
+    "LM (diff 0, full sign agreement); coarser hashing only hurts") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", "en"),
+      (2L, "alpha gamma beta alpha beta", "en"),
+      (3L, "delta epsilon delta epsilon delta", "fr"),
+      (4L, "epsilon delta zeta epsilon delta", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val got = Corpus.dsirHashAudit(docs, "en", Seq(4, 4096)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // ~8 distinct bigrams into 4096 buckets: no collisions (deterministic
+    // for this fixture under the Java hash) -> the arm IS the exact LM
+    assert(got(4096) === ((4L, 0L, 4L)))
+    // 4 buckets force collisions: strictly worse on both columns
+    assert(got(4)._1 === 4L)
+    assert(got(4)._2 > 0L && got(4)._3 <= got(4096)._3)
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
