@@ -197,6 +197,16 @@ object EventStream {
   def gopherCardStream(docStream: DataFrame): DataFrame =
     graft.operators.Corpus.gopherQualityCard(docStream)
 
+  /** Streaming PII monitor: Corpus.piiReport as a streaming aggregation —
+    * the scrub is entirely row-local regex and the report is one
+    * source-keyed sum of add-only counters, so the continuous monitor is
+    * batch-equal at every micro-batch with one counter row per source.
+    * The alarm an ingest pipeline wants BEFORE the leak lands in a
+    * training shard.
+    */
+  def piiReportStream(docStream: DataFrame): DataFrame =
+    graft.operators.Corpus.piiReport(docStream)
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

@@ -479,6 +479,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("streaming PII monitor equals the batch report after all batches") {
+    import java.nio.file.Files
+    val ss = spark; import ss.implicits._
+    // the sf corpus is PII-free, so stream a crafted corpus with real hits
+    val docs = Seq(
+      (1L, "mail a@b.io or 10.0.0.1", "sa"), (2L, "call +123456789", "sa"),
+      (3L, "clean", "sb"), (4L, "also 555-123-4567 here", "sb"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val tmp = Files.createTempDirectory("piistream")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.piiReportStream(stream)
+      .writeStream.format("memory").queryName("pii_mon")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    val streamed = spark.table("pii_mon").collect().map(key).toMap
+    val batch = Corpus.piiReport(docs).collect().map(key).toMap
+    assert(streamed === batch)
+    assert(streamed("sa")._2 + streamed("sb")._2 > 0L) // real hits streamed
+  }
+
   test("streaming KMV sketch equals the batch sketch after all batches " +
     "(state = k longs per source)") {
     import java.nio.file.Files
