@@ -85,7 +85,11 @@ object BenchScale {
     "q163_substring_flow",
     // keep-longest canonical: CC labels + one cluster-keyed min + an
     // id-keyed survivor join — must track q47's CC ratio, not add to it
-    "q172_keep_longest")
+    "q172_keep_longest",
+    // DSIR hash audit: the exact arm's LM is vocabulary²-bounded (grows
+    // with rotated-alphabet replicas) while hashed arms stay
+    // bucket-bounded — the probe shows the run-once audit's cost shape
+    "q176_dsir_hash_audit")
 
   /** Per-stage totals between two markers — shuffle volume and spill are
     * the quantities that separate "the exchange really carries 7× the
