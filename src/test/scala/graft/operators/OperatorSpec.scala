@@ -1221,6 +1221,38 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4)._2 > 0L && got(4)._3 <= got(4096)._3)
   }
 
+  test("degenerate inputs: LPA on an empty edge list returns empty " +
+    "(bounds check must not NPE on null aggregates), keep-longest on an " +
+    "all-singleton corpus keeps everything with zero delta, the hash " +
+    "audit on an all-target corpus reads zero diff and full agreement") {
+    val ss = spark; import ss.implicits._
+    // empty edges: max/min aggregates yield nulls — the coalesce guard
+    // (round-7 ADVICE class) must return empty, not throw
+    val noEdges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.lpaFromEdges(noEdges, 4).collect().isEmpty)
+
+    val singletons = Seq(
+      (1L, (1 to 30).map(i => s"a$i").mkString(" "), "sa"),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" "), "sb"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val kept = Dedup.keepLongestCanonical(singletons, 0.5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(kept === Map("sa" -> ((1L, 0L)), "sb" -> ((1L, 0L))))
+
+    // all-target corpus: every arm's LM equals the raw LM -> all weights
+    // are exactly 0 on both sides of every comparison
+    val allEn = Seq(
+      (1L, "x y x y x", "en"), (2L, "y x z x y", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+    val audit = Corpus.dsirHashAudit(allEn, "en", Seq(4, 4096)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(audit(4) === ((2L, 0L, 2L)))
+    assert(audit(4096) === ((2L, 0L, 2L)))
+  }
+
   test("clusterSpectrum partitions the corpus exactly: sigma n_docs == " +
     "corpus size, sigma n_clusters == distinct labels, sizes consistent") {
     val docs = OccurrenceView.documents(spark, Dir)
