@@ -707,42 +707,54 @@ object Corpus {
     */
   def dsirHashAudit(docs: DataFrame, targetLang: String,
       arms: Seq[Int]): DataFrame = {
+    require(arms.nonEmpty, "need at least one bucket-count arm")
     arms.foreach(b => require(b >= 2 && (b & (b - 1)) == 0,
       s"buckets must be powers of two, got $b"))
+    // persisted: the explode feeds the exact arm AND every hashed arm;
+    // caller-owned lifecycle, as with ppjoinPairs' shingle table (sweep
+    // consumers clear the cache after each query's action)
     val bgs = docs.withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(allNgrams("toks", 2)).as("bg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // shared totals: nr/nt are occurrence counts (hash-invariant) and bex
-    // is the exact distinct-bigram count — the ONE smoothing denominator
-    // every arm uses, so arms differ only by collisions
     val exactLm = bgs
       .select(col("bg").as("f"),
         when(col("lang") === targetLang, 1L).otherwise(0L).as("t"))
       .groupBy("f").agg(count(lit(1)).as("cr"), sum("t").as("ct"))
-    val tot = exactLm.agg(sum("cr").as("nr"), sum("ct").as("nt"),
-      count(lit(1)).as("bex"))
-    // one DSIR arm over an arbitrary feature column, scored with the
-    // shared (nr, nt, bex) totals — micro expr mirrored verbatim
-    def arm(feat: Column): DataFrame = {
-      val base = bgs.select(col("doc_id"), col("lang"), feat.as("f"))
-      val lm = base
-        .select(col("f"),
-          when(col("lang") === targetLang, 1L).otherwise(0L).as("t"))
-        .groupBy("f").agg(count(lit(1)).as("cr"), sum("t").as("ct"))
-      val lmw = lm.crossJoin(broadcast(tot))
-        .select(col("f"), expr("""CAST(round(round(
-          ln((ct + 1.0) / (nt + CAST(bex AS DOUBLE)))
-          - ln((cr + 1.0) / (nr + CAST(bex AS DOUBLE))),
-          6) * 1000000.0, 0) AS BIGINT)""").as("micro"))
+    // shared totals: nr/nt are occurrence counts (hash-invariant) and bex
+    // is the exact distinct-bigram count — the ONE smoothing denominator
+    // every arm uses, so arms differ only by collisions. COLLECTED once
+    // (a bounded 1-row driver read, the q117-dispatch class) and inlined
+    // as literals so the vocabulary²-sized totals subtree is not
+    // re-embedded in all 1 + |arms| arm plans.
+    val t0 = exactLm.agg(coalesce(sum("cr"), lit(0L)),
+      coalesce(sum("ct"), lit(0L)), count(lit(1))).collect()(0)
+    val (nr, nt, bex) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+    val microExpr = s"""CAST(round(round(
+      ln((ct + 1.0) / ($nt + CAST($bex AS DOUBLE)))
+      - ln((cr + 1.0) / ($nr + CAST($bex AS DOUBLE))),
+      6) * 1000000.0, 0) AS BIGINT)"""
+    // score one arm given its feature rows and its LM; hashed arms'
+    // bucket-bounded LMs get the q167 broadcast hint, the vocab²-sized
+    // exact LM must not
+    def score(base: DataFrame, lm: DataFrame, bcastLm: Boolean): DataFrame = {
+      val lmw0 = lm.select(col("f"), expr(microExpr).as("micro"))
+      val lmw = if (bcastLm) broadcast(lmw0) else lmw0
       base.groupBy("doc_id", "f").agg(count(lit(1)).as("occ"))
         .join(lmw, Seq("f"))
         .groupBy("doc_id").agg(sum(expr("occ * micro")).as("w"))
     }
-    val exact = arm(col("bg")).select(col("doc_id"), col("w").as("wx"))
+    val exact = score(bgs.select(col("doc_id"), col("bg").as("f")),
+      exactLm, bcastLm = false).select(col("doc_id"), col("w").as("wx"))
     arms.map { b =>
-      arm(graft.functions.GeoFunctions.javaHash(col("bg"))
-            .bitwiseAND(lit(b - 1)).cast("int"))
+      val base = bgs.select(col("doc_id"), col("lang"),
+        graft.functions.GeoFunctions.javaHash(col("bg"))
+          .bitwiseAND(lit(b - 1)).cast("int").as("f"))
+      val lm = base
+        .select(col("f"),
+          when(col("lang") === targetLang, 1L).otherwise(0L).as("t"))
+        .groupBy("f").agg(count(lit(1)).as("cr"), sum("t").as("ct"))
+      score(base.select("doc_id", "f"), lm, bcastLm = true)
         .join(exact, Seq("doc_id"))
         .select(lit(b).as("buckets"), col("w"), col("wx"))
     }.reduce(_ unionByName _)

@@ -1216,9 +1216,11 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ~8 distinct bigrams into 4096 buckets: no collisions (deterministic
     // for this fixture under the Java hash) -> the arm IS the exact LM
     assert(got(4096) === ((4L, 0L, 4L)))
-    // 4 buckets force collisions: strictly worse on both columns
+    // 4 buckets force collisions: strictly worse on both columns (the
+    // sign-agreement bound must be STRICT — "<= full agreement" is
+    // vacuously true for any value)
     assert(got(4)._1 === 4L)
-    assert(got(4)._2 > 0L && got(4)._3 <= got(4096)._3)
+    assert(got(4)._2 > 0L && got(4)._3 < got(4096)._3)
   }
 
   test("degenerate inputs: LPA on an empty edge list returns empty " +

@@ -158,10 +158,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // q174: the rank assignment is a k-bounded (top-100 × top-100)
       // order-count non-equi join over the TakeOrdered result — the
       // bounded-grid shape, chosen over a global rank window
-      "q174_zipf_slope",
-      // q176: the shared (nr, nt, bex) smoothing totals are a broadcast
-      // 1-row scalar joined into every arm's LM (q167's shape, ×4 arms)
-      "q176_dsir_hash_audit")
+      "q174_zipf_slope")
 
   // windows partitioned by `source` ALONE serialize a whole source (a
   // training corpus has few, enormous sources) through one task — the 100 TB
