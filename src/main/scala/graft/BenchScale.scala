@@ -89,7 +89,27 @@ object BenchScale {
     // DSIR hash audit: the exact arm's LM is vocabulary²-bounded (grows
     // with rotated-alphabet replicas) while hashed arms stay
     // bucket-bounded — the probe shows the run-once audit's cost shape
-    "q176_dsir_hash_audit")
+    "q176_dsir_hash_audit",
+    // round-9 additions (VERDICT r8 directive #2 — the round-8 operators
+    // that shipped scale arguments in prose only):
+    // span spectrum / source profile: q159's gram exchanges + one
+    // row-local island fold / per-source rollup — must track q159
+    "q164_span_spectrum", "q165_source_dup_profile",
+    // LSH (b,r) tuner: a 4-row grid re-reading q147's exchanges — the
+    // probe confirms the grid multiplies the PPJoin cost by a constant
+    "q166_lsh_tuner",
+    // Gopher card: row-local rule evaluation + one source-keyed sum —
+    // the streaming-monitor shape; ratio should sit near the scan ratio
+    "q168_gopher_card",
+    // Heaps curve / Zipf slope: keyed first-appearance deciles and a
+    // k-bounded rank join — both must track token count, not vocab²
+    "q173_vocab_growth", "q174_zipf_slope",
+    // soft dedup: q47's CC labels + one cluster-keyed count + id join —
+    // must track q47's ratio, not add to it (the q172 framing)
+    "q175_soft_dedup",
+    // gram-hash collision audit: the string-gram arm is the run-once
+    // audit cost; the probe pins how that cost grows vs the hashed arms
+    "q177_gram_hash_audit")
 
   /** Per-stage totals between two markers — shuffle volume and spill are
     * the quantities that separate "the exchange really carries 7× the

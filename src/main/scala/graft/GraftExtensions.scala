@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductExpr, JavaHashExpr}
+import graft.functions.{DotProductExpr, GramKeyExpr, JavaHashExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(DotProductExpr.name),
       new ExpressionInfo(classOf[DotProductExpr].getName, DotProductExpr.name),
       DotProductExpr.builder))
+    ext.injectFunction((
+      FunctionIdentifier(GramKeyExpr.name),
+      new ExpressionInfo(classOf[GramKeyExpr].getName, GramKeyExpr.name),
+      GramKeyExpr.builder))
   }
 }

@@ -1269,7 +1269,9 @@ object SparkEntry {
     // ExactSubstr (Lee et al. ACL'22): every 40-char window occurring at
     // >1 (doc,position) marks its span duplicated; per doc, the duplicated
     // position count, the UNION-covered characters, and the duplicated
-    // fraction — the position-complete exact signal winnowing samples
+    // fraction — the position-complete exact signal winnowing samples.
+    // The gram exchanges carry the 63-bit hash key (8 bytes, not the
+    // 40-char string; oracle mirrors the hash); q177 audits collisions
     "q159_exact_substring" -> ((s, dir) =>
       Dedup.exactSubstringSpans(documents(s, dir), 40)),
 
@@ -1302,6 +1304,14 @@ object SparkEntry {
     // the evidence separating two different curation fixes
     "q165_source_dup_profile" -> ((s, dir) =>
       Dedup.sourceDupProfile(documents(s, dir), 40)),
+
+    // gram-hash collision audit for the hashed ExactSubstr core: per hash
+    // width, duplicated positions under the hashed key vs the string-gram
+    // ground truth — 16/24-bit rows are the positive control (collisions
+    // MUST appear), the 63-bit row reading extra_pos = 0 is the measured
+    // license for q159/q161/q163-q165's 8-byte gram exchange
+    "q177_gram_hash_audit" -> ((s, dir) =>
+      Dedup.substringHashAudit(documents(s, dir), 40, Seq(16, 24, 32, 63))),
 
     // edge-level recall audit of the LSH candidate graph: non-edges with
     // >= 2 common neighbors (counted over a bounded 8-slot per-node
@@ -1498,6 +1508,15 @@ hs AS (SELECT doc_id, source,
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"[CAST(unicode(c) AS BIGINT) for c in string_split($k, '')]), " +
       s"(a, b) -> (a*31 + b) % 4294967296)"
+
+  /** The ExactSubstr 63-bit gram key (Dedup.gramKeyExpr) as DuckDB SQL:
+    * unsigned base-31 fold of the gram in the high 32 bits, fold of the
+    * REVERSED gram mod 2³¹ in the low 31 — max value exactly 2⁶³−1, so
+    * BIGINT-safe in both engines, and byte-exact oracle-paired: the oracle
+    * merges identical hash classes exactly as the engine does.
+    */
+  private def gramHash63Sql(g: String) =
+    s"(${javaHashSql(g)} * 2147483648 + ${javaHashSql(s"reverse($g)")} % 2147483648)"
 
   /** Recursive-CTE connected components over LSH near-dup edges, ending in
     * `lbl(doc_id, cluster_id)` — shared by q47 (the labels) and q66 (the
@@ -3829,10 +3848,11 @@ $steps
 SELECT doc_id, community FROM ll$rounds"""
     },
 
-    "q159_exact_substring" -> """WITH g AS (
-  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS gram
+    "q159_exact_substring" -> s"""WITH g0 AS (
+  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS w
   FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
   WHERE length(text) >= 40),
+g AS (SELECT doc_id, pos, ${gramHash63Sql("w")} AS gram FROM g0),
 gdup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
 gdp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM gdup)),
 gagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos,
@@ -3845,10 +3865,11 @@ SELECT c.doc_id, c.n_dup_pos, c.covered_chars,
   c.covered_chars * 1000000 // length(d.text) AS dup_frac_micro
 FROM gcov c JOIN documents d USING (doc_id)""",
 
-    "q161_substring_cut" -> """WITH g AS (
-  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS gram
+    "q161_substring_cut" -> s"""WITH g0 AS (
+  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS w
   FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
   WHERE length(text) >= 40),
+g AS (SELECT doc_id, pos, ${gramHash63Sql("w")} AS gram FROM g0),
 gdup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
 gdp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM gdup)),
 isl AS (SELECT doc_id, pos,
@@ -3885,19 +3906,21 @@ SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
 FROM csz GROUP BY cluster_size"""),
 
-    "q163_substring_flow" -> """WITH g AS (
-  SELECT DISTINCT source, substring(text, u.i, 40) AS gram
+    "q163_substring_flow" -> s"""WITH g0 AS (
+  SELECT source, substring(text, u.i, 40) AS w
   FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
-  WHERE length(text) >= 40)
+  WHERE length(text) >= 40),
+g AS (SELECT DISTINCT source, ${gramHash63Sql("w")} AS gram FROM g0)
 SELECT a.source AS source_a, b.source AS source_b,
   CAST(count(*) AS BIGINT) AS n_shared_grams
 FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
 GROUP BY 1, 2""",
 
-    "q164_span_spectrum" -> """WITH g AS (
-  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS gram
+    "q164_span_spectrum" -> s"""WITH g0 AS (
+  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS w
   FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
   WHERE length(text) >= 40),
+g AS (SELECT doc_id, pos, ${gramHash63Sql("w")} AS gram FROM g0),
 gdup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
 gdp AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM gdup)),
 isl AS (SELECT doc_id, pos,
@@ -3911,10 +3934,11 @@ iv AS (SELECT doc_id, CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS span_len
 SELECT span_len, CAST(count(*) AS BIGINT) AS n_spans
 FROM iv GROUP BY span_len""",
 
-    "q165_source_dup_profile" -> """WITH g AS (
-  SELECT source, u.i AS pos, substring(text, u.i, 40) AS gram
+    "q165_source_dup_profile" -> s"""WITH g0 AS (
+  SELECT source, u.i AS pos, substring(text, u.i, 40) AS w
   FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
   WHERE length(text) >= 40),
+g AS (SELECT source, pos, ${gramHash63Sql("w")} AS gram FROM g0),
 c AS (SELECT gram, count(*) AS n_occ, count(DISTINCT source) AS n_src
   FROM g GROUP BY gram),
 d AS (SELECT g.source, CASE WHEN c.n_src >= 2 THEN 1 ELSE 0 END AS ext
@@ -3929,6 +3953,33 @@ SELECT t.source, coalesce(dd.n_int_pos, 0) AS n_int_pos,
   (coalesce(dd.n_int_pos, 0) + coalesce(dd.n_ext_pos, 0)) * 1000000
     // t.total_pos AS dup_share_micro
 FROM t LEFT JOIN dd USING (source)""",
+
+    "q177_gram_hash_audit" -> s"""WITH g AS (
+  SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS w
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
+  WHERE length(text) >= 40),
+gh AS MATERIALIZED (SELECT doc_id, w,
+    ${javaHashSql("w")} AS h1, ${javaHashSql("reverse(w)")} AS h2 FROM g),
+e AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact FROM gh
+  WHERE w IN (SELECT w FROM gh GROUP BY w HAVING count(*) > 1)
+  GROUP BY doc_id),
+bl AS (SELECT unnest([16, 24, 32, 63]) AS bits),
+k AS (SELECT b.bits, doc_id,
+    CASE WHEN b.bits = 63 THEN h1 * 2147483648 + h2 % 2147483648
+         ELSE h1 % (CAST(1 AS BIGINT) << b.bits) END AS kk
+  FROM gh CROSS JOIN bl b),
+kd AS (SELECT bits, kk FROM k GROUP BY bits, kk HAVING count(*) > 1),
+hd AS (SELECT k.bits, k.doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM k JOIN kd USING (bits, kk) GROUP BY k.bits, k.doc_id),
+eb AS (SELECT b.bits, e.doc_id, e.n_exact FROM e CROSS JOIN bl b),
+j AS (SELECT coalesce(hd.bits, eb.bits) AS bits,
+    coalesce(hd.n, 0) AS n, coalesce(eb.n_exact, 0) AS n_exact
+  FROM hd FULL JOIN eb ON hd.bits = eb.bits AND hd.doc_id = eb.doc_id)
+SELECT bits AS hash_bits, CAST(sum(n) AS BIGINT) AS dup_pos,
+  CAST(sum(n_exact) AS BIGINT) AS exact_pos,
+  CAST(sum(n - n_exact) AS BIGINT) AS extra_pos,
+  CAST(sum(CASE WHEN n > n_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_inflated
+FROM j GROUP BY bits""",
 
     "q160_lsh_miss_audit" -> (EdgesSql + """,
 ke AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ed0

@@ -40,6 +40,30 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("GramKeyExpr: one-pass 63-bit key equals the composed " +
+    "javaHash(gram)/javaHash(reverse(gram)) form, codegen, no UDF") {
+    val ss = spark
+    import ss.implicits._
+    graft.functions.GramKeyExpr.register(ss)
+    val rnd = new scala.util.Random(9)
+    val keys = Seq("", "Aa", "BB", "the quick brown fox jumps over a lazy") ++
+      Seq.fill(500)(rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString)
+    val got = keys.toDF("gram")
+      .selectExpr("gram", "graft_gram_key63(gram) AS k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      val h1u = k.hashCode.toLong & 0xFFFFFFFFL
+      val h2u = k.reverse.hashCode.toLong & 0xFFFFFFFFL
+      val expect = h1u * 2147483648L + h2u % 2147483648L
+      assert(got(k) === expect, s"gram '$k'")
+    }
+    // the classic one-fold collision stays separated by the pair
+    assert(got("Aa") !== got("BB"))
+    val plan = keys.toDF("gram").selectExpr("graft_gram_key63(gram)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("pixelAtMaxZoom clamps plottable boundary coordinates into the grid") {
     val ss = spark; import ss.implicits._
     val gpx = 512L << 16

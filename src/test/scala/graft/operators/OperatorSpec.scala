@@ -888,6 +888,68 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) === ((6L, 25L, 1000000L)))
   }
 
+  test("hashed 63-bit gram core is row-identical to the string arm " +
+    "across the whole ExactSubstr family") {
+    val ss = spark; import ss.implicits._
+    val L = 20
+    val shared = "the quick brown fox jumps over a lazy dog"
+    val docs = Seq(
+      (1L, "abcdefghij" + shared + "KLMNOPQRST", "a"),
+      (2L, "uvwxyz0123456789" + shared, "b"),
+      (3L, shared + "KLMNOPQRST", "b"),
+      (4L, "entirely unrelated content with no repeats here", "c"),
+      (5L, "z" * 25, "d"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.exactSubstringSpans(docs, L, 63)) ===
+      rows(Dedup.exactSubstringSpans(docs, L, 0)), "spans")
+    assert(rows(Dedup.exactSubstringCut(docs, L, 63)) ===
+      rows(Dedup.exactSubstringCut(docs, L, 0)), "cut")
+    assert(rows(Dedup.spanLengthSpectrum(docs, L, 63)) ===
+      rows(Dedup.spanLengthSpectrum(docs, L, 0)), "spectrum")
+    assert(rows(Dedup.sourceDupProfile(docs, L, 63)) ===
+      rows(Dedup.sourceDupProfile(docs, L, 0)), "profile")
+    assert(rows(Dedup.substringFlow(docs, L, 63)) ===
+      rows(Dedup.substringFlow(docs, L, 0)), "flow")
+  }
+
+  test("substringHashAudit sees the classic base-31 collision at 32 bits " +
+    "and the reversed-gram fold rescues it at 63; widths refine " +
+    "monotonically; no cache entry survives the call") {
+    val ss = spark; import ss.implicits._
+    // "Aa" and "BB" are THE Java-hashCode collision (both 2112): one fold
+    // merges them at any width <= 32; the reversed-gram fold ("aA" = 3072
+    // vs "BB" = 2112) keeps the 63-bit key distinct
+    val docs = Seq((1L, "Aa", "a"), (2L, "BB", "b"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    // start from an empty SQL cache so the isEmpty assert below measures
+    // THIS operator, not caller-owned persists from earlier tests
+    ss.catalog.clearCache()
+    val audit = Dedup.substringHashAudit(docs, 2, Seq(16, 24, 32, 63))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // string arm: the two grams differ -> zero exact dup positions
+    assert(audit(32) === ((2L, 0L, 2L, 2L)),
+      "32-bit arm must merge Aa/BB into a false duplicated pair")
+    assert(audit(16) === ((2L, 0L, 2L, 2L)))
+    assert(audit(63) === ((0L, 0L, 0L, 0L)),
+      "63-bit arm must keep Aa/BB distinct")
+    // key classes refine along 16 <= 24 <= 32 <= 63 (narrow widths are
+    // quotients of the 63-bit key), so dup_pos is non-increasing
+    val chain = Seq(16, 24, 32, 63).map(b => audit(b)._1)
+    assert(chain === chain.sorted.reverse, s"non-monotone widths: $chain")
+    // hashing only merges gram classes: hashed >= exact, pointwise
+    audit.values.foreach { case (dup, exact, extra, _) =>
+      assert(extra === dup - exact && extra >= 0L)
+    }
+    // structural lifecycle: withPersisted left nothing in the SQL cache
+    assert(ss.sharedState.cacheManager.isEmpty,
+      "substringHashAudit must not pin cache entries past the call")
+  }
+
   test("substringFlow counts distinct shared grams per source pair, " +
     "ignoring within-source duplication") {
     val ss = spark; import ss.implicits._
