@@ -761,7 +761,9 @@ object SparkEntry {
         "\\b(customer|supplier|part)\\b", "<ENT>")),
 
     // Pipeline: exact discrete token-count quantiles per source (rank
-    // statistic — bit-exact in any engine, unlike interpolated percentiles)
+    // statistic — bit-exact in any engine, unlike interpolated
+    // percentiles); runs the q86 histogram decomposition since round 9,
+    // so no task ever sorts a whole source
     "q75_token_quantiles" -> ((s, dir) =>
       graft.operators.Corpus.tokenQuantilesDisc(documents(s, dir),
         Seq(0.5, 0.9, 0.99))),
@@ -825,8 +827,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 4 === 0), 0.5)
     }),
 
-    // The q75 rank statistic via the histogram decomposition (the
-    // too-large-to-sort scale path) — identical output, different plan
+    // The rank statistic's histogram decomposition, named explicitly —
+    // since round 9 q75 runs this same plan (the row-sort arm is the
+    // CorpusSpec-only audit reference); both stay oracle-paired
     "q86_hist_quantiles" -> ((s, dir) =>
       graft.operators.Corpus.tokenQuantilesHist(documents(s, dir),
         Seq(0.5, 0.9, 0.99))),

@@ -361,13 +361,27 @@ object Corpus {
     * `percentile_cont` definitions differ subtly between engines; the
     * discrete rank statistic is bit-exact everywhere).
     *
-    * Scale shape: the window is partitioned by source (the natural parallel
-    * unit). For sources too large to sort in one task, the same statistic
-    * decomposes into a two-pass count-then-select over a token-count
-    * histogram (token counts are small ints); this formulation keeps the
-    * single-pass shape the test scale wants.
+    * Since round 9 this IS the histogram decomposition
+    * ([[tokenQuantilesHist]]): a (source, n_tokens) histogram first, then
+    * cum-count rank selection over histogram rows — no task ever sorts a
+    * whole source (the last production source-alone window left the repo
+    * with this change; PlanSpec's whitelist is empty). The row-sorted
+    * formulation survives as [[tokenQuantilesRowSort]], the TEST-side
+    * audit reference (CorpusSpec asserts hist ≡ row-sort on a random
+    * corpus) — running the one-task-per-source sort inside the production
+    * plan would pay the scale-killer on every execution to audit its own
+    * replacement.
     */
-  def tokenQuantilesDisc(docs: DataFrame, ps: Seq[Double]): DataFrame = {
+  def tokenQuantilesDisc(docs: DataFrame, ps: Seq[Double]): DataFrame =
+    tokenQuantilesHist(docs, ps)
+
+  /** The row-sorted rank-window formulation of [[tokenQuantilesDisc]] —
+    * audit reference ONLY (a window partitioned by source alone serializes
+    * a whole source through one task; the suite-wide PlanSpec ban keeps it
+    * out of every production plan).
+    */
+  private[graft] def tokenQuantilesRowSort(docs: DataFrame,
+      ps: Seq[Double]): DataFrame = {
     val tk = docs.select(col("doc_id"), col("source"),
       size(tokens(col("text"))).as("n_tokens"))
     val w = Window.partitionBy("source").orderBy(col("n_tokens"), col("doc_id"))
@@ -711,12 +725,12 @@ object Corpus {
     arms.foreach(b => require(b >= 2 && (b & (b - 1)) == 0,
       s"buckets must be powers of two, got $b"))
     // persisted: the explode feeds the exact arm AND every hashed arm;
-    // caller-owned lifecycle, as with ppjoinPairs' shingle table (sweep
-    // consumers clear the cache after each query's action)
+    // structural lifecycle (round 9) — the audit output is |arms| rows,
+    // so withPersisted checkpoints it and drops the explode's cache entry
     val bgs = docs.withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(allNgrams("toks", 2)).as("bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Lifecycle.withPersisted(bgs) {
     val exactLm = bgs
       .select(col("bg").as("f"),
         when(col("lang") === targetLang, 1L).otherwise(0L).as("t"))
@@ -764,6 +778,7 @@ object Corpus {
         sum(expr("""CASE WHEN (CASE WHEN w > 0 THEN 1 WHEN w < 0 THEN -1
           ELSE 0 END) = (CASE WHEN wx > 0 THEN 1 WHEN wx < 0 THEN -1
           ELSE 0 END) THEN 1 ELSE 0 END""")).cast("long").as("n_sign_agree"))
+    }
   }
 
   /** Gopher-style quality RULE CARD (Rae et al. 2021, Appendix A —

@@ -622,15 +622,15 @@ object Dedup {
     * window, no cap, no estimator.
     */
   def ppjoinPairs(docs: DataFrame, tMicro: Long): DataFrame = {
-    // persisted handle outlives this call BY DESIGN: the returned lazy plan
-    // reads `sh` on both verify-join sides, so an eager unpersist here would
-    // recompute the trigram sets 3×. Lifecycle is caller-owned, as with the
-    // q34 pixel table: every sweep consumer (Verify/Bench/BenchScale loops,
-    // PlanSpec afterAll) clears the cache after each query's action.
+    // `sh` is read on three sides of the plan (prefix probe + both verify
+    // joins) — persisted for the scope of ONE materialization of the pair
+    // list via Lifecycle.withPersisted (structural round-9 lifecycle: the
+    // checkpointed output is the candidate-bounded pair list, the small
+    // side; no cache entry survives the call)
     val sh = docs.withColumn("s", trigramHashSetUdf(col("text")))
       .filter(size(col("s")) > 0)
       .select(col("doc_id"), col("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Lifecycle.withPersisted(sh) {
     val tok = sh.select(col("doc_id"), explode(col("s")).as("h"))
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
     // pk packs (df, h) into one ascending-sortable long: h < 2^31 and
@@ -663,6 +663,7 @@ object Dedup {
       .withColumn("jacc_micro",
         expr("n_common * 1000000 div (n_a + n_b - n_common)"))
       .filter(col("jacc_micro") >= tMicro)
+    }
   }
 
   /** Distinct 5-code-point shingle hashes of `text` — the EXACT set whose
@@ -1260,15 +1261,41 @@ object Dedup {
     // persisted because both the per-gram classification and the
     // per-source rollup read it (without the persist the char-position
     // explode — the dominant cost — would execute once per branch).
-    // Caller-owned lifecycle, as with ppjoinPairs' shingle table.
-    val sg = windowGrams(docs, L, "source", hashBits)
+    // Structural lifecycle (round 9): the per-source profile is tiny, so
+    // withPersisted checkpoints it and drops the gram-table cache entry.
+    val sg = gramCounts(docs, L, hashBits)
+    graft.core.Lifecycle.withPersisted(sg) {
+      sourceDupProfileFromCounts(sg)
+    }
+  }
+
+  /** The (source, gram, cnt) window-count table — [[sourceDupProfile]]'s
+    * collapsed core, exposed because the STREAMING monitor maintains
+    * exactly this as add-only keyed state (EventStream.gramCountStream)
+    * and serves the profile off its snapshots.
+    */
+  def gramCounts(docs: DataFrame, L: Int,
+      hashBits: Int = GramHashBits): DataFrame =
+    windowGrams(docs, L, "source", hashBits)
       .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The profile half of [[sourceDupProfile]] over an already-built
+    * (source, gram, cnt) table — shared verbatim by the batch operator
+    * and the streaming monitor's serve side, so prefix equality between
+    * them is equality of the COUNT STATE, which add-only counters give by
+    * construction.
+    */
+  def sourceDupProfileFromCounts(sg: DataFrame): DataFrame = {
+    // the classification side renames its gram key: this is a SELF-join of
+    // `sg` (which may be a memory-sink view whose attribute ids repeat on
+    // both sides — Spark's auto-dedup doesn't reach views), so one side
+    // must carry fresh ids
     val cls = sg.groupBy("gram")
       .agg(sum("cnt").as("n_occ"), count(lit(1)).as("n_src"))
       .filter(col("n_occ") > 1)
-      .select(col("gram"), (col("n_src") >= 2).as("ext"))
-    sg.join(cls, Seq("gram"), "left")
+      .select(col("gram").as("cls_gram"), (col("n_src") >= 2).as("ext"))
+    sg.join(cls, sg("gram") === cls("cls_gram"), "left")
+      .drop("cls_gram")
       .groupBy("source")
       .agg(sum(when(col("ext") === false, col("cnt")).otherwise(0L))
           .as("n_int_pos"),
@@ -1598,28 +1625,84 @@ object Dedup {
     * construction (bucket cap; doc_id domain), an arbitrary edge list
     * must fail loudly instead of truncating silently.
     */
-  def lpaFromEdges(edgesIn: DataFrame, rounds: Int): DataFrame = {
+  def lpaFromEdges(edgesIn: DataFrame, rounds: Int): DataFrame =
+    lpaFromEdges(edgesIn, rounds, "auto")
+
+  /** As [[lpaFromEdges]]; `arm` forces the vote plan (the q146
+    * orientation pattern, so BOTH arms stay testable, not just the one
+    * the dispatch picks):
+    *  - `exact` — every neighbor votes (the q169 oracle plan). The packed
+    *    vote key holds (count, label) in (24, 40) bits, so this arm
+    *    REQUIRES max degree + 1 < 2²⁰ — loud, never silently truncated.
+    *  - `bounded` — each node takes votes from a deterministic
+    *    ≤ `maxVotes`-neighbor sample (min-`maxVotes` by the injective-LCG
+    *    hash, the q160 sketch pick), so vote counts are bounded by
+    *    maxVotes + 1 regardless of hub degree and ANY graph runs. The
+    *    sample is drawn once (the vote topology is fixed across rounds)
+    *    behind a degree-proportional hash threshold — `collect_list`
+    *    state is ~4·maxVotes rows in expectation even on a 10⁹-degree
+    *    hub, never the full adjacency — then sliced to exactly the
+    *    maxVotes smallest. Below maxVotes degree the sample IS the full
+    *    neighbor set, so bounded ≡ exact there (OperatorSpec-asserted).
+    *  - `auto` — exact below the degree bound, bounded above it (one
+    *    bounded 1-row collect, the q117 dispatch shape).
+    * Both arms still require ids in [0, 2⁴⁰) — that bound is inherent to
+    * the packing, not to the vote plan.
+    */
+  def lpaFromEdges(edgesIn: DataFrame, rounds: Int, arm: String,
+      maxVotes: Int = 64): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    require(Set("auto", "exact", "bounded")(arm), s"unknown arm $arm")
+    require(maxVotes >= 1 && maxVotes + 2 < (1L << 20),
+      s"need 1 <= maxVotes and maxVotes + 2 < 2^20, got $maxVotes")
     val edges = edgesIn.select("doc_a", "doc_b")
     val sym = edges.union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
-    // the packed vote key holds (count, label) in (24, 40) bits — enforce
-    // both field bounds up front (one bounded 1-row collect, the q117
-    // dispatch shape) rather than silently truncating communities on
-    // 64-bit-hash ids or >2^20-degree hubs. Aggregates over an empty edge
-    // list yield nulls — coalesce before comparing (round-7 ADVICE).
+    // field-bound check up front (one bounded 1-row collect). Aggregates
+    // over an empty edge list yield nulls — coalesce before comparing
+    // (round-7 ADVICE).
     val b = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .agg(coalesce(max("deg"), lit(0L)).as("maxd"),
         coalesce(max("src"), lit(0L)).as("maxid"),
         coalesce(min("src"), lit(0L)).as("minid")).collect()(0)
-    require(b.getLong(0) + 1 < (1L << 20) &&
-        b.getLong(1) < (1L << 40) && b.getLong(2) >= 0L,
-      s"lpaFromEdges packed key needs degree+1 < 2^20 and ids in [0, 2^40); " +
-        s"got max degree ${b.getLong(0)}, id range [${b.getLong(2)}, ${b.getLong(1)}]")
+    require(b.getLong(1) < (1L << 40) && b.getLong(2) >= 0L,
+      s"lpaFromEdges packed key needs ids in [0, 2^40); got id range " +
+        s"[${b.getLong(2)}, ${b.getLong(1)}]")
+    val exactSafe = b.getLong(0) + 1 < (1L << 20)
+    val useExact = arm match {
+      case "exact" =>
+        require(exactSafe, s"lpaFromEdges exact arm needs degree+1 < 2^20; " +
+          s"got max degree ${b.getLong(0)} — use the bounded arm")
+        true
+      case "bounded" => false
+      case _ => exactSafe
+    }
+    val adj =
+      if (useExact) sym
+      else {
+        // degree-proportional hash threshold: expected ~4·maxVotes
+        // survivors per src (P[fewer than maxVotes] ≤ e^(−9·maxVotes/8),
+        // Chernoff), then exact min-maxVotes by (hash, dst) — bounded
+        // state, deterministic, engine-portable. deg ≤ 4·maxVotes keeps
+        // every neighbor, which is what makes bounded ≡ exact below the
+        // sample size.
+        val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        sym.join(deg, Seq("src"))
+          .filter(col("deg") <= 4L * maxVotes ||
+            Corpus.lcg(col("dst")) <
+              lit(4L * maxVotes * 2147483648L) / col("deg"))
+          .select(col("src"),
+            struct(Corpus.lcg(col("dst")).as("h"), col("dst").as("dst")).as("hd"))
+          .groupBy("src")
+          .agg(expr(s"transform(slice(array_sort(collect_list(hd)), 1, " +
+            s"$maxVotes), x -> x.dst)").as("ns"))
+          .select(col("src"), explode(col("ns")).as("dst"))
+          .localCheckpoint()
+      }
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("community", col("doc_id")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val votes = sym
+      val votes = adj
         .join(labels.select(col("doc_id").as("dst"), col("community").as("nl")),
           Seq("dst"))
         .select(col("src"), col("nl"))

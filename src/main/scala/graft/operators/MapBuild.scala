@@ -566,12 +566,16 @@ object MapBuild {
   def incrementalPyramidAuto(state: DataFrame, pyramid: DataFrame,
       deltaOcc: DataFrame, epsg: String, minZoom: Int, maxZoom: Int,
       maxDirtyKeys: Long = 8000000L): DataFrame = {
-    // persisted so the sizing count AND the chosen plan read ONE delta
-    // aggregation (previously the count discarded its deltaTop and the
-    // incremental path recomputed it — the whole delta pipeline twice per
-    // ingest). Lifecycle caller-owned: sweep consumers clearCache per query.
-    val deltaTop = topLevel(deltaOcc, epsg, maxZoom)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eagerly checkpointed so the sizing count AND the chosen plan read
+    // ONE delta aggregation (previously the count discarded its deltaTop
+    // and the incremental path recomputed it — the whole delta pipeline
+    // twice per ingest). localCheckpoint, not persist (structural round-9
+    // lifecycle): deltaTop is the SMALL side (the delta footprint), its
+    // blocks are freed by the ContextCleaner with the returned plan, and
+    // no SQL-cache entry exists to leak — the result itself stays lazy
+    // because it is pyramid-sized (checkpointing the OUTPUT would
+    // double-materialize the store write).
+    val deltaTop = topLevel(deltaOcc, epsg, maxZoom).localCheckpoint()
     val zs = array((minZoom to maxZoom).map(lit): _*)
     val nDirty = deltaTop
       .withColumn("z", explode(zs))

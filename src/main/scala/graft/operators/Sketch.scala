@@ -539,13 +539,20 @@ object Sketch {
       .agg(sort_array(collect_list(col("n_tokens"))).as("sv"))
       .select(col("source"), size(col("sv")).cast("long").as("n_sample"),
         expr("element_at(sv, int((size(sv) + 1) div 2))").cast("long").as("est_p50"))
-    val w = Window.partitionBy("source").orderBy(col("n_tokens"), col("doc_id"))
+    // the exact audit arm via the q86 histogram decomposition (round 9):
+    // value at rank (n+1) div 2 == min value whose cumulative histogram
+    // count reaches that rank — identical statistic, but the windows run
+    // over (source, n_tokens) HISTOGRAM rows (value-domain-bounded), so
+    // no task sorts a whole source and the PlanSpec source-alone-window
+    // whitelist is empty
+    val hist = tk.groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy("source").orderBy("n_tokens")
     val whole = Window.partitionBy("source")
-    val exact = tk
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(whole))
+    val exact = hist
+      .withColumn("hi", sum("c").over(cum))
+      .withColumn("n", sum("c").over(whole))
       .groupBy("source")
-      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens")))
+      .agg(min(when(col("hi") >= expr("(n + 1) div 2"), col("n_tokens")))
         .cast("long").as("exact_p50"))
     est.join(exact, Seq("source"))
       .select(col("source"), col("n_sample"), col("est_p50"),

@@ -71,12 +71,13 @@ object TileServe {
     val zoomDir = s"${m.tiles}/srs=${epsg.replace(':', '_')}/zoom=$z"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(zoomDir)))
       return Seq.empty
+    // job-free GET: salt dir + footer-pruned row-group read, no Spark job
+    // (the scheduled-scan arm KeyedSink.lookup stays as the SinkSpec
+    // equality oracle; ServeLab times both)
     val blobs = graft.sources.KeyedSink
-      .lookup(spark, zoomDir,
-        graft.sources.Workflow.TileSaltModulus, key)
-      .select("mvt").collect()
-    tileFilterAggregate(
-      blobs.toSeq.map(_.getAs[Array[Byte]](0)), years, borIds)
+      .lookupDirect(zoomDir, graft.sources.Workflow.TileSaltModulus, key)
+      .map(_.getAs[Array[Byte]]("mvt"))
+    tileFilterAggregate(blobs, years, borIds)
   }
 
   /** In-process half of [[serveTile]] AFTER the blob GET: MVT decode +
@@ -111,9 +112,9 @@ object TileServe {
     val m = graft.sources.Workflow.readManifest(workDir)
       .getOrElse(throw new IllegalStateException(s"no manifest in $workDir"))
     pointsFilterDecode(
-      graft.sources.KeyedSink.lookup(spark, s"${m.points}_blobs",
+      graft.sources.KeyedSink.lookupDirect(s"${m.points}_blobs",
         graft.sources.Workflow.PointSaltModulus, mapKey)
-        .select("blob").collect().toSeq.map(_.getAs[Array[Byte]](0)),
+        .map(_.getAs[Array[Byte]]("blob")),
       years, borIds)
   }
 

@@ -85,11 +85,26 @@ object ServeLab {
     stats("tile decode+filter+agg", 500, 100) {
       graft.operators.TileServe.tileFilterAggregate(Seq(tBlob), years, bors)
     }
-    // full calls including the salted-parquet GET (a Spark job per request)
-    stats("points e2e (Spark GET)", 50, 10) {
+    // the GET arms, isolated: scheduled Spark scan vs the job-free direct
+    // parquet read (salt dir + footer prune, KeyedSink.lookupDirect)
+    stats("points GET (Spark job)", 50, 10) {
+      graft.sources.KeyedSink.lookup(spark, s"${m.points}_blobs",
+        graft.sources.Workflow.PointSaltModulus, pKey)
+        .select("blob").collect()
+    }
+    stats("points GET (direct)", 500, 100) {
+      graft.sources.KeyedSink.lookupDirect(s"${m.points}_blobs",
+        graft.sources.Workflow.PointSaltModulus, pKey)
+    }
+    stats("tile GET (direct)", 500, 100) {
+      graft.sources.KeyedSink.lookupDirect(s"${m.tiles}/srs=EPSG_4326/zoom=$tz",
+        graft.sources.Workflow.TileSaltModulus, s"EPSG:4326:0:0:$tz:$tx:$ty")
+    }
+    // full production calls — now GET(direct) + decode, NO Spark job
+    stats("points e2e (direct GET)", 500, 100) {
       graft.operators.TileServe.servePoints(spark, workDir, pKey, years, bors)
     }
-    stats("tile e2e (Spark GET)", 50, 10) {
+    stats("tile e2e (direct GET)", 500, 100) {
       graft.operators.TileServe.serveTile(spark, workDir, "EPSG:4326", "0:0",
         tz, tx, ty, years, bors)
     }

@@ -207,6 +207,32 @@ object EventStream {
   def piiReportStream(docStream: DataFrame): DataFrame =
     graft.operators.Corpus.piiReport(docStream)
 
+  /** Streaming ExactSubstr gram-count index — the ingest-time half of the
+    * q165 duplication profile: the (source, gram-key, cnt) table kept
+    * incrementally over document appends. The window explode and the
+    * 63-bit gram key are row-local (Dedup.gramCounts), so the stream
+    * shuffles only 8-byte keys; counters only ever add, so the state
+    * after any batch split equals the batch table over the same prefix
+    * EXACTLY. State is one row per live (source, distinct-gram) — the
+    * corpus-vocabulary dimension; production bounds it the same way the
+    * LM/HLL monitors do (the hashed key already caps row WIDTH, and a
+    * coarser `hashBits` trades collision-inflation measured by q177 for
+    * state rows).
+    */
+  def gramCountStream(docStream: DataFrame, L: Int): DataFrame =
+    graft.operators.Dedup.gramCounts(docStream, L)
+
+  /** Duplicated-gram-share profile OFF the streaming gram state — the
+    * copy-burst ingest alarm: per source, internal vs external duplicated
+    * window positions and the duplicated share, computed by the SAME
+    * profile code as the batch q165 (Dedup.sourceDupProfileFromCounts)
+    * over a [[gramCountStream]] snapshot. The pyramidServe shape: state
+    * maintained streaming, report derived batch-side, prefix-equal by
+    * construction (OperatorSpec-asserted across a 2-batch split).
+    */
+  def dupProfileServe(gramState: DataFrame): DataFrame =
+    graft.operators.Dedup.sourceDupProfileFromCounts(gramState)
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

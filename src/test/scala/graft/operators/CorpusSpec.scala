@@ -311,8 +311,11 @@ class CorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ps = Seq(0.5, 0.9, 0.99)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // tokenQuantilesRowSort is the row-sorted audit REFERENCE (test-only
+    // since round 9 — the production q75/q130 arms run the histogram
+    // decomposition, and this equality is what licenses that)
     assert(rows(Corpus.tokenQuantilesHist(docs, ps)) ===
-      rows(Corpus.tokenQuantilesDisc(docs, ps)))
+      rows(Corpus.tokenQuantilesRowSort(docs, ps)))
   }
 
   test("bigramLmScore: hand-computed add-one-smoothed nll in exact micro-nats") {

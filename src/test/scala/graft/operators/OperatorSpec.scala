@@ -455,6 +455,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served === oneShot)
   }
 
+  test("streaming ExactSubstr gram index equals the batch gram table " +
+    "across a 2-batch split, and the served duplication profile equals " +
+    "the batch q165 profile on the ingested prefix") {
+    import java.nio.file.Files
+    val docs = OccurrenceView.documents(spark, Dir)
+    val tmp = Files.createTempDirectory("gramidx")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val schema = spark.read.parquet(s"$Dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.gramCountStream(stream, 40)
+      .writeStream.format("memory").queryName("gram_idx")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val snapshot = spark.table("gram_idx")
+    val streamed = snapshot.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.gramCounts(docs, 40).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // the copy-burst alarm served off the state == the one-shot q165
+    val served = graft.streaming.EventStream.dupProfileServe(snapshot)
+      .collect().map(_.toSeq).toSet
+    val oneShot = Dedup.sourceDupProfile(docs, 40).collect()
+      .map(_.toSeq).toSet
+    assert(served === oneShot)
+  }
+
   test("streaming Gopher card equals the batch card after all batches " +
     "(state = one counter row per source)") {
     import java.nio.file.Files
@@ -1138,6 +1169,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       11L -> 11L, 12L -> 11L, 13L -> 11L, 14L -> 11L,
       21L -> 21L, 22L -> 21L))
+  }
+
+  test("lpaFromEdges bounded arm equals the exact arm wherever degree " +
+    "fits the sample, and a > 2^20-degree hub RUNS instead of failing") {
+    val ss = spark; import ss.implicits._
+    // (a) equality below the sample size: the clique/bridge/pair fixture
+    // has max degree 5 << maxVotes = 8, so every neighbor is sampled
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L),
+      (12L, 14L), (13L, 14L), (4L, 11L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val exact = Dedup.lpaFromEdges(edges, 4, "exact").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val bounded = Dedup.lpaFromEdges(edges, 4, "bounded", 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(bounded === exact)
+    // (b) the exact arm must still refuse the hub loudly...
+    val n = (1L << 20) + 8L
+    val hub = ss.range(1, n).select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    intercept[IllegalArgumentException] {
+      Dedup.lpaFromEdges(hub, 1, "exact")
+    }
+    // ...(c) while auto dispatches to bounded votes and the star
+    // converges: every leaf sees {self, hub-label 0} and the min-label
+    // tie-break adopts 0; the hub's sampled votes all carry 0 by then
+    val lab = Dedup.lpaFromEdges(hub, 2)
+    assert(lab.count() === n, "every node must keep a label")
+    assert(lab.filter(col("community") =!= 0L).count() === 0L,
+      "star must converge to the hub's community")
   }
 
   test("ngramDiversityCard: counts/TTR/entropy match the hand-computed " +

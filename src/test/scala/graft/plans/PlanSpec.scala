@@ -162,17 +162,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // windows partitioned by `source` ALONE serialize a whole source (a
   // training corpus has few, enormous sources) through one task — the 100 TB
-  // killer the round-4 audit flagged on q64/q88. Suite-wide ban; the ONLY
-  // exceptions are exactness gates whose scale-safe twin ships alongside:
-  private val SourceWindowWhitelist = Map(
-    // (q69_domain_mix left this list in round 8: its per-source pick now
-    // RUNS the q119 KMV bottom-k mechanism itself — no source window)
-    // exact discrete rank statistic; twin: q86 decomposes the identical
-    // statistic into a count-then-select over a token-count histogram
-    "q75_token_quantiles" -> "q86_hist_quantiles",
-    // the EXACT branch exists to audit the estimator branch of the very
-    // same query — the sketch branch is the production path
-    "q130_sample_quantiles" -> "q130_sample_quantiles (its own sketch branch)")
+  // killer the round-4 audit flagged on q64/q88. Suite-wide ban. EMPTY
+  // since round 9: q75's rank statistic now runs the q86 histogram
+  // decomposition (the row-sort arm survives only as the CorpusSpec audit
+  // reference, Corpus.tokenQuantilesRowSort) and q130's exact audit arm
+  // got the same treatment — no production plan windows on source alone.
+  // The map and guard stay (positive-controlled below) so a regression
+  // reintroducing one fails loudly. (q69_domain_mix left in round 8 via
+  // the q119 KMV mechanism; q75/q130 left in round 9.)
+  private val SourceWindowWhitelist = Map.empty[String, String]
 
   // a Window partitioned by source alone is fine when it runs over an
   // ALREADY-COLLAPSED table — its input aggregated on (source, <value>)
@@ -206,8 +204,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.size
 
   test("suite-wide plan shapes: no single-partition global Window, no " +
-    "window partitioned by source alone (whitelist of 2 exactness gates, " +
-    "each citing its scale-safe twin), no CartesianProduct, nested-loop " +
+    "window partitioned by source alone (whitelist EMPTY since round 9), " +
+    "no CartesianProduct, nested-loop " +
     "joins only for broadcast one-row scalars") {
     // positive control: the window detector must actually fire on the
     // textbook global row_number before its zero-counts below mean anything

@@ -69,6 +69,20 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.count() > 0)
     assert(one.select("map_key").distinct().collect().map(_.getString(0)).toSeq === Seq("0:0"))
 
+    // the job-free GET arm returns the exact same rows AND schema as the
+    // scheduled-scan arm (order-insensitive; the store sorts within salt)
+    val direct = KeyedSink.lookupDirect(m2.points, 10, "0:0")
+    val viaSpark = one.collect()
+    assert(direct.nonEmpty)
+    assert(direct.head.schema.map(f => (f.name, f.dataType)) ===
+      viaSpark.head.schema.map(f => (f.name, f.dataType)),
+      s"direct=${direct.head.schema} spark=${viaSpark.head.schema}")
+    assert(direct.map(_.toSeq).toSet === viaSpark.map(_.toSeq).toSet)
+    // a key that salts to an existing directory but matches no row reads
+    // empty through the record filter, and a missing salt dir reads empty
+    assert(KeyedSink.lookupDirect(m2.points, 10, "no:such:key").isEmpty)
+    assert(KeyedSink.lookupDirect(m2.points + "/does-not-exist", 10, "0:0").isEmpty)
+
     // tiles store: 4326 z6 MVT blobs decode and conserve the points total
     // (other projections clip to their hemispheres; lower zooms re-count it)
     val tiles = spark.read.parquet(s"${m2.tiles}/srs=EPSG_4326/zoom=6")
