@@ -965,10 +965,11 @@ object Corpus {
       expr(s"CAST($name * 10 div (mxid + 1) AS INT)")
     // one corpus-sized token explode, persisted for its two keyed
     // aggregations (first-appearance min + per-decile occurrence count);
-    // caller-owned lifecycle, as with ppjoinPairs' shingle table
+    // structural lifecycle (round 9): the curve is 10 rows, so
+    // withPersisted checkpoints it and drops the explode's cache entry
     val ex = docs.withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), explode(col("toks")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Lifecycle.withPersisted(ex) {
     val firstDec = ex
       .groupBy("w").agg(min("doc_id").as("fd"))
       .crossJoin(broadcast(mx))
@@ -994,6 +995,7 @@ object Corpus {
         col("d3") <= col("decile"), "left")
       .groupBy("decile", "cum_docs", "cum_tokens")
       .agg(coalesce(sum("new_vocab"), lit(0L)).as("cum_vocab"))
+    }
   }
 
   /** ZIPF RANK-FREQUENCY AUDIT: least-squares slope/intercept/r² of

@@ -859,20 +859,23 @@ object Dedup {
     // the verified edge list feeds five plan branches (3 triangle arms + 2
     // degree arms) — persist it, unlike the signature table (see the
     // lshCandidatePairs note), because edges are candidate-sized, not
-    // corpus-sized, and the 5× recompute would repeat the band join
+    // corpus-sized, and the 5× recompute would repeat the band join.
+    // Structural lifecycle (round 9): per-node stats are node-bounded, so
+    // withPersisted checkpoints them and drops the edge cache on exit.
     val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = triangles(e, orientation)
-    val perNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
-    val deg = e.select(col("doc_a").as("doc_id"))
-      .unionByName(e.select(col("doc_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
-    perNode.join(deg, Seq("doc_id"))
-      .withColumn("clust_micro",
-        expr("CASE WHEN deg >= 2 THEN n_tri * 2000000 div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
-      .select("doc_id", "n_tri", "deg", "clust_micro")
+    graft.core.Lifecycle.withPersisted(e) {
+      val tri = triangles(e, orientation)
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+      val deg = e.select(col("doc_a").as("doc_id"))
+        .unionByName(e.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      perNode.join(deg, Seq("doc_id"))
+        .withColumn("clust_micro",
+          expr("CASE WHEN deg >= 2 THEN n_tri * 2000000 div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
+        .select("doc_id", "n_tri", "deg", "clust_micro")
+    }
   }
 
   /** Triangle list (one row per triangle, columns a/b/c) over a canonical
@@ -948,17 +951,19 @@ object Dedup {
           when(ka < kb, col("doc_a")).otherwise(col("doc_b")).as("src"),
           when(ka < kb, col("doc_b")).otherwise(col("doc_a")).as("dst"),
           when(ka < kb, kb).otherwise(ka).as("dk"))
-        // read 3× by the returned plan (two wedge legs + closure probe);
-        // caller-owned lifecycle — sweep consumers clearCache per query
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      o.as("w1")
-        .join(o.as("w2"),
-          col("w1.src") === col("w2.src") && col("w1.dk") < col("w2.dk"))
-        .join(o.as("cl"),
-          col("w1.dst") === col("cl.src") && col("w2.dst") === col("cl.dst"),
-          "left_semi")
-        .select(col("w1.src").as("a"), col("w1.dst").as("b"),
-          col("w2.dst").as("c"))
+      // read 3× by the plan (two wedge legs + closure probe); structural
+      // lifecycle (round 9): the triangle list is output-bounded, so
+      // withPersisted checkpoints it and drops the oriented-edge cache
+      graft.core.Lifecycle.withPersisted(o) {
+        o.as("w1")
+          .join(o.as("w2"),
+            col("w1.src") === col("w2.src") && col("w1.dk") < col("w2.dk"))
+          .join(o.as("cl"),
+            col("w1.dst") === col("cl.src") && col("w2.dst") === col("cl.dst"),
+            "left_semi")
+          .select(col("w1.src").as("a"), col("w1.dst").as("b"),
+            col("w2.dst").as("c"))
+      }
     }
   }
 
@@ -1524,23 +1529,26 @@ object Dedup {
 
   def lshMissAudit(docs: DataFrame, minEst: Double, minSupport: Int,
       maxNeighbors: Int = 8): DataFrame = {
+    // read three times (sketch build via sym + the anti-join);
+    // candidate-sized. Structural lifecycle (round 9): the verified
+    // missed-pair list is sketch-bounded (n·C(B,2)), so withPersisted
+    // checkpoints it and drops the edge cache on exit.
     val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
-      // read three times (sketch build via sym + the anti-join);
-      // candidate-sized, same caller-owned lifecycle as triangleStats
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val predicted = missedPairsFromEdges(e, minSupport, maxNeighbors)
-    val sh = docs.withColumn("s", shingleSetUdf(col("text")))
-      .select(col("doc_id"), col("s"))
-    val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
-    val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
-    predicted
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("common_neighbors"),
-        inter.as("i"), uni.as("u"))
-      .select(col("doc_a"), col("doc_b"), col("common_neighbors"),
-        when(col("u") === 0, lit(1000000L))
-          .otherwise(expr("i * 1000000 div u")).as("jacc_micro"))
+    graft.core.Lifecycle.withPersisted(e) {
+      val predicted = missedPairsFromEdges(e, minSupport, maxNeighbors)
+      val sh = docs.withColumn("s", shingleSetUdf(col("text")))
+        .select(col("doc_id"), col("s"))
+      val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
+      val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
+      predicted
+        .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("common_neighbors"),
+          inter.as("i"), uni.as("u"))
+        .select(col("doc_a"), col("doc_b"), col("common_neighbors"),
+          when(col("u") === 0, lit(1000000L))
+            .otherwise(expr("i * 1000000 div u")).as("jacc_micro"))
+    }
   }
 
   /** Quality-aware CANONICAL SELECTION — the "keep the BEST copy" dedup

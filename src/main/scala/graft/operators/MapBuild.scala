@@ -59,15 +59,16 @@ object MapBuild {
   def dictionaryEncode(spark: org.apache.spark.sql.SparkSession, viewCounts: DataFrame): DataFrame = {
     // persist before the driver collect: the key collect AND the returned
     // lineage both consume the counts, which would otherwise re-run the
-    // full upstream aggregation twice. Cache lifetime is caller-owned
-    // (Verify/Bench clearCache between queries; a long-lived service
-    // unpersists after consuming the result), as with the other
-    // barrier-persisting operators (pyramid, q55, q59)
-    val vc = viewCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = vc.select("map_key").collect().map(_.getString(0)).sorted
-    val dict = spark.sparkContext.broadcast(keys.zipWithIndex.toMap)
-    val keyId = udf { (k: String) => dict.value(k) }
-    vc.select(col("map_key"), keyId(col("map_key")).as("key_id"), col("occ_count"))
+    // full upstream aggregation twice. Structural lifecycle (round 9):
+    // the dictionary table is view-domain-sized, so withPersisted
+    // checkpoints it and drops the counts' cache entry on exit.
+    graft.core.Lifecycle.withPersisted(viewCounts) {
+      val keys = viewCounts.select("map_key").collect().map(_.getString(0)).sorted
+      val dict = spark.sparkContext.broadcast(keys.zipWithIndex.toMap)
+      val keyId = udf { (k: String) => dict.value(k) }
+      viewCounts.select(col("map_key"), keyId(col("map_key")).as("key_id"),
+        col("occ_count"))
+    }
   }
 
   /** A2: point-map aggregate — distinct locations per (view, borYear). */
