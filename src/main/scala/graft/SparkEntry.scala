@@ -1308,6 +1308,15 @@ object SparkEntry {
     "q165_source_dup_profile" -> ((s, dir) =>
       Dedup.sourceDupProfile(documents(s, dir), 40)),
 
+    // substring-level decontamination (Lee et al. ACL'22 §6.2): per train
+    // doc, positions whose 40-char window appears VERBATIM in the eval
+    // source (src0), union-covered chars (= the cuttable span) and the
+    // contaminated fraction — position-exact verbatim containment where
+    // q67's word-5-gram overlap is dilution-prone whole-doc similarity;
+    // the eval side broadcasts as 8-byte hashed keys
+    "q178_substring_decontam" -> ((s, dir) =>
+      Dedup.substringDecontaminate(documents(s, dir), "src0", 40)),
+
     // gram-hash collision audit for the hashed ExactSubstr core: per hash
     // width, duplicated positions under the hashed key vs the string-gram
     // ground truth — 16/24-bit rows are the positive control (collisions
@@ -3956,6 +3965,24 @@ SELECT t.source, coalesce(dd.n_int_pos, 0) AS n_int_pos,
   (coalesce(dd.n_int_pos, 0) + coalesce(dd.n_ext_pos, 0)) * 1000000
     // t.total_pos AS dup_share_micro
 FROM t LEFT JOIN dd USING (source)""",
+
+    "q178_substring_decontam" -> s"""WITH g0 AS (
+  SELECT doc_id, source, u.i AS pos, substring(text, u.i, 40) AS w
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
+  WHERE length(text) >= 40),
+g AS (SELECT doc_id, source, pos, ${gramHash63Sql("w")} AS gram FROM g0),
+ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+hit AS (SELECT doc_id, pos FROM g
+  WHERE source <> 'src0' AND gram IN (SELECT gram FROM ev)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_pos,
+    list_sort(list(pos)) AS ps FROM hit GROUP BY doc_id),
+cov AS (SELECT doc_id, n_eval_pos,
+    40 + CAST(coalesce(list_sum(list_transform(generate_series(1, len(ps) - 1),
+      k -> least(40, ps[k+1] - ps[k]))), 0) AS BIGINT) AS covered_chars
+  FROM agg)
+SELECT c.doc_id, d.source, c.n_eval_pos, c.covered_chars,
+  c.covered_chars * 1000000 // length(d.text) AS contam_micro
+FROM cov c JOIN documents d USING (doc_id)""",
 
     "q177_gram_hash_audit" -> s"""WITH g AS (
   SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS w

@@ -1403,6 +1403,47 @@ object Dedup {
       .select("doc_id", "n_cut_spans", "kept_chars", "cleaned_text")
   }
 
+  /** SUBSTRING-level DECONTAMINATION — ExactSubstr turned on the
+    * train-vs-benchmark boundary (the Lee et al. ACL'22 §6.2 use: eval
+    * examples leak into crawls VERBATIM far more often than as whole-doc
+    * near-dups). For every train doc (outside `evalSource`), every
+    * position whose L-char window also appears verbatim anywhere in the
+    * eval source is contaminated; per doc this emits the position count,
+    * the UNION-covered characters (the q159 interval fold — exactly the
+    * span a q161-style cut would splice out, so this REPORT has a
+    * matching ACTION), and the contaminated fraction. Complements q67:
+    * word-5-gram overlap scores dilution-prone whole-doc similarity;
+    * this is position-exact verbatim containment with a cut boundary.
+    *
+    * Scale shape: the eval side is benchmark-sized, so its distinct
+    * 63-bit gram keys broadcast (8 bytes per gram — the hashed core is
+    * what makes a multi-million-gram benchmark broadcastable) and the
+    * 100 TB train side never shuffles text: window extraction and the
+    * semi-join are row-local against the broadcast, and the only wide op
+    * is the per-doc position rollup, q159's shape.
+    */
+  def substringDecontaminate(docs: DataFrame, evalSource: String, L: Int,
+      hashBits: Int = GramHashBits): DataFrame = {
+    val evalGrams = windowGrams(docs.filter(col("source") === evalSource),
+      L, "source", hashBits).select("gram").distinct()
+    val train = docs.filter(col("source") =!= evalSource)
+    windowGrams(train, L, "doc_id", hashBits)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_pos"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .withColumn("covered_chars",
+        expr(s"""$L + aggregate(
+          zip_with(slice(ps, 1, size(ps) - 1), slice(ps, 2, size(ps) - 1),
+            (a, b) -> least(CAST($L AS BIGINT), CAST(b - a AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .join(train.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_eval_pos"),
+        col("covered_chars"),
+        expr("covered_chars * 1000000 div len").as("contam_micro"))
+  }
+
   /** Gram-hash COLLISION AUDIT — the q176 pattern applied to the
     * ExactSubstr core: the production arms (q159/q161/q163–q165) exchange
     * the 63-bit gram key instead of the L-char string, and this measures

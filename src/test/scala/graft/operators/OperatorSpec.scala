@@ -981,6 +981,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "substringHashAudit must not pin cache entries past the call")
   }
 
+  test("substringDecontaminate flags exactly the train positions whose " +
+    "window appears in the eval source; train-internal duplication is " +
+    "NOT contamination; union coverage equals the leaked span") {
+    val ss = spark; import ss.implicits._
+    val L = 20
+    val shared = "the quick brown fox jumps over a lazy dog" // 41 chars
+    val docs = Seq(
+      (100L, "PREFIX----" + shared, "ev"),          // the benchmark doc
+      (1L, "abcdefghij" + shared + "KLMNOPQRST", "a"), // verbatim leak, shifted
+      (2L, "entirely unrelated content with no repeats here", "b"),
+      (3L, "x" * 25, "c"), (4L, "x" * 25, "c"))     // train-internal dup only
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val got = Dedup.substringDecontaminate(docs, "ev", L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val len1 = 10 + 41 + 10
+    assert(got === Map(1L ->
+      (("a", (shared.length - L + 1).toLong, shared.length.toLong,
+        shared.length.toLong * 1000000L / len1))),
+      s"train-internal dups or clean docs leaked into the report: $got")
+  }
+
   test("substringFlow counts distinct shared grams per source pair, " +
     "ignoring within-source duplication") {
     val ss = spark; import ss.implicits._
