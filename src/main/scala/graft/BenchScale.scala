@@ -109,13 +109,36 @@ object BenchScale {
     "q175_soft_dedup",
     // gram-hash collision audit: the string-gram arm is the run-once
     // audit cost; the probe pins how that cost grows vs the hashed arms
-    "q177_gram_hash_audit")
+    "q177_gram_hash_audit",
+    // substring decontamination: the eval-gram broadcast grows with the
+    // benchmark (10× here since every replica carries a src0) — the probe
+    // watches the broadcast stay benchmark-bounded and the train side
+    // stay scan-shaped
+    "q178_substring_decontam")
+
+  /** The x10 DOCUMENTS replica recipe, factored so GramLab (and any future
+    * lab) runs on the SAME replica the probe does — per-replica alphabet
+    * rotation: corpus SHAPE replicates, replicas share no grams/shingles
+    * (see the main's honesty note). One implementation; drift impossible.
+    */
+  private[graft] def replicateDocuments(spark: SparkSession, baseDir: String,
+      outPath: String, reps: Int): Unit = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until reps).map(i => base
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text",
+          translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(outPath)
+  }
 
   /** Per-stage totals between two markers — shuffle volume and spill are
     * the quantities that separate "the exchange really carries 7× the
     * data" from "page-cache/GC noise" when a ratio comes back super-linear.
+    * Shared with GramLab (private[graft]).
     */
-  private final class StageMetrics extends org.apache.spark.scheduler.SparkListener {
+  private[graft] final class StageMetrics extends org.apache.spark.scheduler.SparkListener {
     @volatile var shuffleWrite = 0L
     @volatile var shuffleRead = 0L
     @volatile var memSpill = 0L
@@ -180,11 +203,7 @@ object BenchScale {
     // degenerate hot minhash bucket MERGES across replicas and the
     // candidate join's Σ bucket² grows with reps² by construction,
     // measuring the data's quadratics instead of the engine's scaling
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    replicated("documents", (df, i) =>
-      df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
-        .withColumn("text",
-          translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
+    replicateDocuments(spark, baseDir, s"$scaleDir/documents.parquet", reps)
 
     val metrics = new StageMetrics
     if (debug) spark.sparkContext.addSparkListener(metrics)

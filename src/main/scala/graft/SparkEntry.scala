@@ -4004,12 +4004,18 @@ hd AS (SELECT k.bits, k.doc_id, CAST(count(*) AS BIGINT) AS n
 eb AS (SELECT b.bits, e.doc_id, e.n_exact FROM e CROSS JOIN bl b),
 j AS (SELECT coalesce(hd.bits, eb.bits) AS bits,
     coalesce(hd.n, 0) AS n, coalesce(eb.n_exact, 0) AS n_exact
-  FROM hd FULL JOIN eb ON hd.bits = eb.bits AND hd.doc_id = eb.doc_id)
-SELECT bits AS hash_bits, CAST(sum(n) AS BIGINT) AS dup_pos,
-  CAST(sum(n_exact) AS BIGINT) AS exact_pos,
-  CAST(sum(n - n_exact) AS BIGINT) AS extra_pos,
-  CAST(sum(CASE WHEN n > n_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_inflated
-FROM j GROUP BY bits""",
+  FROM hd FULL JOIN eb ON hd.bits = eb.bits AND hd.doc_id = eb.doc_id),
+t AS (SELECT bits, CAST(sum(n) AS BIGINT) AS dup_pos,
+    CAST(sum(n_exact) AS BIGINT) AS exact_pos,
+    CAST(sum(n - n_exact) AS BIGINT) AS extra_pos,
+    CAST(sum(CASE WHEN n > n_exact THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_docs_inflated
+  FROM j GROUP BY bits)
+SELECT b.bits AS hash_bits, coalesce(t.dup_pos, 0) AS dup_pos,
+  coalesce(t.exact_pos, 0) AS exact_pos,
+  coalesce(t.extra_pos, 0) AS extra_pos,
+  coalesce(t.n_docs_inflated, 0) AS n_docs_inflated
+FROM bl b LEFT JOIN t ON t.bits = b.bits""",
 
     "q160_lsh_miss_audit" -> (EdgesSql + """,
 ke AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ed0

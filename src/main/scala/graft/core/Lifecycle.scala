@@ -33,12 +33,49 @@ import org.apache.spark.storage.StorageLevel
   */
 object Lifecycle {
 
+  /** PLAN-INSPECTION mode (PlanSpec's suite-wide guard ONLY): checkpointing
+    * truncates lineage to a `LogicalRDD`, which would blind the
+    * source-window / cartesian / BNLJ guards to everything INSIDE a
+    * withPersisted operator — and make the guard pay each operator's full
+    * job just to read a plan string. With this flag set the call returns
+    * the lazy `body` un-persisted and un-checkpointed, so the guard walks
+    * the complete logical plan without executing it. Never set outside the
+    * test suite; production semantics are the checkpointed form.
+    */
+  @volatile var planOnly: Boolean = false
+
+  // nesting support: an operator built INSIDE another withPersisted body
+  // (triangleStats → triangles) must NOT checkpoint its own result — that
+  // would materialize a large intermediate (the full triangle list) to
+  // block storage between two jobs where round 8 ran ONE job over shared
+  // caches (measured: q146 18 → 36 s isolated with the naive nested
+  // form). Inner calls persist their inputs, hand them to the OUTER scope
+  // for unpersist-on-exit, and return the lazy body; only the outermost
+  // call checkpoints. Thread-local because plans are built on one thread.
+  private val depth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+  private val deferred = new ThreadLocal[List[DataFrame]] {
+    override def initialValue: List[DataFrame] = Nil
+  }
+
   /** Persist `inputs` for the scope of building + materializing `body`,
-    * then unpersist them. Returns the eagerly-materialized result.
+    * then unpersist them. Returns the eagerly-materialized result (lazy
+    * when nested inside an enclosing withPersisted — see above).
     */
   def withPersisted(inputs: DataFrame*)(body: => DataFrame): DataFrame = {
+    if (planOnly) return body
     inputs.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    if (depth.get > 0) {
+      deferred.set(deferred.get ++ inputs)
+      return body
+    }
+    depth.set(1)
     try body.localCheckpoint(eager = true)
-    finally inputs.foreach(_.unpersist(blocking = false))
+    finally {
+      depth.set(0)
+      (inputs ++ deferred.get).foreach(_.unpersist(blocking = false))
+      deferred.set(Nil)
+    }
   }
 }

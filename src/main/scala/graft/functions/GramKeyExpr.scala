@@ -19,11 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * ADDING more CPU than its shuffle savings bought back; this form is the
   * one that nets positive.
   *
-  * Reversal is UTF-16-unit-wise (the backward loop), which matches
-  * `reverse(string)` and the DuckDB oracle's code-point fold on every BMP
-  * string — the corpus and oracle domain. The q177 collision audit runs
-  * on the real corpus and would surface any divergence as a hash
-  * mismatch.
+  * Reversal is UTF-16-unit-wise (the backward loop). That matches the
+  * DuckDB oracle's `reverse()` + code-point fold exactly on ASCII — the
+  * shipped corpus and every store key — but NOT in general: DuckDB
+  * reverses by grapheme cluster, so surrogate pairs and combining-mark
+  * sequences can reverse differently and land in different hash classes.
+  * On a non-ASCII corpus, re-derive the oracle pairing before trusting
+  * hashed-arm equality; the q177 collision audit (hashed vs string arms
+  * on the actual corpus) is the check that would surface any divergence.
   */
 case class GramKeyExpr(child: Expression) extends UnaryExpression {
 

@@ -117,8 +117,17 @@ object Corpus {
           greatest(col("n_words") - 1, lit(1))).as("top_bigram_frac"))
   }
 
-  /** The q50/q51 LCG id hash — deterministic, engine-portable sampling key. */
-  def lcg(id: Column): Column = (id * 1103515245L + 12345L) % 2147483648L
+  /** The q50/q51 LCG id hash — deterministic, engine-portable sampling
+    * key. The id is reduced mod 2³¹ BEFORE the multiply: mathematically a
+    * no-op ((id mod 2³¹)·K ≡ id·K (mod 2³¹), so every value for id < 2³¹ —
+    * all oracle-mirrored data — is unchanged), but it keeps the Long
+    * product exact for the full [0, 2⁴⁰) id domain the graph operators
+    * admit; the unreduced form overflows at id ≈ 2³³, going negative (or
+    * throwing under ANSI) — which would, e.g., let every large-id neighbor
+    * through the bounded-LPA Bernoulli threshold and void its state bound.
+    */
+  def lcg(id: Column): Column =
+    ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
 
   /** Temperature-scaled domain mixing: each source keeps
     * `min(count, ceil(sqrt(count) * boost))` docs — the alpha=0.5 sampling

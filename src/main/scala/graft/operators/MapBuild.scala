@@ -61,12 +61,16 @@ object MapBuild {
     // lineage both consume the counts, which would otherwise re-run the
     // full upstream aggregation twice. Structural lifecycle (round 9):
     // the dictionary table is view-domain-sized, so withPersisted
-    // checkpoints it and drops the counts' cache entry on exit.
-    graft.core.Lifecycle.withPersisted(viewCounts) {
-      val keys = viewCounts.select("map_key").collect().map(_.getString(0)).sorted
+    // checkpoints it and drops the cache entry on exit. The persisted
+    // frame is an INTERIOR projection, not the caller's argument —
+    // withPersisted unpersists what it wraps, and a callee must never
+    // drop a cache entry the caller may own on a frame it was handed.
+    val vc = viewCounts.select(col("map_key"), col("occ_count"))
+    graft.core.Lifecycle.withPersisted(vc) {
+      val keys = vc.select("map_key").collect().map(_.getString(0)).sorted
       val dict = spark.sparkContext.broadcast(keys.zipWithIndex.toMap)
       val keyId = udf { (k: String) => dict.value(k) }
-      viewCounts.select(col("map_key"), keyId(col("map_key")).as("key_id"),
+      vc.select(col("map_key"), keyId(col("map_key")).as("key_id"),
         col("occ_count"))
     }
   }

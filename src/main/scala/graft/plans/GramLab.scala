@@ -18,22 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object GramLab {
 
-  private final class StageMetrics extends org.apache.spark.scheduler.SparkListener {
-    @volatile var shuffleWrite = 0L
-    @volatile var shuffleRead = 0L
-    @volatile var execMs = 0L
-    def reset(): Unit = { shuffleWrite = 0; shuffleRead = 0; execMs = 0 }
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) {
-        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
-        shuffleRead += m.shuffleReadMetrics.totalBytesRead
-        execMs += m.executorRunTime
-      }
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = 10
@@ -46,22 +30,15 @@ object GramLab {
       .appName("gram-lab").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // same x10 replica recipe as BenchScale (rotated alphabets: replicas
-    // share no grams, so dup structure replicates instead of merging)
-    if (!new java.io.File(scalePath).exists()) {
-      val alpha = "abcdefghijklmnopqrstuvwxyz"
-      val base = spark.read.parquet(s"$baseDir/documents.parquet")
-      (0 until reps).map(i => base
-          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
-          .withColumn("text",
-            translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
-        .reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(scalePath)
-    }
+    // THE x10 replica recipe — BenchScale's own builder (one
+    // implementation; this lab's premise "same replica as the probe"
+    // holds by construction, and a stale replica can't be half-matched)
+    if (!new java.io.File(scalePath).exists())
+      graft.BenchScale.replicateDocuments(spark, baseDir, scalePath, reps)
     val docs = spark.read.parquet(scalePath)
     docs.write.format("noop").mode("overwrite").save() // page into OS cache
 
-    val metrics = new StageMetrics
+    val metrics = new graft.BenchScale.StageMetrics
     spark.sparkContext.addSparkListener(metrics)
     def run(name: String, df: => DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save() // warmup/JIT
@@ -75,7 +52,7 @@ object GramLab {
       println(f"[gram-lab] $name%-14s wall=$dt%6.2fs " +
         f"shufW=${metrics.shuffleWrite / 1e6}%8.1fMB " +
         f"shufR=${metrics.shuffleRead / 1e6}%8.1fMB " +
-        f"execCPU=${metrics.execMs / 1e3}%7.1fs")
+        f"execCPU=${metrics.stageTimeMs / 1e3}%7.1fs")
     }
     run("string-gram", Dedup.exactSubstringSpans(docs, 40, 0))
     run("hashed-63", Dedup.exactSubstringSpans(docs, 40, 63))

@@ -68,8 +68,12 @@ object KeyedSink {
   // footer cache — the region-server half of the HBase analogy: a serving
   // process holds its store's metadata hot (stores are immutable per
   // manifest version; a new version is a new path, so staleness can't
-  // occur). Without it every GET re-reads + re-parses the footer (~4 ms,
-  // ServeLab-measured — the difference between ~8 ms and sub-5 ms).
+  // occur — but version CHURN can accumulate dead entries, so the cache
+  // is size-bounded: on overflow it clears and re-warms, the simplest
+  // eviction that keeps the steady state hot). Without it every GET
+  // re-reads + re-parses the footer (~7 ms of the measured 8 ms,
+  // ServeLab — the difference between ~8 ms and sub-5 ms).
+  private val FooterCacheMax = 8192
   private val footerCache = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.parquet.hadoop.metadata.ParquetMetadata]()
 
@@ -85,6 +89,7 @@ object KeyedSink {
     val kb = org.apache.parquet.io.api.Binary.fromString(key)
     files.flatMap { f =>
       val hp = new org.apache.hadoop.fs.Path(f.toString)
+      if (footerCache.size > FooterCacheMax) footerCache.clear()
       val footer = footerCache.computeIfAbsent(f.toString, _ =>
         org.apache.parquet.hadoop.ParquetFileReader.readFooter(getConf, hp,
           org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER))

@@ -225,8 +225,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // windows must be partitioned (by user/view/source/bucket/hash; q37's
     // dictionary encode was the one historical offender), never by source
     // alone (q64/q88 historically), and no join may degenerate to a
-    // cartesian/nested-loop pairwise compare
-    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+    // cartesian/nested-loop pairwise compare. Lifecycle.planOnly keeps
+    // withPersisted operators LAZY here: their production form returns a
+    // lineage-truncated localCheckpoint, which would (a) blind these
+    // guards to everything inside the operator and (b) execute each
+    // operator's full job just to read a plan string.
+    graft.core.Lifecycle.planOnly = true
+    try graft.SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, Dir)
       assert(unpartitionedWindows(df) === 0, s"$q has an unpartitioned Window")
       if (!SourceWindowWhitelist.contains(q))
@@ -239,7 +244,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (!ScalarCrossJoins(q))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$q plans an unexpected nested-loop join")
-    }
+    } finally graft.core.Lifecycle.planOnly = false
   }
 
   test("salted-key path is UDF-free (native codegen hash)") {
