@@ -1424,8 +1424,7 @@ object Dedup {
     */
   def substringDecontaminate(docs: DataFrame, evalSource: String, L: Int,
       hashBits: Int = GramHashBits): DataFrame = {
-    val evalGrams = windowGrams(docs.filter(col("source") === evalSource),
-      L, "source", hashBits).select("gram").distinct()
+    val evalGrams = evalGramKeys(docs, evalSource, L, hashBits)
     val train = docs.filter(col("source") =!= evalSource)
     windowGrams(train, L, "doc_id", hashBits)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
@@ -1443,6 +1442,29 @@ object Dedup {
         col("covered_chars"),
         expr("covered_chars * 1000000 div len").as("contam_micro"))
   }
+
+  /** The DISTINCT hashed gram keys of one source — [[substringDecontaminate]]'s
+    * broadcastable eval set, exposed because the STREAMING contamination
+    * monitor joins ingest batches against exactly this table.
+    */
+  def evalGramKeys(docs: DataFrame, evalSource: String, L: Int,
+      hashBits: Int = GramHashBits): DataFrame =
+    windowGrams(docs.filter(col("source") === evalSource), L, "source",
+      hashBits).select("gram").distinct()
+
+  /** Per-source contaminated-position counts of `docs` against a
+    * (benchmark-sized, broadcast) eval gram-key set — the rollup half of
+    * [[substringDecontaminate]], shared verbatim with the streaming
+    * monitor (EventStream.decontamMonitorStream): window extraction and
+    * the semi-join are row-local against the broadcast, the count is one
+    * source-keyed add-only aggregate — so streaming prefix equality is
+    * equality of counters, free by construction.
+    */
+  def evalHitCounts(docs: DataFrame, evalGrams: DataFrame, L: Int,
+      hashBits: Int = GramHashBits): DataFrame =
+    windowGrams(docs, L, "source", hashBits)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_eval_pos"))
 
   /** Gram-hash COLLISION AUDIT — the q176 pattern applied to the
     * ExactSubstr core: the production arms (q159/q161/q163–q165) exchange

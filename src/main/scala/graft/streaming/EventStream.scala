@@ -233,6 +233,19 @@ object EventStream {
   def dupProfileServe(gramState: DataFrame): DataFrame =
     graft.operators.Dedup.sourceDupProfileFromCounts(gramState)
 
+  /** Streaming CONTAMINATION monitor — q178's ingest-time twin (the 21st
+    * streaming operator): per source, the running count of window
+    * positions whose L-gram appears verbatim in the (static, broadcast)
+    * eval gram-key set. Stream-static semi-join against the benchmark
+    * keys (row-local — the stream shuffles only the one source-keyed
+    * counter), counters add-only, so the monitor is batch-equal on any
+    * ingested prefix. THE alarm to fire before a contaminated crawl shard
+    * reaches training — q178 is the forensic report, this is the tripwire.
+    */
+  def decontamMonitorStream(docStream: DataFrame, evalGrams: DataFrame,
+      L: Int): DataFrame =
+    graft.operators.Dedup.evalHitCounts(docStream, evalGrams, L)
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

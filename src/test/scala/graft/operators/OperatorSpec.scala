@@ -486,6 +486,47 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served === oneShot)
   }
 
+  test("streaming contamination monitor equals the batch hit counts " +
+    "across a 2-batch split on a crafted leak, and stays consistent " +
+    "with the q178 report") {
+    val ss = spark; import ss.implicits._
+    import java.nio.file.Files
+    val L = 20
+    val shared = "the quick brown fox jumps over a lazy dog"
+    val evalDocs = Seq((100L, "PREFIX----" + shared, "ev"))
+      .toDF("doc_id", "text", "source")
+    val train = Seq(
+      (1L, "abcdefghij" + shared + "KLMNOPQRST", "a"), // leaks in batch 1
+      (2L, "entirely unrelated content with no repeats here", "b"),
+      (3L, "uvwxyz0123456789" + shared, "a"))           // leaks in batch 2
+      .toDF("doc_id", "text", "source")
+    val evalGrams = Dedup.evalGramKeys(evalDocs, "ev", L)
+    val tmp = Files.createTempDirectory("decontam")
+    train.filter(col("doc_id") < 3).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    train.filter(col("doc_id") >= 3).coalesce(1).write.parquet(tmp.resolve("b2").toString)
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val q = graft.streaming.EventStream.decontamMonitorStream(stream, evalGrams, L)
+      .writeStream.format("memory").queryName("decontam_mon")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("decontam_mon").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Dedup.evalHitCounts(train, evalGrams, L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    // both leaking docs' full window sets count; the clean source is absent
+    assert(streamed === Map("a" -> 2L * (shared.length - L + 1)))
+    // and the per-source rollup of the q178 report agrees
+    val all = evalDocs.unionByName(train)
+    val reportRollup = Dedup.substringDecontaminate(all, "ev", L)
+      .groupBy("source").agg(sum("n_eval_pos").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reportRollup === streamed)
+  }
+
   test("streaming Gopher card equals the batch card after all batches " +
     "(state = one counter row per source)") {
     import java.nio.file.Files
