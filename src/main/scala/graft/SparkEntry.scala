@@ -525,16 +525,17 @@ object SparkEntry {
         .groupBy("map_key").agg(sum("c").as("occ_count"))),
 
     // Pipeline: deterministic per-stratum sampling (LCG hash of the id —
-    // reproducible across engines and runs, no RNG state)
+    // reproducible across engines and runs, no RNG state; the SHARED
+    // overflow-hardened Corpus.lcg, not an inline copy — round-9 review)
     "q50_stratified_sample" -> ((s, dir) =>
       documents(s, dir)
-        .filter((col("doc_id") * 1103515245L + 12345) % 2147483648L % 100 < 25)
+        .filter(graft.operators.Corpus.lcg(col("doc_id")) % 100 < 25)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))),
 
     // Pipeline: deterministic train/val/test split (80/10/10 by id hash)
     "q51_data_split" -> ((s, dir) => {
-      val b = (col("doc_id") * 1103515245L + 12345) % 2147483648L % 100
+      val b = graft.operators.Corpus.lcg(col("doc_id")) % 100
       documents(s, dir)
         .withColumn("split",
           when(b < 80, "train").when(b < 90, "val").otherwise("test"))
@@ -2074,11 +2075,11 @@ FROM fl WHERE n_tokens BETWEEN 10 AND 200 GROUP BY source""",
 
     "q50_stratified_sample" -> """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
-WHERE (doc_id * 1103515245 + 12345) % 2147483648 % 100 < 25
+WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 100 < 25
 GROUP BY source""",
 
-    "q51_data_split" -> """SELECT CASE WHEN (doc_id * 1103515245 + 12345) % 2147483648 % 100 < 80 THEN 'train'
-  WHEN (doc_id * 1103515245 + 12345) % 2147483648 % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+    "q51_data_split" -> """SELECT CASE WHEN ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 100 < 80 THEN 'train'
+  WHEN ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 % 100 < 90 THEN 'val' ELSE 'test' END AS split,
   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ALL""",
 

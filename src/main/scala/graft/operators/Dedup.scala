@@ -1458,11 +1458,17 @@ object Dedup {
     * monitor (EventStream.decontamMonitorStream): window extraction and
     * the semi-join are row-local against the broadcast, the count is one
     * source-keyed add-only aggregate — so streaming prefix equality is
-    * equality of counters, free by construction.
+    * equality of counters, free by construction. `evalSource` rows are
+    * EXCLUDED here, exactly as [[substringDecontaminate]] excludes them —
+    * the benchmark trivially contains its own grams, and an ingest stream
+    * that happens to carry the benchmark's shard must not trip a
+    * permanent false alarm on it.
     */
-  def evalHitCounts(docs: DataFrame, evalGrams: DataFrame, L: Int,
+  def evalHitCounts(docs: DataFrame, evalGrams: DataFrame,
+      evalSource: String, L: Int,
       hashBits: Int = GramHashBits): DataFrame =
-    windowGrams(docs, L, "source", hashBits)
+    windowGrams(docs.filter(col("source") =!= evalSource), L, "source",
+        hashBits)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .groupBy("source").agg(count(lit(1)).as("n_eval_pos"))
 
@@ -1690,11 +1696,18 @@ object Dedup {
     * Scale shape: per round, one dst-keyed join of the (checkpointed) edge
     * list against the label table, one (node, label) count (map-side
     * combined), one node-keyed min — the CC round shape without pointer
-    * jumping; labels are node-keyed rows, never collected. The packed
-    * key's field bounds (degree+1 < 2²⁰, ids in [0, 2⁴⁰)) are ENFORCED by
-    * a one-row up-front check — the near-dup graph satisfies both by
-    * construction (bucket cap; doc_id domain), an arbitrary edge list
-    * must fail loudly instead of truncating silently.
+    * jumping; labels are node-keyed rows, never collected.
+    *
+    * Bounds and dispatch (round 9): the id bound (ids in [0, 2⁴⁰)) is
+    * ENFORCED by a one-row up-front check — inherent to the packing, an
+    * arbitrary edge list must fail loudly instead of truncating silently.
+    * The DEGREE bound (degree+1 < 2²⁰) is a dispatch boundary, not a
+    * failure: this auto arm runs every-neighbor voting below it (the q169
+    * oracle plan — the near-dup graph sits here by construction) and the
+    * BOUNDED-vote sample above it (deterministic, suite-gated, NOT
+    * SQL-oracle-paired — sampled votes can differ from every-neighbor
+    * LPA). A caller that must never silently switch to sampled votes
+    * forces `arm = "exact"`, which still refuses loudly past the bound.
     */
   def lpaFromEdges(edgesIn: DataFrame, rounds: Int): DataFrame =
     lpaFromEdges(edgesIn, rounds, "auto")
@@ -1754,16 +1767,22 @@ object Dedup {
         // degree-proportional hash threshold: expected ~4·maxVotes
         // survivors per src (P[fewer than maxVotes] ≤ e^(−9·maxVotes/8),
         // Chernoff), then exact min-maxVotes by (hash, dst) — bounded
-        // state, deterministic, engine-portable. deg ≤ 4·maxVotes keeps
-        // every neighbor, which is what makes bounded ≡ exact below the
-        // sample size.
+        // state, deterministic. deg ≤ 4·maxVotes keeps every neighbor,
+        // which is what makes bounded ≡ exact below the sample size.
+        // The sampling key is xxhash64, NOT the LCG: the affine LCG is
+        // constant on id classes mod 2³¹, so a hub whose neighbor ids
+        // share a residue (legal in [0, 2⁴⁰)) would all land on ONE side
+        // of the threshold — full-adjacency state or zero votes. The
+        // Chernoff bound needs real mixing; no oracle mirrors this key
+        // (the bounded arm is suite-gated, not SQL-paired), so the
+        // engine-portability reason for the LCG doesn't apply here.
+        val h = pmod(xxhash64(col("dst")), lit(2147483648L))
         val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
         sym.join(deg, Seq("src"))
           .filter(col("deg") <= 4L * maxVotes ||
-            Corpus.lcg(col("dst")) <
-              lit(4L * maxVotes * 2147483648L) / col("deg"))
+            h < lit(4L * maxVotes * 2147483648L) / col("deg"))
           .select(col("src"),
-            struct(Corpus.lcg(col("dst")).as("h"), col("dst").as("dst")).as("hd"))
+            struct(h.as("h"), col("dst").as("dst")).as("hd"))
           .groupBy("src")
           .agg(expr(s"transform(slice(array_sort(collect_list(hd)), 1, " +
             s"$maxVotes), x -> x.dst)").as("ns"))

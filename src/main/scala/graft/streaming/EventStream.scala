@@ -241,10 +241,12 @@ object EventStream {
     * counter), counters add-only, so the monitor is batch-equal on any
     * ingested prefix. THE alarm to fire before a contaminated crawl shard
     * reaches training — q178 is the forensic report, this is the tripwire.
+    * `evalSource` rows in the stream are excluded, as in q178: the
+    * benchmark's own shard must not trip a permanent false alarm.
     */
   def decontamMonitorStream(docStream: DataFrame, evalGrams: DataFrame,
-      L: Int): DataFrame =
-    graft.operators.Dedup.evalHitCounts(docStream, evalGrams, L)
+      evalSource: String, L: Int): DataFrame =
+    graft.operators.Dedup.evalHitCounts(docStream, evalGrams, evalSource, L)
 
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact

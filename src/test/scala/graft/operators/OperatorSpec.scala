@@ -502,22 +502,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text", "source")
     val evalGrams = Dedup.evalGramKeys(evalDocs, "ev", L)
     val tmp = Files.createTempDirectory("decontam")
-    train.filter(col("doc_id") < 3).coalesce(1).write.parquet(tmp.resolve("b1").toString)
+    // batch 1 carries the BENCHMARK'S OWN SHARD alongside train docs —
+    // the monitor must not trip on it (q178's evalSource exclusion)
+    train.filter(col("doc_id") < 3).unionByName(evalDocs)
+      .coalesce(1).write.parquet(tmp.resolve("b1").toString)
     Thread.sleep(1100)
     train.filter(col("doc_id") >= 3).coalesce(1).write.parquet(tmp.resolve("b2").toString)
     val stream = spark.readStream.schema(train.schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
-    val q = graft.streaming.EventStream.decontamMonitorStream(stream, evalGrams, L)
+    val q = graft.streaming.EventStream
+      .decontamMonitorStream(stream, evalGrams, "ev", L)
       .writeStream.format("memory").queryName("decontam_mon")
       .outputMode("complete").start()
     try q.processAllAvailable()
     finally q.stop()
     val streamed = spark.table("decontam_mon").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val batch = Dedup.evalHitCounts(train, evalGrams, L).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Dedup
+      .evalHitCounts(train.unionByName(evalDocs), evalGrams, "ev", L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
-    // both leaking docs' full window sets count; the clean source is absent
+    // both leaking docs' full window sets count; the clean source is
+    // absent; the benchmark's own shard ("ev") is absent — no false alarm
     assert(streamed === Map("a" -> 2L * (shared.length - L + 1)))
     // and the per-source rollup of the q178 report agrees
     val all = evalDocs.unionByName(train)
