@@ -1318,6 +1318,13 @@ object SparkEntry {
     "q178_substring_decontam" -> ((s, dir) =>
       Dedup.substringDecontaminate(documents(s, dir), "src0", 40)),
 
+    // the ACTION half of q178 — decontaminate by CUTTING: eval-covered
+    // spans spliced out of every train doc (clean docs verbatim, the
+    // benchmark's rows excluded); loses covered_chars per doc where
+    // dropping loses the document
+    "q179_decontam_cut" -> ((s, dir) =>
+      Dedup.substringDecontamCut(documents(s, dir), "src0", 40)),
+
     // gram-hash collision audit for the hashed ExactSubstr core: per hash
     // width, duplicated positions under the hashed key vs the string-gram
     // ground truth — 16/24-bit rows are the positive control (collisions
@@ -3984,6 +3991,42 @@ cov AS (SELECT doc_id, n_eval_pos,
 SELECT c.doc_id, d.source, c.n_eval_pos, c.covered_chars,
   c.covered_chars * 1000000 // length(d.text) AS contam_micro
 FROM cov c JOIN documents d USING (doc_id)""",
+
+    "q179_decontam_cut" -> s"""WITH g0 AS (
+  SELECT doc_id, source, u.i AS pos, substring(text, u.i, 40) AS w
+  FROM documents, unnest(generate_series(1, length(text) - 39)) AS u(i)
+  WHERE length(text) >= 40),
+g AS (SELECT doc_id, source, pos, ${gramHash63Sql("w")} AS gram FROM g0),
+ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+gdp AS (SELECT doc_id, pos FROM g
+  WHERE source <> 'src0' AND gram IN (SELECT gram FROM ev)),
+isl AS (SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+      THEN 0 ELSE 1 END AS brk
+  FROM gdp),
+gi AS (SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM isl),
+iv AS (SELECT doc_id, min(pos) AS s, max(pos) + 39 AS e
+  FROM gi GROUP BY doc_id, grp),
+sg AS (
+  SELECT doc_id,
+    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ss,
+    s - 1 AS se
+  FROM iv
+  UNION ALL
+  SELECT i.doc_id, max(i.e) + 1 AS ss, CAST(max(length(d.text)) AS BIGINT) AS se
+  FROM iv i JOIN documents d USING (doc_id) GROUP BY i.doc_id),
+cl AS (SELECT s.doc_id,
+    string_agg(CASE WHEN se >= ss THEN substring(d.text, CAST(ss AS INT), CAST(se - ss + 1 AS INT))
+      ELSE '' END, '' ORDER BY ss) AS cleaned_text
+  FROM sg s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
+ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans
+  FROM iv GROUP BY doc_id)
+SELECT d.doc_id, d.source, coalesce(ns.n_cut_spans, 0) AS n_cut_spans,
+  CAST(length(coalesce(cl.cleaned_text, d.text)) AS BIGINT) AS kept_chars,
+  coalesce(cl.cleaned_text, d.text) AS cleaned_text
+FROM documents d LEFT JOIN cl USING (doc_id) LEFT JOIN ns USING (doc_id)
+WHERE d.source <> 'src0'""",
 
     "q177_gram_hash_audit" -> s"""WITH g AS (
   SELECT doc_id, u.i AS pos, substring(text, u.i, 40) AS w

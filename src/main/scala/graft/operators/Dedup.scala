@@ -1375,6 +1375,30 @@ object Dedup {
     * never shuffles text: the only exchanged columns are (doc_id, pos)
     * and the gram keys.
     */
+  /** Merged-span count over a sorted position array `ps` (null-safe 0). */
+  private def cutSpanCount(L: Int): org.apache.spark.sql.Column =
+    coalesce(expr(s"""1 + aggregate(
+        zip_with(slice(ps, 1, size(ps) - 1), slice(ps, 2, size(ps) - 1),
+          (a, b) -> CASE WHEN b - a > $L THEN 1 ELSE 0 END),
+        CAST(0 AS BIGINT), (acc, x) -> acc + x)"""), lit(0L))
+
+  /** `text` with the union of [p, p+L) intervals of `ps` removed — one
+    * row-local (cursor, builder) fold; docs with null `ps` pass verbatim.
+    * Shared by [[exactSubstringCut]] and [[substringDecontamCut]]: the
+    * reconstruction is identical, only WHICH positions get cut differs.
+    */
+  private def cutText(L: Int): org.apache.spark.sql.Column =
+    when(col("ps").isNull, col("text"))
+      .otherwise(expr(s"""aggregate(ps,
+        named_struct('cur', 1, 'txt', ''),
+        (st, p) -> named_struct(
+          'cur', greatest(st.cur, p + $L),
+          'txt', CASE WHEN p > st.cur
+            THEN concat(st.txt, substring(text, st.cur, p - st.cur))
+            ELSE st.txt END),
+        st -> concat(st.txt,
+          substring(text, st.cur, length(text) - st.cur + 1)))"""))
+
   def exactSubstringCut(docs: DataFrame, L: Int,
       hashBits: Int = GramHashBits): DataFrame = {
     val perDoc = dupGramPositions(docs, L, hashBits)
@@ -1383,24 +1407,41 @@ object Dedup {
     docs.select(col("doc_id"), col("text"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(expr(s"""1 + aggregate(
-            zip_with(slice(ps, 1, size(ps) - 1), slice(ps, 2, size(ps) - 1),
-              (a, b) -> CASE WHEN b - a > $L THEN 1 ELSE 0 END),
-            CAST(0 AS BIGINT), (acc, x) -> acc + x)"""), lit(0L))
-          .as("n_cut_spans"),
-        when(col("ps").isNull, col("text"))
-          .otherwise(expr(s"""aggregate(ps,
-            named_struct('cur', 1, 'txt', ''),
-            (st, p) -> named_struct(
-              'cur', greatest(st.cur, p + $L),
-              'txt', CASE WHEN p > st.cur
-                THEN concat(st.txt, substring(text, st.cur, p - st.cur))
-                ELSE st.txt END),
-            st -> concat(st.txt,
-              substring(text, st.cur, length(text) - st.cur + 1)))"""))
-          .as("cleaned_text"))
+        cutSpanCount(L).as("n_cut_spans"),
+        cutText(L).as("cleaned_text"))
       .withColumn("kept_chars", length(col("cleaned_text")).cast("long"))
       .select("doc_id", "n_cut_spans", "kept_chars", "cleaned_text")
+  }
+
+  /** The ACTION half of [[substringDecontaminate]] — DECONTAMINATE BY
+    * CUTTING: every train position whose L-char window appears verbatim
+    * in the eval source is removed (union of [pos, pos+L) intervals, the
+    * same row-local reconstruction fold as [[exactSubstringCut]]), and
+    * the cleaned corpus is emitted — clean docs verbatim, the benchmark's
+    * own rows excluded. This is the splice-don't-drop remedy the q178
+    * report prices out: cutting loses only `covered_chars` per doc
+    * (q178's column, invariant-tested kept + covered == n_chars) where
+    * dropping loses the whole document.
+    *
+    * Scale shape: q178's exchanges (benchmark-sized broadcast of hashed
+    * eval keys, row-local semi-join, one doc-keyed position rollup
+    * bounded by the doc's own length); the rewrite never shuffles text.
+    */
+  def substringDecontamCut(docs: DataFrame, evalSource: String, L: Int,
+      hashBits: Int = GramHashBits): DataFrame = {
+    val evalGrams = evalGramKeys(docs, evalSource, L, hashBits)
+    val train = docs.filter(col("source") =!= evalSource)
+    val perDoc = windowGrams(train, L, "doc_id", hashBits)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    train.select(col("doc_id"), col("source"), col("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        cutSpanCount(L).as("n_cut_spans"),
+        cutText(L).as("cleaned_text"))
+      .withColumn("kept_chars", length(col("cleaned_text")).cast("long"))
+      .select("doc_id", "source", "n_cut_spans", "kept_chars", "cleaned_text")
   }
 
   /** SUBSTRING-level DECONTAMINATION — ExactSubstr turned on the

@@ -1049,6 +1049,24 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (("a", (shared.length - L + 1).toLong, shared.length.toLong,
         shared.length.toLong * 1000000L / len1))),
       s"train-internal dups or clean docs leaked into the report: $got")
+
+    // the ACTION half: cutting removes exactly the reported span, clean
+    // docs (and train-internal dups) pass verbatim, the eval row is gone,
+    // and kept + covered == n_chars against the q178 measurement
+    val cut = Dedup.substringDecontamCut(docs, "ev", L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(!cut.contains(100L), "the benchmark's own row must be excluded")
+    assert(cut(1L) === (("a", 1L, (len1 - shared.length).toLong,
+      "abcdefghij" + "KLMNOPQRST")))
+    assert(cut(2L)._4 === "entirely unrelated content with no repeats here")
+    assert(cut(3L)._4 === "x" * 25 && cut(4L)._4 === "x" * 25,
+      "train-internal duplication must not be cut")
+    got.foreach { case (id, (_, _, covered, _)) =>
+      assert(cut(id)._3 + covered ===
+        docs.filter(col("doc_id") === id).head.getAs[Int]("n_chars").toLong,
+        s"doc $id kept+covered != n_chars")
+    }
   }
 
   test("substringFlow counts distinct shared grams per source pair, " +
