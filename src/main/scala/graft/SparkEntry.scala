@@ -1318,6 +1318,14 @@ object SparkEntry {
     "q178_substring_decontam" -> ((s, dir) =>
       Dedup.substringDecontaminate(documents(s, dir), "src0", 40)),
 
+    // SEMANTIC decontamination — q178's embedding-space complement:
+    // rephrased leakage shares no 40-char window but sits next to the
+    // eval point in embedding space; per train vector, max cosine to any
+    // eval vector + the argmax eval id (q134 packed key, no rank window)
+    "q180_semantic_decontam" -> ((s, dir) =>
+      Similarity.semanticDecontam(documents(s, dir), embeddings(s, dir),
+        "src0")),
+
     // the ACTION half of q178 — decontaminate by CUTTING: eval-covered
     // spans spliced out of every train doc (clean docs verbatim, the
     // benchmark's rows excluded); loses covered_chars per doc where
@@ -3991,6 +3999,31 @@ cov AS (SELECT doc_id, n_eval_pos,
 SELECT c.doc_id, d.source, c.n_eval_pos, c.covered_chars,
   c.covered_chars * 1000000 // length(d.text) AS contam_micro
 FROM cov c JOIN documents d USING (doc_id)""",
+
+    "q180_semantic_decontam" -> """WITH ev AS (
+  SELECT e.vec_id AS eval_id, e.embedding AS ev
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.source = 'src0'),
+tr AS (SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id NOT IN (SELECT eval_id FROM ev)),
+p AS (SELECT t.vec_id, v.eval_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(t.embedding[i] AS DOUBLE)*CAST(v.ev[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS dot,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(t.embedding[i] AS DOUBLE)*CAST(t.embedding[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS st,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(v.ev[i] AS DOUBLE)*CAST(v.ev[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS se
+  FROM tr t, ev v),
+k AS (SELECT vec_id,
+    min((1000000 - CAST(round(round(dot/(sqrt(st)*sqrt(se)), 6)*1000000.0, 0) AS BIGINT))
+        * 1099511627776 + eval_id) AS pk
+  FROM p GROUP BY vec_id)
+SELECT vec_id, CAST(pk % 1099511627776 AS BIGINT) AS nearest_eval_id,
+  CAST(1000000 - pk // 1099511627776 AS BIGINT) AS max_sim_micro
+FROM k""",
 
     "q179_decontam_cut" -> s"""WITH g0 AS (
   SELECT doc_id, source, u.i AS pos, substring(text, u.i, 40) AS w

@@ -518,6 +518,58 @@ object Similarity {
     textSide.join(embSide, Seq("doc_id"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * verbatim q178 report: rephrased/translated benchmark leakage shares
+    * no 40-char window but sits next to the eval point in embedding
+    * space. Per train vector, the maximum cosine to ANY eval-source
+    * vector and the eval id attaining it ((sim desc, eval_id asc) via the
+    * q134 packed key — exact integer argmax, no rank window); consumers
+    * threshold `max_sim_micro` to drop, or route hits through q178/q179
+    * for span-level evidence. Eval membership = the documents table's
+    * source label through the shared vec_id ↔ doc_id pairing (q134's
+    * pairCuration convention).
+    *
+    * Scale shape: the eval side is benchmark-sized → broadcast; the
+    * corpus-side fan-out is the q134 BroadcastNestedLoopJoin shape (the
+    * optimal plan for all-pairs against a tiny broadcast side), each pair
+    * one codegen dot product, and the per-vector argmax is one keyed min
+    * with map-side combine — the corpus never shuffles more than its own
+    * (vec_id, packed-key) rows.
+    */
+  def semanticDecontam(docs: DataFrame, emb: DataFrame,
+      evalSource: String): DataFrame = {
+    val evalIds = docs.filter(col("source") === evalSource)
+      .select(col("doc_id").as("vec_id"))
+    val ev = emb.join(evalIds, Seq("vec_id"))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev_emb"),
+        sqrt(sqNorm(col("embedding"))).as("ev_nrm"))
+    val train = emb.join(evalIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(sqNorm(col("embedding"))).as("nrm"))
+    // packed-key field bound (the keepLongest/q169 convention): eval ids
+    // must fit the low 40 bits — one bounded 1-row check, loud on
+    // violation rather than silently corrupting the argmax
+    val b = ev.agg(coalesce(max("eval_id"), lit(0L)).as("mx"),
+      coalesce(min("eval_id"), lit(0L)).as("mn")).collect()(0)
+    require(b.getLong(0) < (1L << 40) && b.getLong(1) >= 0L,
+      s"semanticDecontam packed key needs eval ids in [0, 2^40); got " +
+        s"[${b.getLong(1)}, ${b.getLong(0)}]")
+    val simMicro = expr("""CAST(round(
+      round(dot / (nrm * ev_nrm), 6) * 1000000.0, 0) AS BIGINT)""")
+    train.crossJoin(broadcast(ev))
+      .withColumn("dot", dotCols(col("embedding"), col("ev_emb")))
+      // pk = (10⁶ − sim_micro)·2⁴⁰ + eval_id: ascending = (sim desc,
+      // eval_id asc); sim ∈ [−1, 1] keeps the high field ≤ 2·10⁶ ≪ 2²³
+      .select(col("vec_id"),
+        ((lit(1000000L) - simMicro) * lit(1099511627776L) + col("eval_id"))
+          .as("pk"))
+      .groupBy("vec_id").agg(min("pk").as("pk"))
+      .select(col("vec_id"),
+        expr("CAST(pk % 1099511627776 AS BIGINT)").as("nearest_eval_id"),
+        expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")
+          .as("max_sim_micro"))
+  }
+
   /** Batch ANN serving: top-`k` cosine neighbours for EVERY query in a
     * bounded query set (the vec_id % 100 == 0 vectors) in ONE corpus scan
     * — the retrieval-curation shape where queries ≪ corpus. The query set

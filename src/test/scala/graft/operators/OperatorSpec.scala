@@ -1069,6 +1069,28 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semanticDecontam: nearest eval vector by exact packed argmax, " +
+    "ties break to the smaller eval id, eval rows excluded") {
+    val ss = spark; import ss.implicits._
+    val docs = Seq((0L, "x", "ev"), (1L, "x", "ev"),
+      (10L, "t", "a"), (11L, "t", "a"), (12L, "t", "a"))
+      .toDF("doc_id", "text", "source")
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),   // eval
+      (1L, Seq(0f, 1f, 0f, 0f), 0),   // eval
+      (10L, Seq(2f, 0f, 0f, 0f), 0),  // parallel to eval 0 -> sim 1
+      (11L, Seq(0f, 0f, 3f, 0f), 0),  // orthogonal to both -> sim 0, tie
+      (12L, Seq(1f, 1f, 0f, 0f), 0))  // 1/sqrt(2) to both -> tie
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDecontam(docs, emb, "ev").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      10L -> ((0L, 1000000L)),
+      11L -> ((0L, 0L)),       // tie at sim 0 -> min eval id
+      12L -> ((0L, 707107L))), // round(1/sqrt(2), 6) micro, tie -> id 0
+      s"got $got")
+  }
+
   test("substringFlow counts distinct shared grams per source pair, " +
     "ignoring within-source duplication") {
     val ss = spark; import ss.implicits._

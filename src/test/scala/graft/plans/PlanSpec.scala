@@ -130,6 +130,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // q134: corpus × broadcast bounded query set — the all-pairs
       // fan-out where a broadcast nested loop IS the optimal plan
       "q134_query_ann",
+      // q180: the same corpus × broadcast benchmark fan-out (semantic
+      // decontamination scans every train vector against the tiny eval
+      // set — q134's justification verbatim)
+      "q180_semantic_decontam",
       // q149: the same corpus × broadcast query-set fan-out, twice (brute
       // ground-truth arm and IVF probed arm), plus query set × 16-row
       // codebook for the probe table
