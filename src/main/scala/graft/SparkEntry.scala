@@ -4000,22 +4000,28 @@ SELECT c.doc_id, d.source, c.n_eval_pos, c.covered_chars,
   c.covered_chars * 1000000 // length(d.text) AS contam_micro
 FROM cov c JOIN documents d USING (doc_id)""",
 
-    "q180_semantic_decontam" -> """WITH ev AS (
-  SELECT e.vec_id AS eval_id, e.embedding AS ev
+    "q180_semantic_decontam" -> """WITH ev0 AS (
+  SELECT e.vec_id AS eval_id, e.embedding AS ev,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS se
   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
   WHERE d.source = 'src0'),
-tr AS (SELECT vec_id, embedding FROM embeddings
-  WHERE vec_id NOT IN (SELECT eval_id FROM ev)),
+ev AS (SELECT * FROM ev0 WHERE se > 0),
+tr AS (SELECT vec_id, embedding,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS st
+  FROM embeddings
+  WHERE vec_id NOT IN (SELECT eval_id FROM ev0) AND
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) > 0),
 p AS (SELECT t.vec_id, v.eval_id,
     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       [CAST(t.embedding[i] AS DOUBLE)*CAST(v.ev[i] AS DOUBLE) for i in range(1, 65)]),
       (a, b) -> a + b) AS dot,
-    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      [CAST(t.embedding[i] AS DOUBLE)*CAST(t.embedding[i] AS DOUBLE) for i in range(1, 65)]),
-      (a, b) -> a + b) AS st,
-    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      [CAST(v.ev[i] AS DOUBLE)*CAST(v.ev[i] AS DOUBLE) for i in range(1, 65)]),
-      (a, b) -> a + b) AS se
+    t.st, v.se
   FROM tr t, ev v),
 k AS (SELECT vec_id,
     min((1000000 - CAST(round(round(dot/(sqrt(st)*sqrt(se)), 6)*1000000.0, 0) AS BIGINT))

@@ -1429,12 +1429,9 @@ object Dedup {
     */
   def substringDecontamCut(docs: DataFrame, evalSource: String, L: Int,
       hashBits: Int = GramHashBits): DataFrame = {
-    val evalGrams = evalGramKeys(docs, evalSource, L, hashBits)
     val train = docs.filter(col("source") =!= evalSource)
-    val perDoc = windowGrams(train, L, "doc_id", hashBits)
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val perDoc = evalHitPositions(docs, evalSource, L, hashBits)
+      .select("doc_id", "ps")
     train.select(col("doc_id"), col("source"), col("text"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
@@ -1463,15 +1460,27 @@ object Dedup {
     * semi-join are row-local against the broadcast, and the only wide op
     * is the per-doc position rollup, q159's shape.
     */
-  def substringDecontaminate(docs: DataFrame, evalSource: String, L: Int,
-      hashBits: Int = GramHashBits): DataFrame = {
-    val evalGrams = evalGramKeys(docs, evalSource, L, hashBits)
-    val train = docs.filter(col("source") =!= evalSource)
-    windowGrams(train, L, "doc_id", hashBits)
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+  /** Sorted eval-contaminated positions per train doc — the ONE
+    * eval-hit-position pipeline (eval keys → train windows → broadcast
+    * semi-join → doc-keyed rollup) behind the decontamination REPORT
+    * (q178) and CUT (q179), the dupGramPositions analogue for the
+    * cross-corpus boundary. One change here (exclusion semantics, hash
+    * width) reaches both.
+    */
+  private def evalHitPositions(docs: DataFrame, evalSource: String, L: Int,
+      hashBits: Int): DataFrame =
+    windowGrams(docs.filter(col("source") =!= evalSource), L, "doc_id",
+        hashBits)
+      .join(broadcast(evalGramKeys(docs, evalSource, L, hashBits)),
+        Seq("gram"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_eval_pos"),
         sort_array(collect_list(col("pos"))).as("ps"))
+
+  def substringDecontaminate(docs: DataFrame, evalSource: String, L: Int,
+      hashBits: Int = GramHashBits): DataFrame = {
+    val train = docs.filter(col("source") =!= evalSource)
+    evalHitPositions(docs, evalSource, L, hashBits)
       .withColumn("covered_chars",
         expr(s"""$L + aggregate(
           zip_with(slice(ps, 1, size(ps) - 1), slice(ps, 2, size(ps) - 1),

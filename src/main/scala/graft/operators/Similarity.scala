@@ -540,12 +540,20 @@ object Similarity {
       evalSource: String): DataFrame = {
     val evalIds = docs.filter(col("source") === evalSource)
       .select(col("doc_id").as("vec_id"))
+    // cosine is undefined for zero vectors: both sides EXCLUDE them
+    // row-locally (mirrored in the oracle) — unguarded, Spark's 0/0 NaN
+    // would CAST silently to sim_micro 0 while DuckDB reads NULL, the
+    // silent-divergence class this operator's loud id-bound check exists
+    // to prevent (a corpus-wide min-norm assert would cost a full eager
+    // pass; the filter is free and the honest semantics)
     val ev = emb.join(evalIds, Seq("vec_id"))
       .select(col("vec_id").as("eval_id"), col("embedding").as("ev_emb"),
         sqrt(sqNorm(col("embedding"))).as("ev_nrm"))
+      .filter(col("ev_nrm") > 0)
     val train = emb.join(evalIds, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"),
         sqrt(sqNorm(col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
     // packed-key field bound (the keepLongest/q169 convention): eval ids
     // must fit the low 40 bits — one bounded 1-row check, loud on
     // violation rather than silently corrupting the argmax
