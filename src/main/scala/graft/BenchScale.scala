@@ -113,8 +113,9 @@ object BenchScale {
     // substring decontamination: the eval-gram broadcast grows with the
     // benchmark (10× here since every replica carries a src0) — the probe
     // watches the broadcast stay benchmark-bounded and the train side
-    // stay scan-shaped
-    "q178_substring_decontam")
+    // stay scan-shaped; the CUT action adds the row-local splice fold on
+    // top of the same exchanges and must track the report's ratio
+    "q178_substring_decontam", "q179_decontam_cut")
 
   /** The x10 DOCUMENTS replica recipe, factored so GramLab (and any future
     * lab) runs on the SAME replica the probe does — per-replica alphabet
