@@ -263,6 +263,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q67 lost its broadcast semi-join:\n$p")
   }
 
+  test("decontamination quartet plan shapes: q178/q179 probe the eval " +
+    "keys via broadcast semi-join (the train side never shuffles text), " +
+    "q180's fan-out is the bounded broadcast NLJ — none degrade to SMJ") {
+    Seq("q178_substring_decontam", "q179_decontam_cut").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+        s"$q lost its broadcast eval semi-join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$p")
+    }
+    val p = planOf("q180_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q180 lost its bounded broadcast fan-out:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q180 degraded:\n$p")
+  }
+
   // formatted mode prints the op tree bare ("Exchange (6)") and the spec in
   // the details ("Arguments: hashpartitioning(...)") — count the latter; the
   // testdata adapter's fan-out repartition is roundrobin, not counted

@@ -335,6 +335,28 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(work2.toString, "v1", "points")))
   }
 
+  test("lookupDirect is safe under concurrent GETs (serving-grade): 8 " +
+    "threads hammering mixed keys all read exactly the single-threaded " +
+    "answer, through the shared footer cache") {
+    val m = Workflow.readManifest(work.toString).get
+    val keys = spark.read.parquet(m.points).select("key").distinct()
+      .limit(12).collect().map(_.getString(0)).toSeq
+    assert(keys.nonEmpty)
+    val expected = keys.map(k =>
+      k -> KeyedSink.lookupDirect(m.points, 10, k).map(_.toSeq).toSet).toMap
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() =>
+        try (0 until 20).foreach { i =>
+          val k = keys((t + i) % keys.length)
+          val got = KeyedSink.lookupDirect(m.points, 10, k).map(_.toSeq).toSet
+          if (got != expected(k)) errs.add(s"thread $t key $k mismatch")
+        } catch { case e: Throwable => errs.add(s"thread $t: $e") })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, errs.toString)
+  }
+
   test("rows within each salt partition are sorted by salted key") {
     val m = Workflow.readManifest(work.toString).get
     import scala.jdk.CollectionConverters._
