@@ -108,6 +108,21 @@ object ServeLab {
       graft.operators.TileServe.serveTile(spark, workDir, "EPSG:4326", "0:0",
         tz, tx, ty, years, bors)
     }
+    // concurrent serving throughput — the region-server story is
+    // many-threaded; 8 request threads hammering the job-free GET through
+    // the shared footer cache (SinkSpec proves the answers stay exact;
+    // this measures the aggregate rate)
+    val threadsN = 8; val perThread = 500
+    (0 until 100).foreach(_ => graft.sources.KeyedSink.lookupDirect(
+      s"${m.points}_blobs", graft.sources.Workflow.PointSaltModulus, pKey))
+    val t0 = System.nanoTime()
+    val ths = (0 until threadsN).map(_ => new Thread(() =>
+      (0 until perThread).foreach(_ => graft.sources.KeyedSink.lookupDirect(
+        s"${m.points}_blobs", graft.sources.Workflow.PointSaltModulus, pKey))))
+    ths.foreach(_.start()); ths.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"points GET concurrent      $threadsN threads x $perThread: " +
+      f"${threadsN * perThread / secs}%8.0f GETs/s  (${secs}%.2f s total)")
     spark.stop()
   }
 }
