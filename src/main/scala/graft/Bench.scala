@@ -5,11 +5,21 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. A full warmup pass at sf0.001 first so JIT/codegen
   * compilation is not charged to the first timed query; timed runs force full
   * materialization through the noop sink (count() could skip projections).
+  *
+  * Wall-clock on a shared box swings ±30-40% run-to-run (three rounds of
+  * judging re-established this), so each timed query ALSO records executor
+  * CPU seconds and shuffle bytes from a stage listener — both stable under
+  * co-run noise. The stdout line keeps the compact per-query WALL map (the
+  * downstream log capture truncates to a ~2 KiB tail) plus whole-run cpu_s /
+  * shuffle_mb totals at the END of the line where the tail survives; the full
+  * per-query {wall_s, cpu_s, shuffle_mb} table goes to BENCH_DETAIL.json in
+  * the working directory (env SPARK_GRAFT_BENCH_DETAIL overrides the path).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -25,47 +35,73 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new BenchScale.StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
 
-    def run(dir: String, name: String): Double = {
+    /** (wall_s, cpu_s, shuffle_mb); wall < 0 marks a failed query. CPU and
+      * shuffle attribute to the query via reset-before / settle-after (the
+      * listener events land async — settle polls until totals go quiet).
+      */
+    def run(dir: String, name: String): (Double, Double, Double) = {
+      metrics.reset()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return (-1.0, 0.0, 0.0)
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // builders may persist intermediates (pyramid levels); drop them so
       // one query's cache never skews the next query's timing
       spark.catalog.clearCache()
-      dt
+      metrics.settle()
+      (dt, metrics.cpuNs / 1e9, (metrics.shuffleWrite + metrics.shuffleRead) / 1e6)
     }
 
     // optional args = subset of query names (targeted timing during tuning)
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     names.foreach(run(warmDir, _)) // warmup: compile/JIT every plan shape
-    // two timed runs, keep the min — single runs swing ±40% from GC debt
-    // accumulated by earlier queries; System.gc() flattens the baseline
+    // two timed runs, keep the min-wall run's triple — single runs swing
+    // ±40% from GC debt accumulated by earlier queries; System.gc()
+    // flattens the baseline. CPU/shuffle ride with the chosen run (their
+    // run-to-run spread is a few %, so min-wall selection doesn't bias them)
     val results = names.map { n =>
       System.gc()
       val a = run(sfDir, n)
       System.gc()
       val b = run(sfDir, n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val best = if (a._1 < 0) b else if (b._1 < 0) a
+        else if (a._1 <= b._1) a else b
+      n -> best
     }
     // 2-decimal seconds + short `qNN` keys keep the whole JSON line well
     // under the ~2 KiB tail-truncating log capture downstream; full query
     // names (with the same qNN prefix) live in the correctness report
     def f(v: Double) = "%.2f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v._1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val ok = results.map(_._2).filter(_._1 >= 0)
+    val total = ok.map(_._1).sum
+    val cpuTotal = ok.map(_._2).sum
+    val shufTotal = ok.map(_._3).sum
     // failed queries are both listed by name AND reflected in the exit code,
     // so automation gating on rc (or parsing the line) catches a broken round
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v) if v._1 < 0 => "\"" + k + "\"" }
     val failedJson = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // full per-query triple table — the stable regression-adjudication record
+    val detail = results.map { case (k, (w, c, s)) =>
+      f""""$k":{"wall_s":${f(w)},"cpu_s":${f(c)},"shuffle_mb":${f(s)}}"""
+    }.mkString("{\"metric\":\"bench_detail\",\"sf\":\"" + sfDir + "\",\"queries\":{\n  ",
+      ",\n  ", s"""\n},"total_wall_s":${f(total)},"total_cpu_s":${f(cpuTotal)},"total_shuffle_mb":${f(shufTotal)}}""")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // cpu_s / shuffle_mb / detail pointer sit at the END of the line so the
+    // downstream tail capture always retains them
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cpu_s":${f(cpuTotal)},"shuffle_mb":${f(shufTotal)},"detail":"$detailPath"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -145,7 +145,8 @@ object BenchScale {
     @volatile var memSpill = 0L
     @volatile var diskSpill = 0L
     @volatile var stageTimeMs = 0L
-    def reset(): Unit = { shuffleWrite = 0; shuffleRead = 0; memSpill = 0; diskSpill = 0; stageTimeMs = 0 }
+    @volatile var cpuNs = 0L
+    def reset(): Unit = { shuffleWrite = 0; shuffleRead = 0; memSpill = 0; diskSpill = 0; stageTimeMs = 0; cpuNs = 0 }
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
@@ -155,6 +156,22 @@ object BenchScale {
         memSpill += m.memoryBytesSpilled
         diskSpill += m.diskBytesSpilled
         stageTimeMs += m.executorRunTime
+        cpuNs += m.executorCpuTime
+      }
+    }
+    /** Listener events land async after a job returns; poll the completed-
+      * stage totals until two consecutive 50 ms samples agree (cap 2 s) so
+      * per-query CPU/shuffle attribution doesn't bleed into the next query.
+      */
+    def settle(): Unit = {
+      var last = (-1L, -1L, -1L)
+      var same = 0
+      var waited = 0
+      while (same < 2 && waited < 2000) {
+        val cur = (stageTimeMs, cpuNs, shuffleWrite + shuffleRead)
+        if (cur == last) same += 1 else same = 0
+        last = cur
+        if (same < 2) { Thread.sleep(25); waited += 25 }
       }
     }
     def line: String = f"shufW=${shuffleWrite / 1e6}%.0fMB shufR=${shuffleRead / 1e6}%.0fMB " +

@@ -1333,6 +1333,23 @@ object SparkEntry {
     "q179_decontam_cut" -> ((s, dir) =>
       Dedup.substringDecontamCut(documents(s, dir), "src0", 40)),
 
+    // the BOUNDED-vote LPA arm on a hub-bearing graph — q169's scale
+    // path, oracle-paired: a CRT bipartite layer (orderkey mod 997 ×
+    // mod 89 — right nodes ~170-degree, sampled) plus a ~5000-leaf star
+    // (heavy sampling) under 3 synchronous rounds with ≤8 votes per
+    // node. The (src,dst)-keyed multiply-xor-shift sampling hash is
+    // plain BIGINT algebra, so DuckDB replays the sampled topology
+    // token-for-token — the arm that was suite-gated-only in round 9
+    "q181_lpa_bounded" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_orderkey"))
+      val e1 = o.select((col("o_orderkey") % 997).as("doc_a"),
+          (col("o_orderkey") % 89).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b")).distinct()
+      val e2 = o.select(lit(100000L).as("doc_a"),
+        (col("o_orderkey") % 5000 + 10000).as("doc_b")).distinct()
+      Dedup.lpaFromEdges(e1.unionByName(e2), 3, "bounded", 8)
+    }),
+
     // gram-hash collision audit for the hashed ExactSubstr core: per hash
     // width, duplicated positions under the hashed key vs the string-gram
     // ground truth — 16/24-bit rows are the positive control (collisions
@@ -3874,6 +3891,50 @@ le AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ed0 UNION ALL SELECT 
 ll0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS community FROM le),
 $steps
 SELECT doc_id, community FROM ll$rounds"""
+    },
+
+    "q181_lpa_bounded" -> {
+      // mirrors Dedup.lpaFromEdges(…, 3, "bounded", 8) on the hub-bearing
+      // orderkey graph: the (src,dst)-keyed two-round multiply-xor-shift
+      // sampling hash (Dedup.voteSampleHash) replayed as BIGINT algebra,
+      // then 3 unrolled LPA rounds over the SAMPLED adjacency (self votes
+      // ride the label table, not the sample)
+      val rounds = 3
+      val u = javaHashSql(
+        "concat_ws(':', CAST(src AS VARCHAR), CAST(dst AS VARCHAR))")
+      val steps = (1 to rounds).map { r =>
+        val prev = s"bl${r - 1}"
+        s"""bv$r AS MATERIALIZED (
+  SELECT a.src, l.community AS nl FROM badj a JOIN $prev l ON a.dst = l.doc_id
+  UNION ALL SELECT doc_id AS src, community AS nl FROM $prev),
+bl$r AS MATERIALIZED (SELECT src AS doc_id,
+  CAST(min((1048576 - c) * 1099511627776 + nl) % 1099511627776 AS BIGINT) AS community
+  FROM (SELECT src, nl, CAST(count(*) AS BIGINT) AS c FROM bv$r GROUP BY src, nl)
+  GROUP BY src)"""
+      }.mkString(",\n")
+      s"""WITH be1 AS (
+  SELECT DISTINCT o_orderkey % 997 AS doc_a, o_orderkey % 89 AS doc_b
+  FROM orders WHERE o_orderkey % 997 != o_orderkey % 89),
+be2 AS (SELECT DISTINCT CAST(100000 AS BIGINT) AS doc_a,
+  o_orderkey % 5000 + 10000 AS doc_b FROM orders),
+bed AS (SELECT * FROM be1 UNION ALL SELECT * FROM be2),
+bsym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM bed
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM bed),
+bdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM bsym GROUP BY src),
+bsu AS (SELECT s.src, s.dst, d.deg, $u AS u
+  FROM bsym s JOIN bdg d USING (src)),
+bsm AS (SELECT src, dst, deg, xor((u * 1000003) % 4294967296,
+    ((u * 1000003) % 4294967296) >> 16) AS x1 FROM bsu),
+bsh AS (SELECT src, dst, deg, xor((x1 * 999983) % 4294967296,
+    ((x1 * 999983) % 4294967296) >> 16) AS h FROM bsm),
+bkept AS (SELECT src, dst, h FROM bsh
+  WHERE deg <= 32 OR h < 137438953472 // deg),
+badj AS MATERIALIZED (SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+    FROM bkept) WHERE rn <= 8),
+bl0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS community FROM bsym),
+$steps
+SELECT doc_id, community FROM bl$rounds"""
     },
 
     "q159_exact_substring" -> s"""WITH g0 AS (

@@ -59,9 +59,33 @@ object Lifecycle {
     override def initialValue: List[DataFrame] = Nil
   }
 
+  /** Session conf key for the CLUSTER-RELIABLE materialization arm: when
+    * set to a directory, [[withPersisted]] materializes the result as a
+    * parquet table under it (one `wp-<uuid>` subdir per call) and returns
+    * the table read — storage that survives executor loss, the thing
+    * `localCheckpoint`'s block-manager blocks do not. Point it at a
+    * job-scoped scratch location (HDFS/S3 on a cluster); the tables are
+    * the recompute insurance for the job's lifetime and are cleaned with
+    * the job's scratch space. Unset (the local[n] default), the fast
+    * block-manager arm runs.
+    */
+  val CheckpointDirKey = "spark.graft.lifecycle.checkpointDir"
+
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointDirKey) match {
+      case Some(dir) =>
+        val path = s"$dir/wp-${java.util.UUID.randomUUID()}"
+        df.write.mode("error").parquet(path)
+        df.sparkSession.read.parquet(path)
+      case None => df.localCheckpoint(eager = true)
+    }
+
   /** Persist `inputs` for the scope of building + materializing `body`,
     * then unpersist them. Returns the eagerly-materialized result (lazy
     * when nested inside an enclosing withPersisted — see above).
+    * Materialization is `localCheckpoint` by default, or a reliable
+    * parquet table when [[CheckpointDirKey]] is set (SinkSpec exercises
+    * both arms' equality).
     */
   def withPersisted(inputs: DataFrame*)(body: => DataFrame): DataFrame = {
     if (planOnly) return body
@@ -71,7 +95,7 @@ object Lifecycle {
       return body
     }
     depth.set(1)
-    try body.localCheckpoint(eager = true)
+    try materialize(body)
     finally {
       depth.set(0)
       (inputs ++ deferred.get).foreach(_.unpersist(blocking = false))

@@ -19,14 +19,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * ADDING more CPU than its shuffle savings bought back; this form is the
   * one that nets positive.
   *
-  * Reversal is UTF-16-unit-wise (the backward loop). That matches the
-  * DuckDB oracle's `reverse()` + code-point fold exactly on ASCII — the
-  * shipped corpus and every store key — but NOT in general: DuckDB
-  * reverses by grapheme cluster, so surrogate pairs and combining-mark
-  * sequences can reverse differently and land in different hash classes.
-  * On a non-ASCII corpus, re-derive the oracle pairing before trusting
-  * hashed-arm equality; the q177 collision audit (hashed vs string arms
-  * on the actual corpus) is the check that would surface any divergence.
+  * Reversal is CODE-POINT-wise: the backward loop keeps surrogate pairs
+  * in original order (exactly `java.lang.StringBuilder.reverse`
+  * semantics), so the composed-form identity holds for ALL input — BMP
+  * and astral — and the reversed fold never hashes an invalid
+  * lone-surrogate sequence. The extra branch is one perfectly-predicted
+  * compare per char on ASCII text (GeoFunctionsSpec pins both the
+  * composed-form identity on astral fixtures and the plan staying inside
+  * WholeStageCodegen).
+  *
+  * DuckDB-oracle parity (`javaHashSql`: unicode()-per-grapheme fold +
+  * `reverse()`) holds on ASCII and on every single-code-point BMP
+  * grapheme — pinned by GeoFunctionsSpec's non-ASCII BMP fixtures — but
+  * NOT for combining-mark clusters or astral chars, where DuckDB folds
+  * one code point per grapheme while Java folds UTF-16 units. That
+  * divergence is why the hashed gram path refuses non-ASCII text loudly
+  * (Dedup.windowGrams' octet_length guard): the q177 collision audit's
+  * extra_pos = 0 license was measured on the ASCII corpus, and a
+  * non-ASCII deployment must re-run it (string arm, hashBits = 0, is
+  * always available as ground truth).
   */
 case class GramKeyExpr(child: Expression) extends UnaryExpression {
 
@@ -54,12 +65,25 @@ case class GramKeyExpr(child: Expression) extends UnaryExpression {
 object GramKeyExpr {
   val name = "graft_gram_key63"
 
-  /** Shared by the interpreted and codegen paths. */
+  /** Shared by the interpreted and codegen paths. The backward fold walks
+    * code points: a (high, low) surrogate pair is folded high-then-low —
+    * the pair keeps its original order, exactly what
+    * `new StringBuilder(s).reverse` produces — so `key63(s)` equals the
+    * composed `javaHash(s) << 31 | javaHash(sbReverse(s)) & 0x7FFFFFFF`
+    * for every string, not just BMP.
+    */
   def key63(s: String): Long = {
     val h1 = s.hashCode // forward base-31 fold, JIT intrinsic
     var h2 = 0
     var i = s.length - 1
-    while (i >= 0) { h2 = 31 * h2 + s.charAt(i); i -= 1 }
+    while (i >= 0) {
+      val c = s.charAt(i)
+      if (Character.isLowSurrogate(c) && i > 0 &&
+          Character.isHighSurrogate(s.charAt(i - 1))) {
+        h2 = 31 * (31 * h2 + s.charAt(i - 1)) + c
+        i -= 2
+      } else { h2 = 31 * h2 + c; i -= 1 }
+    }
     ((h1.toLong & 0xFFFFFFFFL) << 31) | (h2.toLong & 0x7FFFFFFFL)
   }
 

@@ -1139,7 +1139,28 @@ object Dedup {
   private def windowGrams(docs: DataFrame, L: Int, key: String,
       hashBits: Int = GramHashBits): DataFrame = {
     require(L >= 2, s"window length must be >= 2, got $L")
-    val base = docs.filter(length(col("text")) >= L)
+    val entering = docs.filter(length(col("text")) >= L)
+    // ASCII guard on the HASHED path only: the 63-bit key's collision
+    // license (q177: extra_pos = 0) and its DuckDB oracle pairing were both
+    // measured on an ASCII corpus; non-ASCII text is un-audited territory
+    // (the oracle's unicode()-per-grapheme fold diverges from Java's
+    // UTF-16-unit fold on combining sequences and astral chars). The hash
+    // itself is self-consistent on ANY input, so a non-ASCII deployment
+    // needs only a re-run of the q177 audit on its corpus — this guard is
+    // the loud reminder, not a semantic limit. `octet_length == length` is
+    // exact for all-ASCII (UTF-8 multi-byte iff non-ASCII) and costs one
+    // vectorized scan per DOCUMENT, pre-explode — invisible next to the
+    // per-position gram fan-out. The string arm (hashBits = 0) stays
+    // unguarded: it is the ground-truth audit arm and hash-free.
+    val src =
+      if (hashBits == 0) entering
+      else entering.withColumn("text",
+        when(octet_length(col("text")) === length(col("text")), col("text"))
+          .otherwise(raise_error(concat(
+            lit("non-ASCII text in the hashed-gram path (un-audited for the " +
+              "63-bit gram key; re-run the q177 collision audit on this " +
+              s"corpus or use hashBits = 0). $key="), col(key).cast("string")))))
+    val base = src
       .select(col(key), col("text"),
         explode(expr(s"sequence(1, length(text) - ${L - 1})")).as("pos"))
       .select(col(key), col("pos"), expr(s"substring(text, pos, $L)").as("gram"))
@@ -1762,6 +1783,29 @@ object Dedup {
   def lpaFromEdges(edgesIn: DataFrame, rounds: Int): DataFrame =
     lpaFromEdges(edgesIn, rounds, "auto")
 
+  /** The bounded-vote sampling key: a two-round multiply-xor-shift over
+    * the house string fold of "src:dst", in [0, 2³²). Each round
+    * multiplies by an odd ~2²⁰ constant mod 2³² (bijective, and the
+    * product of a < 2³² value by a < 2²⁰ multiplier stays < 2⁵² — no
+    * 64-bit overflow in either engine's BIGINT) and xors in the high
+    * halfword, so residue-class structure in the ids cannot survive into
+    * the threshold compare. Keyed on the PAIR so each hub draws its own
+    * sample (a dst-only key would hand every hub the same globally-low
+    * neighbors). Every step is plain BIGINT arithmetic both engines
+    * share, so the q181 DuckDB oracle mirrors it token-for-token via
+    * `javaHashSql`.
+    */
+  private[operators] def voteSampleHash(src: Column, dst: Column): Column = {
+    def mix(v: Column, mult: Long): Column = {
+      val m = pmod(v * lit(mult), lit(4294967296L))
+      m.bitwiseXOR(shiftright(m, 16))
+    }
+    val u = pmod(graft.functions.GeoFunctions.javaHash(
+      concat_ws(":", src.cast("string"), dst.cast("string"))).cast("long"),
+      lit(4294967296L))
+    mix(mix(u, 1000003L), 999983L)
+  }
+
   /** As [[lpaFromEdges]]; `arm` forces the vote plan (the q146
     * orientation pattern, so BOTH arms stay testable, not just the one
     * the dispatch picks):
@@ -1819,18 +1863,22 @@ object Dedup {
         // Chernoff), then exact min-maxVotes by (hash, dst) — bounded
         // state, deterministic. deg ≤ 4·maxVotes keeps every neighbor,
         // which is what makes bounded ≡ exact below the sample size.
-        // The sampling key is xxhash64, NOT the LCG: the affine LCG is
-        // constant on id classes mod 2³¹, so a hub whose neighbor ids
-        // share a residue (legal in [0, 2⁴⁰)) would all land on ONE side
-        // of the threshold — full-adjacency state or zero votes. The
-        // Chernoff bound needs real mixing; no oracle mirrors this key
-        // (the bounded arm is suite-gated, not SQL-paired), so the
-        // engine-portability reason for the LCG doesn't apply here.
-        val h = pmod(xxhash64(col("dst")), lit(2147483648L))
+        // The sampling key is [[voteSampleHash]] over (src, dst) — NOT
+        // the affine LCG (constant on id classes mod 2³¹: a hub whose
+        // neighbor ids share a residue would land entirely on one side
+        // of the threshold — full-adjacency state or zero votes), and
+        // NOT a dst-only hash (every hub would sample the same
+        // globally-low-hash neighbors, correlating the vote topology
+        // across all nodes and over-weighting those neighbors' labels —
+        // round-9 ADVICE). Keying on the pair decorrelates per node and
+        // stays SQL-expressible, so the bounded arm is DuckDB
+        // oracle-paired (q181) like every other arm in the house.
+        graft.functions.JavaHashExpr.register(edgesIn.sparkSession)
+        val h = voteSampleHash(col("src"), col("dst"))
         val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
         sym.join(deg, Seq("src"))
           .filter(col("deg") <= 4L * maxVotes ||
-            h < lit(4L * maxVotes * 2147483648L) / col("deg"))
+            h < expr(s"${4L * maxVotes * 4294967296L} div deg"))
           .select(col("src"),
             struct(h.as("h"), col("dst").as("dst")).as("hd"))
           .groupBy("src")

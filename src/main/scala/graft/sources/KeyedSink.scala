@@ -68,18 +68,68 @@ object KeyedSink {
   // footer cache — the region-server half of the HBase analogy: a serving
   // process holds its store's metadata hot (stores are immutable per
   // manifest version; a new version is a new path, so staleness can't
-  // occur — but version CHURN can accumulate dead entries, so the cache
-  // is size-bounded: on overflow it clears and re-warms, the simplest
-  // eviction that keeps the steady state hot). Without it every GET
+  // occur — but version CHURN accumulates dead entries, so the cache is
+  // a size-bounded access-order LRU: overflow evicts ONLY the coldest
+  // entry, so the live version's hot footers survive churn — the
+  // clear-all eviction this replaces made every concurrent GET re-warm
+  // simultaneously at the bound, a periodic latency cliff under churn
+  // (round-9 ADVICE; SinkSpec pins hot-retention across overflow). The
+  // synchronized map costs ~100 ns per GET against the ~1-2 ms read —
+  // invisible at ServeLab's 8-thread rate. Without the cache every GET
   // re-reads + re-parses the footer (~7 ms of the measured 8 ms,
   // ServeLab — the difference between ~8 ms and sub-5 ms).
-  private val FooterCacheMax = 8192
-  private val footerCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.parquet.hadoop.metadata.ParquetMetadata]()
+  private[sources] val FooterCacheMax = 8192
+  private val footerCache = new java.util.LinkedHashMap[
+      String, org.apache.parquet.hadoop.metadata.ParquetMetadata](
+      64, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, org.apache.parquet.hadoop.metadata.ParquetMetadata]): Boolean =
+      size() > FooterCacheMax
+  }
+
+  private def cachedFooter(f: String, hp: org.apache.hadoop.fs.Path)
+      : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+    footerCache.synchronized {
+      val hit = footerCache.get(f)
+      if (hit != null) return hit
+    }
+    // read OUTSIDE the lock: a cold footer read is ~ms, and serializing
+    // all 8 serving threads behind one cold read would stall the hot ones
+    val fresh = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      getConf, hp,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    footerCache.synchronized { footerCache.put(f, fresh) }
+    fresh
+  }
+
+  /** Test-only visibility: (size, whether `f` is resident) — containsKey
+    * does NOT touch LinkedHashMap access order, so probing is free of
+    * Heisenberg effects on the eviction order under test.
+    */
+  private[sources] def footerCacheProbe(f: String): (Int, Boolean) =
+    footerCache.synchronized((footerCache.size(), footerCache.containsKey(f)))
+
+  /** Test-only: an access-order touch (get), as a real GET performs. */
+  private[sources] def footerCacheTouch(f: String): Boolean =
+    footerCache.synchronized(footerCache.get(f) != null)
+
+  /** Test-only: inject an entry, driving the cache to its bound without
+    * 8k real parquet files on disk.
+    */
+  private[sources] def footerCachePut(f: String,
+      meta: org.apache.parquet.hadoop.metadata.ParquetMetadata): Unit =
+    footerCache.synchronized(footerCache.put(f, meta))
 
   def lookupDirect(path: String, modulus: Int, key: String)
       : Seq[org.apache.spark.sql.Row] = {
     import scala.jdk.CollectionConverters._
+    // this arm resolves through java.nio.file — a non-local store URI
+    // (hdfs://, s3a://…) would silently read as "directory absent" and
+    // return empty. Fail loudly instead and point at the Spark arm,
+    // which reads any Hadoop-visible filesystem (round-9 ADVICE).
+    require(!path.contains("://"),
+      s"lookupDirect serves local stores only; got '$path' — use " +
+        "KeyedSink.lookup (the Spark arm) for non-local filesystems")
     val salt = Salt(modulus).saltOf(key)
     val saltDir = java.nio.file.Paths.get(path, s"salt=$salt")
     if (!java.nio.file.Files.exists(saltDir)) return Seq.empty
@@ -89,10 +139,7 @@ object KeyedSink {
     val kb = org.apache.parquet.io.api.Binary.fromString(key)
     files.flatMap { f =>
       val hp = new org.apache.hadoop.fs.Path(f.toString)
-      if (footerCache.size > FooterCacheMax) footerCache.clear()
-      val footer = footerCache.computeIfAbsent(f.toString, _ =>
-        org.apache.parquet.hadoop.ParquetFileReader.readFooter(getConf, hp,
-          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER))
+      val footer = cachedFooter(f.toString, hp)
       val schema = footer.getFileMetaData.getSchema
       val keyIdx = (0 until schema.getFieldCount)
         .find(i => schema.getType(i).getName == "key")

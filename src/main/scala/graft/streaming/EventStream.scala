@@ -248,6 +248,73 @@ object EventStream {
       evalSource: String, L: Int): DataFrame =
     graft.operators.Dedup.evalHitCounts(docStream, evalGrams, evalSource, L)
 
+  /** Streaming SEMANTIC-contamination monitor — q180's ingest-time twin
+    * (the 22nd streaming operator, completing the decontamination
+    * quartet's streaming story: q178→tripwire, q180→this). Per source,
+    * running (n_vectors, n_flagged ≥ `minSimMicro`, max max_sim_micro)
+    * over a stream of train vectors scored against the STATIC benchmark
+    * embedding set. The stream must carry (vec_id, embedding, source).
+    *
+    * Scoring is row-local: the eval set is driver-materialized
+    * ([[graft.operators.Similarity.evalVectorSet]] — benchmark-sized,
+    * the ANN-codebook collect class) and rides the scorer's closure, so
+    * the plan stays O(1) regardless of benchmark size (a literal eval
+    * ARRAY would grow the plan per eval row) and the only stream state
+    * is one add-only counter row per source — batch-equal on any
+    * ingested prefix. The scorer replays the batch op's arithmetic
+    * bit-for-bit: ascending-index double dot (DotProductExpr's loop),
+    * `round(round(dot/(nrm·evNrm), 6)·10⁶, 0)` via the same
+    * BigDecimal.valueOf/HALF_UP semantics as Spark's `Round`, and the
+    * (sim desc, eval_id asc) packed-key argmax — OperatorSpec asserts
+    * 2-batch streamed ≡ one-shot q180 rollup, decimals included. The
+    * benchmark's own shard is excluded by ID (the full eval id set,
+    * zero-norm evals included — exactly the batch left_anti), zero-norm
+    * train vectors are unscoreable and uncounted, and a
+    * dimension-mismatched (train, eval) pair contributes no vote (the
+    * batch null-pair semantics).
+    */
+  def semanticDecontamMonitorStream(embStream: DataFrame, docsStatic: DataFrame,
+      embStatic: DataFrame, evalSource: String, minSimMicro: Long): DataFrame = {
+    val (evals, evalIdSet) = graft.operators.Similarity
+      .evalVectorSet(docsStatic, embStatic, evalSource)
+    val score = udf { (emb: Seq[Float]) =>
+      var n2 = 0.0
+      var i = 0
+      while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
+      val nrm = math.sqrt(n2)
+      if (nrm <= 0) None
+      else {
+        var best = Long.MaxValue
+        evals.foreach { case (id, ev, evNrm) =>
+          if (ev.length == emb.length) {
+            var d = 0.0
+            var j = 0
+            while (j < ev.length) { d += emb(j).toDouble * ev(j).toDouble; j += 1 }
+            val s6 = java.math.BigDecimal.valueOf(d / (nrm * evNrm))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            val sm = java.math.BigDecimal.valueOf(s6 * 1000000.0)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+            val pk = (1000000L - sm) * 1099511627776L + id
+            if (pk < best) best = pk
+          }
+        }
+        if (best == Long.MaxValue) None else Some(best)
+      }
+    }
+    embStream
+      .filter(!col("vec_id").isInCollection(evalIdSet))
+      .withColumn("pk", score(col("embedding")))
+      .filter(col("pk").isNotNull)
+      .select(col("source"),
+        expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")
+          .as("max_sim_micro"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("max_sim_micro") >= minSimMicro, 1L).otherwise(0L))
+          .as("n_flagged"),
+        max(col("max_sim_micro")).as("max_sim_micro"))
+  }
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

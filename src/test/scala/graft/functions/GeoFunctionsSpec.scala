@@ -64,6 +64,51 @@ class GeoFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("GramKeyExpr non-ASCII: BMP graphemes keep DuckDB-oracle parity; " +
+    "astral keeps the surrogate-aware composed-form identity") {
+    val ss = spark
+    import ss.implicits._
+    graft.functions.GramKeyExpr.register(ss)
+    // the DuckDB mirror (SparkEntry.gramHash63Sql): base-31 fold of
+    // unicode(c) per grapheme, forward and over reverse(s) — for
+    // single-code-point BMP graphemes that is a code-point fold both ways
+    def fold31(cps: Seq[Int]): Long =
+      cps.foldLeft(0L)((a, b) => (a * 31 + b) % 4294967296L)
+    def duckMirror(s: String): Long = {
+      val cps = s.codePoints().toArray.toSeq
+      fold31(cps) * 2147483648L + fold31(cps.reverse) % 2147483648L
+    }
+    val bmp = Seq("résumé dataset", "naïve café", "straße", "中文数据集合",
+      "ünïcode-ключ текст", "ελληνικά κείμενα", "mixed ascii + ümlaut")
+    val astral = Seq("emoji 😀 payload", "𝔸math𝔹",
+      "pair😀😁pair")
+    val got = (bmp ++ astral).toDF("gram")
+      .selectExpr("gram", "graft_gram_key63(gram) AS k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // BMP (no combining marks, no surrogates): engine key == oracle fold,
+    // so an oracle-paired hashed-arm query would stay byte-exact on such
+    // a corpus — this is the parity the windowGrams guard protects
+    bmp.foreach(s => assert(got(s) === duckMirror(s), s"BMP parity '$s'"))
+    // astral: the composed-form identity holds with the surrogate-aware
+    // reverse (StringBuilder.reverse keeps pairs in order)...
+    astral.foreach { s =>
+      val h1u = s.hashCode.toLong & 0xFFFFFFFFL
+      val rev = new java.lang.StringBuilder(s).reverse.toString
+      val h2u = rev.hashCode.toLong & 0xFFFFFFFFL
+      assert(got(s) === h1u * 2147483648L + h2u % 2147483648L,
+        s"astral composed form '$s'")
+      // ...and genuinely differs from both the naive unit-wise reverse
+      // (positive control: the surrogate-aware walk changes the result —
+      // NOTE Scala's String.reverse is itself surrogate-aware via
+      // java StringBuilder, so true unit-wise needs the char array)
+      // and the DuckDB code-point fold (why the hashed path guards ASCII)
+      val naive = new String(s.toCharArray.reverse).hashCode.toLong & 0xFFFFFFFFL
+      assert(got(s) !== h1u * 2147483648L + naive % 2147483648L,
+        s"unit-wise reverse should diverge on '$s'")
+      assert(got(s) !== duckMirror(s), s"oracle fold should diverge on '$s'")
+    }
+  }
+
   test("pixelAtMaxZoom clamps plottable boundary coordinates into the grid") {
     val ss = spark; import ss.implicits._
     val gpx = 512L << 16
