@@ -115,7 +115,18 @@ object BenchScale {
     // watches the broadcast stay benchmark-bounded and the train side
     // stay scan-shaped; the CUT action adds the row-local splice fold on
     // top of the same exchanges and must track the report's ratio
-    "q178_substring_decontam", "q179_decontam_cut")
+    "q178_substring_decontam", "q179_decontam_cut",
+    // round 10: the reference's FULL production depth (z0–z16 Mercator,
+    // 3 iterative chunks) — the stage the only published reference perf
+    // table times; the probe pins its x10 ratio beside q109's z0–z10
+    "q182_pyramid_full",
+    // round 10 (VERDICT r9 #7): the ANN/decontam family gets REAL x10
+    // ratios off the embeddings replica (previously prose-only) — batch
+    // ANN serve (query set ×10 by vec_id stride, corpus ×10), IVF+PQ
+    // search (cells densify, codebook collects stay k-bounded), and
+    // semantic decontamination (eval broadcast grows with the benchmark —
+    // every replica carries a src0 — train fan-out bounded per vector)
+    "q134_query_ann", "q153_ivfpq_ann", "q180_semantic_decontam")
 
   /** The x10 DOCUMENTS replica recipe, factored so GramLab (and any future
     * lab) runs on the SAME replica the probe does — per-replica alphabet
@@ -222,6 +233,20 @@ object BenchScale {
     // candidate join's Σ bucket² grows with reps² by construction,
     // measuring the data's quadratics instead of the engine's scaling
     replicateDocuments(spark, baseDir, s"$scaleDir/documents.parquet", reps)
+    // embeddings: vec_id shifted by the DOCUMENTS stride (the vec_id ↔
+    // doc_id pairing must survive replication — q180 resolves eval
+    // membership through it), vectors CYCLICALLY ROTATED by 7·i components
+    // per replica: norms (and within-replica geometry) are exactly the
+    // base corpus's, while cross-replica directions scramble — so LSH/IVF
+    // bucket populations multiply the way fresh data's would instead of
+    // stacking 10 identical copies of every point into the same cell
+    // (which would fake ×10 hot-cell density and measure the data, not
+    // the engine)
+    replicated("embeddings", (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, ${(i * 7) % 64 + 1}, ${64 - (i * 7) % 64}), " +
+            s"slice(embedding, 1, ${(i * 7) % 64}))")))
 
     val metrics = new StageMetrics
     if (debug) spark.sparkContext.addSparkListener(metrics)

@@ -15,8 +15,8 @@ object ScaleLab {
 
   private final class M extends org.apache.spark.scheduler.SparkListener {
     @volatile var shufW = 0L; @volatile var spillM = 0L; @volatile var spillD = 0L
-    @volatile var exec = 0L
-    def reset(): Unit = { shufW = 0; spillM = 0; spillD = 0; exec = 0 }
+    @volatile var exec = 0L; @volatile var cpuNs = 0L
+    def reset(): Unit = { shufW = 0; spillM = 0; spillD = 0; exec = 0; cpuNs = 0 }
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
@@ -24,10 +24,11 @@ object ScaleLab {
         shufW += m.shuffleWriteMetrics.bytesWritten
         spillM += m.memoryBytesSpilled; spillD += m.diskBytesSpilled
         exec += m.executorRunTime
+        cpuNs += m.executorCpuTime
       }
     }
     def line = f"shufW=${shufW / 1e6}%.0fMB spillMem=${spillM / 1e6}%.0fMB " +
-      f"spillDisk=${spillD / 1e6}%.0fMB exec=${exec / 1e3}%.1fs"
+      f"spillDisk=${spillD / 1e6}%.0fMB exec=${exec / 1e3}%.1fs cpu=${cpuNs / 1e9}%.1fs"
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,6 +99,91 @@ object ScaleLab {
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
           (flag == "on").toString)
         run(s)(SparkEntry.queries(name)(spark, dir))
+
+      // the FULL-DEPTH z0–z16 production build, all four projections in
+      // the reference's stage order (TileMapBuilder.java:66-69) — the
+      // repo-side twin of the only published reference perf table
+      // (example.yaml:124-127: z16 stage minutes 5/14/42/56 on 560 cores
+      // over 2.5 B rows). One wall+cpu+shuffle line per projection run.
+      case "fullDepth" =>
+        val s2 = MapBuild.noCoalesceSession(spark) // the q45/q109 convention
+        val nRows = occ.count()
+        println(s"[lab] fullDepth input rows = $nRows, cores = $cpus")
+        Seq("EPSG:3857", "EPSG:4326", "EPSG:3575", "EPSG:3031").foreach { e =>
+          run(s"fullDepth:$e")(MapBuild.pyramid(
+            OccurrenceView.occ(s2, dir), e, 0, 16))
+        }
+
+      // the volume decomposition PROFILE.md's full-depth verdict needs:
+      // raw rows → exploded (view-replicated) rows → distinct z16 pixel
+      // groups, per projection. These are the denominators that make the
+      // reference's per-raw-row rate comparable: its z16 stage collapses
+      // 2.5 B hot-spotted records into far fewer (mapKey, xy16, borYear)
+      // groups, while the synthetic replica is nearly collapse-free.
+      case "pyramidCounts" =>
+        val s2 = MapBuild.noCoalesceSession(spark)
+        val occ2 = OccurrenceView.occ(s2, dir)
+        val raw = occ2.count()
+        val exploded = MapBuild.explodeMapKeys(occ2).count()
+        Seq("EPSG:3857", "EPSG:4326", "EPSG:3575", "EPSG:3031").foreach { e =>
+          val top = MapBuild.pyramidState(occ2, e, 16).count()
+          println(s"[lab] pyramidCounts $e raw=$raw exploded=$exploded top16=$top")
+        }
+
+      // per-ZOOM decomposition of the z0–z16 build (PROFILE.md's table):
+      // build the persisted chunk tops exactly as pyramidIterative does,
+      // but time each zoom's levelStats separately off the live chunk
+      // top. Measurement grain only — the production build runs 3 chunked
+      // passes (timed by fullDepth); this locates WHERE the cost sits.
+      case s if s.startsWith("perZoom") =>
+        // arg form: perZoom:EPSG:3857 — the variant prefix is one segment,
+        // the projection code itself contains a colon
+        val e = if (s.contains(":")) s.drop("perZoom:".length) else "EPSG:3857"
+        val s2 = MapBuild.noCoalesceSession(spark)
+        val occ2 = OccurrenceView.occ(s2, dir)
+        m.reset(); System.gc()
+        var t0 = System.nanoTime()
+        var top = MapBuild.pyramidState(occ2, e, 16)
+        top.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        println(f"[lab] perZoom:$e top@z16 ${(System.nanoTime() - t0) / 1e9}%.1fs ${m.line}")
+        var highZ = 16 // the current chunk top's zoom
+        val chunk = 7  // = MapBuild.PyramidChunk, the production chunking
+        while (highZ >= 0) {
+          val lowZ = math.max(0, highZ - chunk + 1)
+          (highZ to lowZ by -1).foreach { z =>
+            m.reset()
+            t0 = System.nanoTime()
+            // single-level stage off the chunk top: pre-shift the top to
+            // zoom z so levelStats (which addresses its input at highZ)
+            // sees a zoom-z pixel table — the same shift+collapse+tile
+            // algebra the chunked levelStats runs for this z
+            val topAtZ = top.select(col("map_key"),
+              shiftright(col("px"), highZ - z).as("px"),
+              shiftright(col("py"), highZ - z).as("py"), col("total"))
+            MapBuild.levelStats(topAtZ, z, z)
+              .write.format("noop").mode("overwrite").save()
+            println(f"[lab] perZoom:$e z$z ${(System.nanoTime() - t0) / 1e9}%.1fs ${m.line}")
+          }
+          if (lowZ > 0) {
+            m.reset()
+            t0 = System.nanoTime()
+            // the inter-chunk rollup exactly as pyramidIterative runs it:
+            // one keyed sum of the (highZ − lowZ + 1)-shifted top
+            val next = top.select(col("map_key"),
+                shiftright(col("px"), highZ - lowZ + 1).as("px"),
+                shiftright(col("py"), highZ - lowZ + 1).as("py"), col("total"))
+              .groupBy("map_key", "px", "py")
+              .agg(sum("total").as("total"))
+            next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+            println(f"[lab] perZoom:$e rollup->z${lowZ - 1} " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1fs ${m.line}")
+            top.unpersist()
+            top = next
+          }
+          highZ = lowZ - 1
+        }
+        top.unpersist()
+        spark.catalog.clearCache()
       case other => System.err.println(s"unknown variant $other")
     }
     spark.stop()

@@ -967,6 +967,17 @@ object SparkEntry {
       MapBuild.pyramid(occ(s2, dir), "EPSG:4326", 0, 10)
     }),
 
+    // O3 at the reference's FULL production depth: z0–z16 Mercator — the
+    // exact stage the only published perf table times (example.yaml:
+    // 124-127 "Z16: 5, …" = the 14.9 k rows/core-sec baseline row); three
+    // iterative 7-level chunks, explode span never exceeds 7. ScaleLab's
+    // fullDepth/perZoom variants decompose this build per zoom on the
+    // x10 replica (PROFILE.md)
+    "q182_pyramid_full" -> ((s, dir) => {
+      val s2 = MapBuild.noCoalesceSession(s) // see q45 comment
+      MapBuild.pyramid(occ(s2, dir), "EPSG:3857", 0, 16)
+    }),
+
     // Dedup: containment-DEDICATED blocking — exact prefix filter on the
     // contained side's sorted trigram hashes; recall is independent of the
     // doc size ratio, unlike the q98 LSH route
@@ -3231,6 +3242,19 @@ tl$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, count(*) AS n_pixels,
   CAST(sum(total) AS BIGINT) AS total, $z AS z
   FROM lvl$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
 ${(10 to 0 by -1).map(z => s"SELECT * FROM tl$z").mkString("\nUNION ALL ")}"""),
+
+    "q182_pyramid_full" -> (Ex + s""",
+fpx16 AS (SELECT map_key, ${px3857("lng")} AS px, ${py3857("lat")} AS py, bor_year, count(*) AS occ_count
+  FROM ex WHERE lat >= -$MercMaxLat AND lat <= $MercMaxLat AND lng >= -180 AND lng <= 180
+  GROUP BY ALL),
+fpxc AS (SELECT map_key, px, py, CAST(sum(occ_count) AS BIGINT) AS total FROM fpx16 GROUP BY ALL),
+${(0 to 16).map { z => s"""
+flvl$z AS (SELECT map_key, px >> ${16 - z} AS px, py >> ${16 - z} AS py, CAST(sum(total) AS BIGINT) AS total
+  FROM fpxc GROUP BY ALL),
+ftl$z AS (SELECT map_key, px // 512 AS tx, py // 512 AS ty, count(*) AS n_pixels,
+  CAST(sum(total) AS BIGINT) AS total, $z AS z
+  FROM flvl$z GROUP BY map_key, tx, ty)""" }.mkString(",")}
+${(16 to 0 by -1).map(z => s"SELECT * FROM ftl$z").mkString("\nUNION ALL ")}"""),
 
     "q110_containment_blocked" -> """WITH tkc AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 tgc AS (SELECT doc_id,
