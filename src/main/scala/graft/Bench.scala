@@ -57,7 +57,10 @@ object Bench {
       // one query's cache never skews the next query's timing
       spark.catalog.clearCache()
       metrics.settle()
-      (dt, metrics.cpuNs / 1e9, (metrics.shuffleWrite + metrics.shuffleRead) / 1e6)
+      // WRITE bytes only — the same convention as ScaleLab/PROFILE.md/
+      // BASELINE.md tables (write+read would double-count every exchange
+      // and make this record incomparable with the lab instruments)
+      (dt, metrics.cpuNs / 1e9, metrics.shuffleWrite / 1e6)
     }
 
     // optional args = subset of query names (targeted timing during tuning)

@@ -186,7 +186,8 @@ object BenchScale {
       }
     }
     def line: String = f"shufW=${shuffleWrite / 1e6}%.0fMB shufR=${shuffleRead / 1e6}%.0fMB " +
-      f"spillMem=${memSpill / 1e6}%.0fMB spillDisk=${diskSpill / 1e6}%.0fMB execTime=${stageTimeMs / 1e3}%.1fs"
+      f"spillMem=${memSpill / 1e6}%.0fMB spillDisk=${diskSpill / 1e6}%.0fMB " +
+      f"execTime=${stageTimeMs / 1e3}%.1fs cpu=${cpuNs / 1e9}%.1fs"
   }
 
   def main(args: Array[String]): Unit = {

@@ -13,24 +13,6 @@ import graft.operators.{MapBuild, OccurrenceView}
   */
 object ScaleLab {
 
-  private final class M extends org.apache.spark.scheduler.SparkListener {
-    @volatile var shufW = 0L; @volatile var spillM = 0L; @volatile var spillD = 0L
-    @volatile var exec = 0L; @volatile var cpuNs = 0L
-    def reset(): Unit = { shufW = 0; spillM = 0; spillD = 0; exec = 0; cpuNs = 0 }
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) {
-        shufW += m.shuffleWriteMetrics.bytesWritten
-        spillM += m.memoryBytesSpilled; spillD += m.diskBytesSpilled
-        exec += m.executorRunTime
-        cpuNs += m.executorCpuTime
-      }
-    }
-    def line = f"shufW=${shufW / 1e6}%.0fMB spillMem=${spillM / 1e6}%.0fMB " +
-      f"spillDisk=${spillD / 1e6}%.0fMB exec=${exec / 1e3}%.1fs cpu=${cpuNs / 1e9}%.1fs"
-  }
-
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_LAB_DIR", "/tmp/graft-scale-x10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,7 +25,10 @@ object ScaleLab {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val m = new M
+    // ONE stage-metrics listener implementation repo-wide (BenchScale's,
+    // also used by Bench/GramLab) — a second hand-synced copy here skewed
+    // cross-tool comparisons the moment one gained a field
+    val m = new BenchScale.StageMetrics
     spark.sparkContext.addSparkListener(m)
 
     def run(name: String)(mk: => DataFrame): Unit = {

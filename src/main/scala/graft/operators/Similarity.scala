@@ -536,37 +536,6 @@ object Similarity {
     * with map-side combine — the corpus never shuffles more than its own
     * (vec_id, packed-key) rows.
     */
-  /** The [[semanticDecontam]] eval side, DRIVER-materialized for
-    * stream-side row-local scoring: the usable eval vectors
-    * (id, embedding, norm — zero-norm excluded, as in the batch op) plus
-    * the FULL eval id set (zero-norm included: exclusion of the
-    * benchmark's own shard is id-based in the batch op, so the stream
-    * twin must exclude ids whose vector it cannot score). Bounded: the
-    * eval side is benchmark-sized — the same collect class as the ANN
-    * codebooks. The id packing bound is checked here, driver-side, loud.
-    */
-  def evalVectorSet(docs: DataFrame, emb: DataFrame, evalSource: String)
-      : (Array[(Long, Array[Float], Double)], Set[Long]) = {
-    val evalIds = docs.filter(col("source") === evalSource)
-      .select(col("doc_id").as("vec_id"))
-    // the batch op's left_anti is against the DOCS-table id list, so the
-    // stream twin excludes the same set — including eval docs with no
-    // vector row or a zero-norm vector
-    val allIds = evalIds.collect().map(_.getLong(0)).toSet
-    val ev = emb.join(evalIds, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"),
-        sqrt(sqNorm(col("embedding"))).as("ev_nrm"))
-      .filter(col("ev_nrm") > 0).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
-    require(ev.nonEmpty,
-      s"evalVectorSet: no usable (non-zero-norm) '$evalSource' vectors — " +
-        "an empty eval set would silently monitor nothing")
-    val mx = ev.map(_._1).max; val mn = ev.map(_._1).min
-    require(mx < (1L << 40) && mn >= 0L,
-      s"semantic packed key needs eval ids in [0, 2^40); got [$mn, $mx]")
-    (ev, allIds)
-  }
-
   def semanticDecontam(docs: DataFrame, emb: DataFrame,
       evalSource: String): DataFrame = {
     val evalIds = docs.filter(col("source") === evalSource)
@@ -607,6 +576,37 @@ object Similarity {
         expr("CAST(pk % 1099511627776 AS BIGINT)").as("nearest_eval_id"),
         expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")
           .as("max_sim_micro"))
+  }
+
+  /** The [[semanticDecontam]] eval side, DRIVER-materialized for
+    * stream-side row-local scoring: the usable eval vectors
+    * (id, embedding, norm — zero-norm excluded, as in the batch op) plus
+    * the FULL eval id set (zero-norm included: exclusion of the
+    * benchmark's own shard is id-based in the batch op, so the stream
+    * twin must exclude ids whose vector it cannot score). Bounded: the
+    * eval side is benchmark-sized — the same collect class as the ANN
+    * codebooks. The id packing bound is checked here, driver-side, loud.
+    */
+  def evalVectorSet(docs: DataFrame, emb: DataFrame, evalSource: String)
+      : (Array[(Long, Array[Float], Double)], Set[Long]) = {
+    val evalIds = docs.filter(col("source") === evalSource)
+      .select(col("doc_id").as("vec_id"))
+    // the batch op's left_anti is against the DOCS-table id list, so the
+    // stream twin excludes the same set — including eval docs with no
+    // vector row or a zero-norm vector
+    val allIds = evalIds.collect().map(_.getLong(0)).toSet
+    val ev = emb.join(evalIds, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(sqNorm(col("embedding"))).as("ev_nrm"))
+      .filter(col("ev_nrm") > 0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    require(ev.nonEmpty,
+      s"evalVectorSet: no usable (non-zero-norm) '$evalSource' vectors — " +
+        "an empty eval set would silently monitor nothing")
+    val mx = ev.map(_._1).max; val mn = ev.map(_._1).min
+    require(mx < (1L << 40) && mn >= 0L,
+      s"semantic packed key needs eval ids in [0, 2^40); got [$mn, $mx]")
+    (ev, allIds)
   }
 
   /** Batch ANN serving: top-`k` cosine neighbours for EVERY query in a

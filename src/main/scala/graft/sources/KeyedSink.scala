@@ -87,19 +87,36 @@ object KeyedSink {
       size() > FooterCacheMax
   }
 
+  // single-flight guard for cold footer reads: the LRU lock must NOT be
+  // held across the ~ms read (hot GETs would stall behind it), but a naive
+  // read-outside-the-lock lets every thread missing the same new file pay
+  // its own duplicate I/O — version churn publishes a hot file to all 8
+  // serving threads at once. One future per in-flight path restores the
+  // computeIfAbsent dedup the LRU swap dropped.
+  private val footerInFlight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[
+      org.apache.parquet.hadoop.metadata.ParquetMetadata]]()
+
   private def cachedFooter(f: String, hp: org.apache.hadoop.fs.Path)
       : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
     footerCache.synchronized {
       val hit = footerCache.get(f)
       if (hit != null) return hit
     }
-    // read OUTSIDE the lock: a cold footer read is ~ms, and serializing
-    // all 8 serving threads behind one cold read would stall the hot ones
-    val fresh = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-      getConf, hp,
-      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-    footerCache.synchronized { footerCache.put(f, fresh) }
-    fresh
+    val fut = new java.util.concurrent.CompletableFuture[
+      org.apache.parquet.hadoop.metadata.ParquetMetadata]()
+    val prev = footerInFlight.putIfAbsent(f, fut)
+    if (prev != null) return prev.join() // another thread is loading it
+    try {
+      val fresh = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        getConf, hp,
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      footerCache.synchronized { footerCache.put(f, fresh) }
+      fut.complete(fresh)
+      fresh
+    } catch {
+      case e: Throwable => fut.completeExceptionally(e); throw e
+    } finally footerInFlight.remove(f)
   }
 
   /** Test-only visibility: (size, whether `f` is resident) — containsKey

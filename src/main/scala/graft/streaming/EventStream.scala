@@ -268,43 +268,55 @@ object EventStream {
     * (sim desc, eval_id asc) packed-key argmax — OperatorSpec asserts
     * 2-batch streamed ≡ one-shot q180 rollup, decimals included. The
     * benchmark's own shard is excluded by ID (the full eval id set,
-    * zero-norm evals included — exactly the batch left_anti), zero-norm
-    * train vectors are unscoreable and uncounted, and a
-    * dimension-mismatched (train, eval) pair contributes no vote (the
-    * batch null-pair semantics).
+    * zero-norm evals included — exactly the batch left_anti); null and
+    * zero-norm train vectors are unscoreable and uncounted (the batch
+    * filter(nrm > 0) class); a dimension-mismatched (train, eval) pair
+    * contributes no vote, and a vector with NO valid pair still counts
+    * in n_vectors with a null similarity — exactly what the batch
+    * crossJoin + groupBy emits for it.
     */
   def semanticDecontamMonitorStream(embStream: DataFrame, docsStatic: DataFrame,
       embStatic: DataFrame, evalSource: String, minSimMicro: Long): DataFrame = {
     val (evals, evalIdSet) = graft.operators.Similarity
       .evalVectorSet(docsStatic, embStatic, evalSource)
+    // sentinel −1 = "unscoreable row, EXCLUDE" (null/zero-norm embedding —
+    // the batch op's filter(nrm > 0) class, where a null embedding nulls
+    // the norm); SQL-null pk = "scoreable vector, no valid pair" (every
+    // eval vector dimension-mismatched — the batch crossJoin yields
+    // all-null pks and its groupBy still emits the vector with a null
+    // sim, so the stream twin must COUNT it in n_vectors with flagged 0)
+    val Excluded = -1L
     val score = udf { (emb: Seq[Float]) =>
-      var n2 = 0.0
-      var i = 0
-      while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
-      val nrm = math.sqrt(n2)
-      if (nrm <= 0) None
+      if (emb == null) Some(Excluded)
       else {
-        var best = Long.MaxValue
-        evals.foreach { case (id, ev, evNrm) =>
-          if (ev.length == emb.length) {
-            var d = 0.0
-            var j = 0
-            while (j < ev.length) { d += emb(j).toDouble * ev(j).toDouble; j += 1 }
-            val s6 = java.math.BigDecimal.valueOf(d / (nrm * evNrm))
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-            val sm = java.math.BigDecimal.valueOf(s6 * 1000000.0)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-            val pk = (1000000L - sm) * 1099511627776L + id
-            if (pk < best) best = pk
+        var n2 = 0.0
+        var i = 0
+        while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        val nrm = math.sqrt(n2)
+        if (nrm <= 0) Some(Excluded)
+        else {
+          var best = Long.MaxValue
+          evals.foreach { case (id, ev, evNrm) =>
+            if (ev.length == emb.length) {
+              var d = 0.0
+              var j = 0
+              while (j < ev.length) { d += emb(j).toDouble * ev(j).toDouble; j += 1 }
+              val s6 = java.math.BigDecimal.valueOf(d / (nrm * evNrm))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              val sm = java.math.BigDecimal.valueOf(s6 * 1000000.0)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+              val pk = (1000000L - sm) * 1099511627776L + id
+              if (pk < best) best = pk
+            }
           }
+          if (best == Long.MaxValue) None else Some(best)
         }
-        if (best == Long.MaxValue) None else Some(best)
       }
     }
     embStream
       .filter(!col("vec_id").isInCollection(evalIdSet))
       .withColumn("pk", score(col("embedding")))
-      .filter(col("pk").isNotNull)
+      .filter(col("pk").isNull || col("pk") =!= Excluded)
       .select(col("source"),
         expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")
           .as("max_sim_micro"))
