@@ -42,7 +42,8 @@ object Bench {
       * shuffle attribute to the query via reset-before / settle-after (the
       * listener events land async — settle polls until totals go quiet).
       */
-    def run(dir: String, name: String): (Double, Double, Double) = {
+    def run(dir: String, name: String, attribute: Boolean = true)
+        : (Double, Double, Double) = {
       metrics.reset()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
@@ -56,7 +57,9 @@ object Bench {
       // builders may persist intermediates (pyramid levels); drop them so
       // one query's cache never skews the next query's timing
       spark.catalog.clearCache()
-      metrics.settle()
+      // warmup passes discard attribution — skip the ≥50 ms settle poll
+      // there (~9 s of wall across a 182-query warmup sweep)
+      if (attribute) metrics.settle()
       // WRITE bytes only — the same convention as ScaleLab/PROFILE.md/
       // BASELINE.md tables (write+read would double-count every exchange
       // and make this record incomparable with the lab instruments)
@@ -66,7 +69,7 @@ object Bench {
     // optional args = subset of query names (targeted timing during tuning)
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args.contains) else names0
-    names.foreach(run(warmDir, _)) // warmup: compile/JIT every plan shape
+    names.foreach(run(warmDir, _, attribute = false)) // warmup: JIT every plan shape
     // two timed runs, keep the min-wall run's triple — single runs swing
     // ±40% from GC debt accumulated by earlier queries; System.gc()
     // flattens the baseline. CPU/shuffle ride with the chosen run (their
@@ -84,6 +87,13 @@ object Bench {
     // under the ~2 KiB tail-truncating log capture downstream; full query
     // names (with the same qNN prefix) live in the correctness report
     def f(v: Double) = "%.2f".format(v)
+    // paths/names are interpolated into the gating JSON line — escape so a
+    // quote or backslash in a directory path can't produce an unparseable
+    // record for the downstream automation
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"; case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt); case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v._1) }
       .mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_._1 >= 0)
@@ -92,19 +102,19 @@ object Bench {
     val shufTotal = ok.map(_._3).sum
     // failed queries are both listed by name AND reflected in the exit code,
     // so automation gating on rc (or parsing the line) catches a broken round
-    val failed = results.collect { case (k, v) if v._1 < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v) if v._1 < 0 => jstr(k) }
     val failedJson = failed.mkString("[", ",", "]")
     // full per-query triple table — the stable regression-adjudication record
     val detail = results.map { case (k, (w, c, s)) =>
       f""""$k":{"wall_s":${f(w)},"cpu_s":${f(c)},"shuffle_mb":${f(s)}}"""
-    }.mkString("{\"metric\":\"bench_detail\",\"sf\":\"" + sfDir + "\",\"queries\":{\n  ",
+    }.mkString("{\"metric\":\"bench_detail\",\"sf\":" + jstr(sfDir) + ",\"queries\":{\n  ",
       ",\n  ", s"""\n},"total_wall_s":${f(total)},"total_cpu_s":${f(cpuTotal)},"total_shuffle_mb":${f(shufTotal)}}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // cpu_s / shuffle_mb / detail pointer sit at the END of the line so the
     // downstream tail capture always retains them
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","cpu_s":${f(cpuTotal)},"shuffle_mb":${f(shufTotal)},"detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${jstr(sfDir)},"cpu_s":${f(cpuTotal)},"shuffle_mb":${f(shufTotal)},"detail":${jstr(detailPath)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

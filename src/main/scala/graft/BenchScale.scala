@@ -126,7 +126,12 @@ object BenchScale {
     // search (cells densify, codebook collects stay k-bounded), and
     // semantic decontamination (eval broadcast grows with the benchmark —
     // every replica carries a src0 — train fan-out bounded per vector)
-    "q134_query_ann", "q153_ivfpq_ann", "q180_semantic_decontam")
+    "q134_query_ann", "q153_ivfpq_ann", "q180_semantic_decontam",
+    // round 11 (VERDICT r10 #3): the IVF-blocked decontam sweep — eval
+    // routed through cells so per-train work is nprobe/IvfK of the eval
+    // set; the probe watches its ratio sit BELOW q180's brute ratio as
+    // eval grows (every replica carries a src0 shard)
+    "q183_ivf_decontam")
 
   /** The x10 DOCUMENTS replica recipe, factored so GramLab (and any future
     * lab) runs on the SAME replica the probe does — per-replica alphabet
@@ -142,6 +147,64 @@ object BenchScale {
         .withColumn("text",
           translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26))))
       .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** The pyramid/tile family — the queries a SKEWED occurrence corpus
+    * exercises (documents/embeddings replicas aren't built in skew mode).
+    */
+  private val OccFamily = Set("q45_pyramid", "q36_tile_replicas",
+    "q17_salted_keys", "q26_pixel_agg_3575", "q59_tile_replicas_3857",
+    "q109_pyramid_deep", "q111_incremental_pyramid", "q182_pyramid_full")
+
+  /** The Zipf-HOT-SPOTTED x10 occurrence replica (round-10 verdict #1):
+    * the stride replica's 0.1° lattice is collapse-free (88% distinct z16
+    * pixels — addendum C), so every pyramid number was measured on the
+    * worst-case shape and the salting machinery was graded on data with
+    * NO skew. Real occurrence data is the opposite: a few thousand
+    * heavily-sampled "sites" hold most rows (the shape the reference
+    * designs around — its `0:0` ALL-view + ModulusSalt hazard). Here
+    * `hotFrac` of rows land on `sites` Zipf(1)-distributed sites.
+    *
+    * Mechanics: lat10/lng10 derive from keys via invertible multipliers
+    * (7·243 ≡ 1 mod 1700, 17·2753 ≡ 1 mod 3600), so rewriting
+    * l_orderkey/l_partkey by the inverse places a row on any chosen
+    * lattice point EXACTLY, while the +modulus·(key+1) high part keeps
+    * keys distinct and every other derivation (year, bor, view keys)
+    * meaningful. The site draw is log-uniform — site = ⌊e^(ln S · w)⌋−1,
+    * i.e. density ∝ 1/site, a continuous Zipf(1): the top site alone
+    * carries ~ln2/lnS (≈9% at S=3000) of the hot mass. No oracle reads
+    * this corpus — it is a BENCH shape only, correctness stays on the
+    * driver testdata.
+    */
+  private[graft] def skewedLineitem(spark: SparkSession, baseDir: String,
+      outPath: String, reps: Int, sites: Int = 3000,
+      hotFrac: Double = 0.8): Unit = {
+    val base = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    val rep = (0 until reps).map(i => base
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000007L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 100000007L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100000007L)))
+      .reduce(_ unionByName _)
+    val hotGate = (hotFrac * 1000000).toLong
+    rep
+      // two deterministic per-row uniforms from the replica-shifted keys
+      .withColumn("u_gate",
+        expr("pmod(l_orderkey * 2654435761 + l_linenumber * 40503, 1000000)"))
+      .withColumn("u_site",
+        expr("pmod(l_orderkey * 97 + l_partkey * 31 + l_linenumber * 7717, 1000000)"))
+      .withColumn("site", least(lit(sites - 1), greatest(lit(0),
+        (floor(exp(log(lit(sites.toDouble)) * (col("u_site") / 1e6))) - 1)
+          .cast("int"))))
+      .withColumn("lat_site", expr("pmod(site * 7919, 1700)"))
+      .withColumn("lng_site", expr("pmod(site * 104729, 3600)"))
+      .withColumn("l_orderkey", when(col("u_gate") < hotGate,
+          expr("pmod(243 * (lat_site - 13 * l_linenumber), 1700) + 1700 * (l_orderkey + 1)"))
+        .otherwise(col("l_orderkey")))
+      .withColumn("l_partkey", when(col("u_gate") < hotGate,
+          expr("pmod(2753 * (lng_site - 23 * l_suppkey), 3600) + 3600 * (l_partkey + 1)"))
+        .otherwise(col("l_partkey")))
+      .drop("u_gate", "u_site", "site", "lat_site", "lng_site")
       .write.mode("overwrite").parquet(outPath)
   }
 
@@ -171,7 +234,7 @@ object BenchScale {
       }
     }
     /** Listener events land async after a job returns; poll the completed-
-      * stage totals until two consecutive 50 ms samples agree (cap 2 s) so
+      * stage totals until three consecutive 25 ms samples agree (cap 2 s) so
       * per-query CPU/shuffle attribution doesn't bleed into the next query.
       */
     def settle(): Unit = {
@@ -194,13 +257,20 @@ object BenchScale {
     // dev loop: SPARK_GRAFT_SCALE_ONLY=q45_pyramid,q109_pyramid_deep
     // restricts the probe; SPARK_GRAFT_SCALE_DEBUG=1 prints per-run stage
     // totals (shuffle/spill/exec-time) to stderr. The driver sets neither.
+    // SPARK_GRAFT_SCALE_CORPUS=skew probes the OCCURRENCE family on the
+    // Zipf-hot-spotted replica ([[skewedLineitem]]) instead of the
+    // collapse-free lattice — documents/embeddings replicas are NOT built
+    // there, so the query set is restricted to [[OccFamily]]
+    val skew = sys.env.get("SPARK_GRAFT_SCALE_CORPUS").contains("skew")
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-      .map(_.split(",").toSet).getOrElse(Heavy.toSet)
-    val heavy = Heavy.filter(only)
+      .map(_.split(",").toSet)
+      .getOrElse(if (skew) OccFamily else Heavy.toSet)
+    val heavy = Heavy.filter(n => only(n) && (!skew || OccFamily(n)))
     val debug = sys.env.get("SPARK_GRAFT_SCALE_DEBUG").contains("1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "10").toInt
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val scaleDir = s"/tmp/graft-scale-x$reps"
+    val scaleDir = if (skew) s"/tmp/graft-scale-skew-x$reps"
+      else s"/tmp/graft-scale-x$reps"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -222,10 +292,13 @@ object BenchScale {
     // every key feeding a derivation shifts by a stride that is NOT a
     // multiple of the derivation moduli (50/7/3600/1700), so view keys,
     // pixels and order ids all genuinely multiply — not just densify
-    replicated("lineitem", (df, i) =>
+    if (skew)
+      skewedLineitem(spark, baseDir, s"$scaleDir/lineitem.parquet", reps)
+    else replicated("lineitem", (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000007L))
         .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 100000007L))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100000007L)))
+    if (!skew) {
     // per-replica alphabet rotation: the corpus SHAPE replicates (identical
     // lengths, identical within-replica near-dup structure) but replicas
     // share NO shingles at all — a suffix-style perturbation leaves
@@ -248,6 +321,7 @@ object BenchScale {
         .withColumn("embedding", expr(
           s"concat(slice(embedding, ${(i * 7) % 64 + 1}, ${64 - (i * 7) % 64}), " +
             s"slice(embedding, 1, ${(i * 7) % 64}))")))
+    }
 
     val metrics = new StageMetrics
     if (debug) spark.sparkContext.addSparkListener(metrics)
@@ -267,7 +341,7 @@ object BenchScale {
     // run: the first query slot otherwise absorbs the cold read of the
     // whole scaled input and reports a fake super-linear ratio (measured:
     // q45 first-slot 167 s cold vs 41 s steady-state on identical code)
-    Seq("lineitem", "documents").foreach { t =>
+    (if (skew) Seq("lineitem") else Seq("lineitem", "documents")).foreach { t =>
       spark.read.parquet(s"$scaleDir/$t.parquet")
         .write.format("noop").mode("overwrite").save()
     }
@@ -294,7 +368,8 @@ object BenchScale {
       val ratio = scaleTimes(n) / math.max(baseTimes(n), 1e-9)
       f""""$n":{"base_sec":${baseTimes(n)}%.3f,"x${reps}_sec":${scaleTimes(n)}%.3f,"ratio":$ratio%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","reps":$reps,"x_partitions":$scaleParts,"queries":$qs}""")
+    val corpus = if (skew) "skew" else "lattice"
+    println(s"""{"metric":"scale_probe","corpus":"$corpus","reps":$reps,"x_partitions":$scaleParts,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -94,10 +94,40 @@ object ScaleLab {
         val s2 = MapBuild.noCoalesceSession(spark) // the q45/q109 convention
         val nRows = occ.count()
         println(s"[lab] fullDepth input rows = $nRows, cores = $cpus")
-        Seq("EPSG:3857", "EPSG:4326", "EPSG:3575", "EPSG:3031").foreach { e =>
-          run(s"fullDepth:$e")(MapBuild.pyramid(
-            OccurrenceView.occ(s2, dir), e, 0, 16))
+        // ONE measurement protocol with BenchScale (round-10 verdict #2 —
+        // the two instruments read the same build 2× apart): (a) pre-page
+        // the replica input, or the cold read lands in the first timed run;
+        // (b) JIT-warm each projection's full plan shape on the UNSCALED
+        // data; (c) interleave projections across two passes with a GC
+        // before each timed run and keep the per-projection MIN — the
+        // 42→157 s run-to-run swing addendum D reconciled was exactly
+        // what (a)+(c) remove.
+        val warmDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .write.format("noop").mode("overwrite").save()
+        val projs = Seq("EPSG:3857", "EPSG:4326", "EPSG:3575", "EPSG:3031")
+        projs.foreach { e =>
+          MapBuild.pyramid(OccurrenceView.occ(s2, warmDir), e, 0, 16)
+            .write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
         }
+        val best = scala.collection.mutable.Map[String, Double]()
+        (1 to 2).foreach { pass =>
+          projs.foreach { e =>
+            m.reset(); System.gc()
+            val t0 = System.nanoTime()
+            MapBuild.pyramid(OccurrenceView.occ(s2, dir), e, 0, 16)
+              .write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            println(f"[lab] fullDepth:$e pass$pass ${dt}%.1fs ${m.line}")
+            best(e) = math.min(best.getOrElse(e, Double.MaxValue), dt)
+          }
+        }
+        println("[lab] fullDepth MIN " +
+          projs.map(e => f"$e=${best(e)}%.1fs").mkString(" ") +
+          f" total=${projs.map(best).sum}%.1fs")
 
       // the volume decomposition PROFILE.md's full-depth verdict needs:
       // raw rows → exploded (view-replicated) rows → distinct z16 pixel
@@ -169,6 +199,41 @@ object ScaleLab {
         }
         top.unpersist()
         spark.catalog.clearCache()
+      // salted vs unsalted partitioning of the z16 view/pixel table — the
+      // reference's `0:0` ALL-view hazard (SURVEY §7.4, ModulusSalt.java:
+      // 61-97) A/B'd on whatever corpus SPARK_GRAFT_LAB_DIR holds (the
+      // Zipf-hot replica is the honest shape: the lattice corpus has no
+      // skew for salting to fix). Arm U partitions the sink write BY MAP
+      // KEY — '0:0' is in EVERY record, so one partition carries the
+      // whole ALL view and the job waits on that straggler; arm S salts
+      // the full tile key (the q17/KeyedSink convention) across the same
+      // partition count. Same rows, same sort discipline, same sink
+      // format — the wall/shuffle delta is pure partitioning.
+      case "saltAB" =>
+        val s2 = MapBuild.noCoalesceSession(spark)
+        val occ2 = OccurrenceView.occ(s2, dir)
+        val px = MapBuild.explodeMapKeys(MapBuild.withPixels(occ2, "EPSG:3857"))
+          .groupBy("map_key", "px", "py").agg(count(lit(1)).as("total"))
+        px.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = px.count()
+        val top = px.groupBy("map_key").agg(count(lit(1)).as("rows"))
+          .orderBy(col("rows").desc).limit(3).collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+        println(s"[lab] saltAB pixel rows = $n, top view keys: $top")
+        val M = 32
+        graft.functions.JavaHashExpr.register(s2)
+        run("saltAB:unsalted") {
+          px.repartition(M, col("map_key"))
+            .sortWithinPartitions("map_key", "px", "py")
+        }
+        run("saltAB:salted") {
+          px.withColumn("key",
+              concat_ws(":", col("map_key"), col("px"), col("py")))
+            .withColumn("salt", graft.functions.GeoFunctions.saltOf(col("key"), M))
+            .repartition(M, col("salt"))
+            .sortWithinPartitions("salt", "key")
+        }
+        px.unpersist()
       case other => System.err.println(s"unknown variant $other")
     }
     spark.stop()

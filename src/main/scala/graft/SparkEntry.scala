@@ -1121,6 +1121,16 @@ object SparkEntry {
     "q122_dhash_neardup" -> ((s, dir) =>
       graft.operators.Media.dhashNearDup(documents(s, dir))),
 
+    // REAL byte-stream decode, oracle-gated (round-10 verdict #4): per doc
+    // the stub grid is encoded as actual PNG bytes, decoded back through
+    // javax.imageio (raster samples, integer box-average — no stub on the
+    // decode path), and dHashed from the DECODED grid + 2 full-grid
+    // checksums; the oracle computes the same values from the closed-form
+    // stub math, so any decoder bit-error breaks the hash. q121/q122 keep
+    // exercising the arithmetic-stub corpus unchanged
+    "q184_png_roundtrip" -> ((s, dir) =>
+      graft.operators.Media.pngRoundtripDhash(documents(s, dir))),
+
     // IMAGE duplicate clusters: connected components (the q47 min-label
     // machinery, factored free of its LSH edge source) over the verified
     // dHash Hamming-ball edges — the cross-modality composition a media
@@ -1336,6 +1346,16 @@ object SparkEntry {
     "q180_semantic_decontam" -> ((s, dir) =>
       Similarity.semanticDecontam(documents(s, dir), embeddings(s, dir),
         "src0")),
+
+    // q180's SCALE path (round-10 verdict #3): eval routed through the
+    // q153 IVF cells — per train vector, exact dots against only the
+    // nprobe nearest cells' eval vectors — with recall vs the brute
+    // ground truth MEASURED per nprobe (the q155 sweep pattern); the
+    // nprobe=16 full-probe row must read recall 10⁶ exactly (asserted
+    // in OperatorSpec too)
+    "q183_ivf_decontam" -> ((s, dir) =>
+      Similarity.ivfSemanticDecontamRecall(documents(s, dir),
+        embeddings(s, dir), "src0", Seq(1, 2, 4, 16))),
 
     // the ACTION half of q178 — decontaminate by CUTTING: eval-covered
     // spans spliced out of every train doc (clean docs verbatim, the
@@ -3631,6 +3651,8 @@ SELECT source, doc_id FROM rk WHERE rn <= n_keep""",
 
     "q122_dhash_neardup" -> graft.operators.Media.dhashNearDupSql(),
 
+    "q184_png_roundtrip" -> graft.operators.Media.pngRoundtripDhashSql,
+
     // q47's recursive-closure labeling over the dHash edge query (the full
     // q122 oracle SQL nested as the ed0 CTE)
     "q148_image_clusters" -> s"""WITH RECURSIVE ed0 AS (
@@ -4115,6 +4137,72 @@ k AS (SELECT vec_id,
 SELECT vec_id, CAST(pk % 1099511627776 AS BIGINT) AS nearest_eval_id,
   CAST(1000000 - pk // 1099511627776 AS BIGINT) AS max_sim_micro
 FROM k""",
+
+    // q180's CTEs (ev0/ev/tr/p/k verbatim) + the q153 cell math (cent /
+    // ascending-index squared-L2 fold / (dist, cid) row_number): eval
+    // cells, ranked train probes, pairs restricted to probed cells per
+    // nprobe, and the exact-packed-key recall vs brute
+    "q183_ivf_decontam" -> s"""WITH ev0 AS (
+  SELECT e.vec_id AS eval_id, e.embedding AS ev,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS se
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.source = 'src0'),
+ev AS (SELECT * FROM ev0 WHERE se > 0),
+tr AS (SELECT vec_id, embedding,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS st
+  FROM embeddings
+  WHERE vec_id NOT IN (SELECT eval_id FROM ev0) AND
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) > 0),
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < ${Similarity.IvfK}),
+evd AS (SELECT v.eval_id, c.cid,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [(CAST(v.ev[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+       * (CAST(v.ev[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)) for i in range(1, 65)]),
+      (a, b) -> a + b) AS dist
+  FROM ev v CROSS JOIN cent c),
+evcell AS (SELECT eval_id, cid AS cell FROM (
+  SELECT eval_id, cid, row_number() OVER (PARTITION BY eval_id ORDER BY dist, cid) AS rn
+  FROM evd) WHERE rn = 1),
+trd AS (SELECT t.vec_id, c.cid,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [(CAST(t.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+       * (CAST(t.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)) for i in range(1, 65)]),
+      (a, b) -> a + b) AS dist
+  FROM tr t CROSS JOIN cent c),
+trp AS (SELECT vec_id, cid AS cell,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM trd),
+p AS (SELECT t.vec_id, v.eval_id,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [CAST(t.embedding[i] AS DOUBLE)*CAST(v.ev[i] AS DOUBLE) for i in range(1, 65)]),
+      (a, b) -> a + b) AS dot,
+    t.st, v.se
+  FROM tr t, ev v),
+k AS (SELECT vec_id,
+    min((1000000 - CAST(round(round(dot/(sqrt(st)*sqrt(se)), 6)*1000000.0, 0) AS BIGINT))
+        * 1099511627776 + eval_id) AS pk
+  FROM p GROUP BY vec_id),
+ip AS (SELECT np.nprobe, p.vec_id, p.eval_id, p.dot, p.st, p.se
+  FROM (SELECT unnest([1, 2, 4, 16]) AS nprobe) np
+  JOIN trp ON trp.rn <= np.nprobe
+  JOIN evcell ec ON ec.cell = trp.cell
+  JOIN p ON p.vec_id = trp.vec_id AND p.eval_id = ec.eval_id),
+ik AS (SELECT nprobe, vec_id,
+    min((1000000 - CAST(round(round(dot/(sqrt(st)*sqrt(se)), 6)*1000000.0, 0) AS BIGINT))
+        * 1099511627776 + eval_id) AS pk
+  FROM ip GROUP BY nprobe, vec_id),
+nt AS (SELECT count(*) AS n_train FROM k)
+SELECT ik.nprobe, nt.n_train, count(*) AS n_found,
+  CAST(sum(CASE WHEN ik.pk = k.pk THEN 1 ELSE 0 END) AS BIGINT) AS n_argmax_match,
+  CAST(sum(CASE WHEN ik.pk = k.pk THEN 1 ELSE 0 END) * 1000000 // nt.n_train AS BIGINT) AS recall_micro
+FROM ik JOIN k USING (vec_id) CROSS JOIN nt
+GROUP BY ik.nprobe, nt.n_train""",
 
     "q179_decontam_cut" -> s"""WITH g0 AS (
   SELECT doc_id, source, u.i AS pos, substring(text, u.i, 40) AS w

@@ -164,6 +164,129 @@ FROM agg LEFT JOIN rl ON agg.doc_id = rl.doc_id"""
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------- real PNG decode (q184)
+
+  /** The stub gray in Scala — token-for-token [[graySql]] (`div 8`
+    * truncates; every term is non-negative so `/` matches). */
+  private[operators] def stubGray(docId: Long, nChars: Long, x: Int, y: Int): Int = {
+    val a = x + 9 * y + 1
+    val b = x * y + 1
+    val c = 29 * x + 57 * y
+    (((nChars / 8) * a + (docId % 3) * b + c) % 256).toInt
+  }
+
+  /** 9×8 row-major stub grid for a doc — the "image content" the PNG
+    * roundtrip carries. */
+  private[operators] def stubGrid(docId: Long, nChars: Long): Array[Int] =
+    Array.tabulate(GridH * GridW)(i => stubGray(docId, nChars, i % GridW, i / GridW))
+
+  /** dHash grid geometry: 9 columns (x ∈ 0..8 — bit x compares x+1 vs x)
+    * × 8 rows. */
+  val GridW = 9
+  val GridH = 8
+
+  /** Encode a 9×8 gray grid as REAL PNG bytes (TYPE_BYTE_GRAY — PNG is
+    * lossless and the JDK writer stores 8-bit grayscale samples verbatim,
+    * so decode returns the exact grid). */
+  def pngEncodeGray(grays: Array[Int]): Array[Byte] = {
+    require(grays.length == GridW * GridH, s"expected ${GridW * GridH} grays")
+    val img = new java.awt.image.BufferedImage(
+      GridW, GridH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var i = 0
+    while (i < grays.length) { r.setSample(i % GridW, i / GridW, 0, grays(i)); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode (round-10 verdict #4 — the engine had never decoded
+    * an actual byte stream): javax.imageio ships in the JDK, so the PNG
+    * path needs no external codec. Decode + integer BOX-AVERAGE downsample
+    * to the 9×8 dHash luma grid. Determinism: samples are read from the
+    * RASTER (img.getRGB on a gray image would route through a
+    * colorspace transform), luma is the integer (299R+587G+114B)/1000,
+    * and the box average is a plain integer sum/count — no Graphics2D
+    * scaler (platform-varying filters) anywhere. Grayscale (1-band)
+    * images take the sample verbatim — the lossless roundtrip
+    * [[pngEncodeGray]] relies on.
+    */
+  def pngGray9x8(bytes: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "pngGray9x8: undecodable image bytes")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= GridW && h >= GridH, s"pngGray9x8: image $w x $h smaller than $GridW x $GridH")
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    def luma(x: Int, y: Int): Int =
+      if (bands == 1) raster.getSample(x, y, 0)
+      else (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1)
+        + 114 * raster.getSample(x, y, 2)) / 1000
+    Array.tabulate(GridH * GridW) { i =>
+      val gx = i % GridW
+      val gy = i / GridW
+      val x0 = gx * w / GridW; val x1 = (gx + 1) * w / GridW
+      val y0 = gy * h / GridH; val y1 = (gy + 1) * h / GridH
+      var s = 0L; var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { s += luma(x, y); n += 1; x += 1 }
+        y += 1
+      }
+      (s / n).toInt
+    }
+  }
+
+  /** 16-bit dHash word j over a DECODED `grid` column (1-based
+    * element_at; same bit layout as [[dhashWordSql]]). */
+  private def dhashWordFromGridSql(j: Int): String =
+    (0 until 16).map { k =>
+      val b = 16 * j + k
+      val x = b % 8
+      val y = b / 8
+      s"(CASE WHEN element_at(grid, ${y * GridW + x + 2}) > element_at(grid, ${y * GridW + x + 1}) THEN ${1 << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The PNG ROUNDTRIP query (q184): per doc, encode the stub grid as real
+    * PNG bytes, decode them back through [[pngGray9x8]], and dHash the
+    * DECODED grid — plus two grid checksums (plain and index-weighted) so
+    * the oracle pins every one of the 72 decoded pixels, not only the 64
+    * gradient comparisons. The oracle computes the same values from the
+    * CLOSED-FORM stub math ([[graySql]]): any decoder bit-error anywhere
+    * in the byte path breaks the hash match — this is the round's "the
+    * engine has decoded a real byte stream, oracle-gated" row. Both UDFs
+    * are row-local (scan → emit, zero shuffle — the multimodal decode
+    * shape at any scale); q121/q122 keep running the arithmetic stub
+    * corpus unchanged.
+    */
+  def pngRoundtripDhash(docs: DataFrame): DataFrame = {
+    val rt = udf { (docId: Long, nChars: Long) =>
+      pngGray9x8(pngEncodeGray(stubGrid(docId, nChars)))
+    }
+    docs
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+      .withColumn("grid", rt(col("doc_id"), col("nc")))
+      .select(
+        col("doc_id") +:
+        (0 until 4).map(j => expr(dhashWordFromGridSql(j)).cast("int").as(s"w$j")) :+
+        expr("aggregate(grid, bigint(0), (a, g) -> a + g)").as("gray_sum") :+
+        expr(s"""aggregate(zip_with(grid, sequence(1, ${GridW * GridH}), (g, i) -> bigint(g) * i),
+                bigint(0), (a, b) -> a + b)""").as("gray_wsum"): _*)
+  }
+
+  /** Oracle for [[pngRoundtripDhash]]: the stub closed form — decode is
+    * lossless, so the roundtrip must land exactly here. */
+  def pngRoundtripDhashSql: String = {
+    val sum = (0 until GridH * GridW)
+      .map(i => graySql(i % GridW, i / GridW, "//")).mkString(" + ")
+    val wsum = (0 until GridH * GridW)
+      .map(i => s"${i + 1} * ${graySql(i % GridW, i / GridW, "//")}").mkString(" + ")
+    "SELECT doc_id, " +
+      (0 until 4).map(j => s"CAST(${dhashWordSql(j, "//")} AS INT) AS w$j").mkString(", ") +
+      s", CAST($sum AS BIGINT) AS gray_sum, CAST($wsum AS BIGINT) AS gray_wsum FROM documents"
+  }
+
   /** Oracle for [[dhashNearDup]]: same generated hash SQL, band union,
     * NOT EXISTS hot-cap, self-join, xor/bit_count verify. */
   def dhashNearDupSql(maxHamming: Int = 3): String = s"""WITH h AS ($dhashHashSql),

@@ -202,7 +202,15 @@ object Similarity {
 
   /** Cell-id column via a JIT UDF over the broadcast codebook. */
   def ivfCellCol(spark: org.apache.spark.sql.SparkSession,
-      cents: Array[Array[Double]]): Column = {
+      cents: Array[Array[Double]]): Column =
+    ivfCellOn(spark, cents, col("embedding"))
+
+  /** [[ivfCellCol]] over an arbitrary embedding column (renamed sides —
+    * e.g. the decontam family's `ev_emb`). Strict `<` keeps the FIRST
+    * (lowest-id) centroid on a distance tie — the [[nearestCells]] order.
+    */
+  def ivfCellOn(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]], embCol: Column): Column = {
     val bc = spark.sparkContext.broadcast(cents)
     udf { (emb: Seq[Float]) =>
       if (emb == null) null
@@ -219,7 +227,7 @@ object Similarity {
         }
         best
       }: Integer
-    }.apply(col("embedding"))
+    }.apply(embCol)
   }
 
   /** IVF ANN: top-k by cosine scanning only the `nprobe` cells nearest the
@@ -538,14 +546,37 @@ object Similarity {
     */
   def semanticDecontam(docs: DataFrame, emb: DataFrame,
       evalSource: String): DataFrame = {
+    val (ev, train) = decontamSides(docs, emb, evalSource)
+    train.crossJoin(broadcast(ev))
+      .withColumn("dot", dotCols(col("embedding"), col("ev_emb")))
+      // pk = (10⁶ − sim_micro)·2⁴⁰ + eval_id: ascending = (sim desc,
+      // eval_id asc); sim ∈ [−1, 1] keeps the high field ≤ 2·10⁶ ≪ 2²³
+      .select(col("vec_id"),
+        ((lit(1000000L) - decontamSimMicro) * lit(1099511627776L)
+          + col("eval_id")).as("pk"))
+      .groupBy("vec_id").agg(min("pk").as("pk"))
+      .select(col("vec_id"),
+        expr("CAST(pk % 1099511627776 AS BIGINT)").as("nearest_eval_id"),
+        expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")
+          .as("max_sim_micro"))
+  }
+
+  /** Shared eval/train sides of the semantic-decontam family: the eval
+    * source's vectors (docs pairing) and the train remainder. Cosine is
+    * undefined for zero vectors: both sides EXCLUDE them row-locally
+    * (mirrored in the oracle) — unguarded, Spark's 0/0 NaN would CAST
+    * silently to sim_micro 0 while DuckDB reads NULL, the
+    * silent-divergence class this family's loud id-bound check exists to
+    * prevent (a corpus-wide min-norm assert would cost a full eager pass;
+    * the filter is free and the honest semantics). The packed-key field
+    * bound (the keepLongest/q169 convention) is checked here: eval ids
+    * must fit the low 40 bits — one bounded 1-row collect, loud on
+    * violation rather than silently corrupting the argmax.
+    */
+  private def decontamSides(docs: DataFrame, emb: DataFrame,
+      evalSource: String): (DataFrame, DataFrame) = {
     val evalIds = docs.filter(col("source") === evalSource)
       .select(col("doc_id").as("vec_id"))
-    // cosine is undefined for zero vectors: both sides EXCLUDE them
-    // row-locally (mirrored in the oracle) — unguarded, Spark's 0/0 NaN
-    // would CAST silently to sim_micro 0 while DuckDB reads NULL, the
-    // silent-divergence class this operator's loud id-bound check exists
-    // to prevent (a corpus-wide min-norm assert would cost a full eager
-    // pass; the filter is free and the honest semantics)
     val ev = emb.join(evalIds, Seq("vec_id"))
       .select(col("vec_id").as("eval_id"), col("embedding").as("ev_emb"),
         sqrt(sqNorm(col("embedding"))).as("ev_nrm"))
@@ -554,28 +585,119 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         sqrt(sqNorm(col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)
-    // packed-key field bound (the keepLongest/q169 convention): eval ids
-    // must fit the low 40 bits — one bounded 1-row check, loud on
-    // violation rather than silently corrupting the argmax
     val b = ev.agg(coalesce(max("eval_id"), lit(0L)).as("mx"),
       coalesce(min("eval_id"), lit(0L)).as("mn")).collect()(0)
     require(b.getLong(0) < (1L << 40) && b.getLong(1) >= 0L,
       s"semanticDecontam packed key needs eval ids in [0, 2^40); got " +
         s"[${b.getLong(1)}, ${b.getLong(0)}]")
-    val simMicro = expr("""CAST(round(
+    (ev, train)
+  }
+
+  /** The decontam family's shared pair score — identical tokens on the
+    * brute and IVF-blocked arms so the full-probe identity holds
+    * bit-for-bit.
+    */
+  private def decontamSimMicro: Column = expr("""CAST(round(
       round(dot / (nrm * ev_nrm), 6) * 1000000.0, 0) AS BIGINT)""")
-    train.crossJoin(broadcast(ev))
+
+  /** (vec_id, rnk, pk) pairs of the IVF-BLOCKED decontam family: each
+    * train vector against exactly the eval vectors living in its ranked
+    * probe cells. Eval vectors land in their nearest-centroid cell (the
+    * deterministic q153 codebook — embeddings of vec_id < [[IvfK]]);
+    * train probes rank 0..maxProbe−1 by ascending centroid distance with
+    * lowest-id tiebreak ([[nearestCells]]' exact order). A pair appears
+    * at most once: an eval vector has exactly ONE cell.
+    *
+    * Scale shape: cell is the join key — at benchmark scale the eval
+    * side broadcasts (the brute op's convention); at multi-benchmark
+    * scale both sides hash-partition by cell, so per-task work is
+    * train-in-partition × eval-in-cell, never train × full-eval.
+    */
+  private def ivfDecontamPairs(docs: DataFrame, emb: DataFrame,
+      evalSource: String, maxProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = ivfCentroids(emb)
+    val (ev, train) = decontamSides(docs, emb, evalSource)
+    val evc = ev.withColumn("cell", ivfCellOn(spark, cents, col("ev_emb")))
+    val bc = spark.sparkContext.broadcast(cents)
+    val probeUdf = udf { (e: Seq[Float]) =>
+      nearestCells(e.map(_.toDouble).toIndexedSeq, bc.value, maxProbe)
+    }
+    train
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(probeUdf(col("embedding"))).as(Seq("rnk", "cell")))
+      .join(broadcast(evc), Seq("cell"))
       .withColumn("dot", dotCols(col("embedding"), col("ev_emb")))
-      // pk = (10⁶ − sim_micro)·2⁴⁰ + eval_id: ascending = (sim desc,
-      // eval_id asc); sim ∈ [−1, 1] keeps the high field ≤ 2·10⁶ ≪ 2²³
-      .select(col("vec_id"),
-        ((lit(1000000L) - simMicro) * lit(1099511627776L) + col("eval_id"))
-          .as("pk"))
+      .select(col("vec_id"), col("rnk"),
+        ((lit(1000000L) - decontamSimMicro) * lit(1099511627776L)
+          + col("eval_id")).as("pk"))
+  }
+
+  /** IVF-blocked semantic decontamination — [[semanticDecontam]]'s scale
+    * path for MULTI-benchmark eval sets. The brute op dots every train
+    * vector against the FULL eval set: right when eval is one benchmark,
+    * linear-degrading when eval unions many (10⁶+ rows). Here each train
+    * vector probes only its `nprobe` nearest IVF cells and dots exactly
+    * against the eval vectors inside them — expected eval-scan fraction
+    * nprobe/[[IvfK]] per train vector. Same output contract as the brute
+    * op; a vector whose probed cells hold no eval vector emits no row.
+    * Recall is MEASURED, not assumed ([[ivfSemanticDecontamRecall]]);
+    * nprobe = [[IvfK]] probes every cell and is the brute result exactly
+    * (every (train, eval) pair present, identical score tokens —
+    * OperatorSpec asserts it; the q155 full-probe-isolates-quantization
+    * pattern, with no quantization axis here).
+    */
+  def ivfSemanticDecontam(docs: DataFrame, emb: DataFrame,
+      evalSource: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= IvfK,
+      s"nprobe must be in [1, $IvfK]; got $nprobe")
+    ivfDecontamPairs(docs, emb, evalSource, nprobe)
       .groupBy("vec_id").agg(min("pk").as("pk"))
       .select(col("vec_id"),
         expr("CAST(pk % 1099511627776 AS BIGINT)").as("nearest_eval_id"),
         expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")
           .as("max_sim_micro"))
+  }
+
+  /** Recall of the IVF-blocked decontam vs the brute ground truth, per
+    * nprobe — the evidence row that licenses running [[ivfSemanticDecontam]]
+    * at scale (the q155 recall-sweep pattern). Per nprobe: train count
+    * (brute emits every usable train vector), vectors the IVF arm emitted
+    * at all, vectors whose (argmax eval id, sim) EXACTLY match brute's
+    * packed key, and recall in ppm. All-integer output — hash-stable.
+    *
+    * One pair scan serves every nprobe: a rank-`rnk` pair contributes to
+    * all swept nprobes > rnk (row-local array filter + explode — no
+    * non-equi join, so the suite-wide no-BNLJ plan guard holds), then one
+    * keyed min per (nprobe, vec_id). The 1-row train count rides the
+    * whitelisted scalar cross join.
+    */
+  def ivfSemanticDecontamRecall(docs: DataFrame, emb: DataFrame,
+      evalSource: String, nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= IvfK),
+      s"nprobes must be in [1, $IvfK]; got $nprobes")
+    val pairs = ivfDecontamPairs(docs, emb, evalSource, nprobes.max)
+    val brute = semanticDecontam(docs, emb, evalSource)
+      .select(col("vec_id"),
+        ((lit(1000000L) - col("max_sim_micro")) * lit(1099511627776L)
+          + col("nearest_eval_id")).as("bpk"))
+    val npArr = array(nprobes.sorted.map(lit): _*)
+    val ivf = pairs
+      .withColumn("nprobe", explode(filter(npArr, n => n > col("rnk"))))
+      .groupBy("nprobe", "vec_id").agg(min("pk").as("pk"))
+    graft.core.Lifecycle.withPersisted(brute) {
+      val matched = ivf.join(brute, Seq("vec_id"))
+        .groupBy("nprobe").agg(
+          count(lit(1)).as("n_found"),
+          sum(when(col("pk") === col("bpk"), 1L).otherwise(0L))
+            .as("n_argmax_match"))
+      val nTrain = brute.agg(count(lit(1)).as("n_train"))
+      matched.crossJoin(broadcast(nTrain))
+        .select(col("nprobe"), col("n_train"), col("n_found"),
+          col("n_argmax_match"),
+          expr("CAST(n_argmax_match * 1000000 div n_train AS BIGINT)")
+            .as("recall_micro"))
+    }
   }
 
   /** The [[semanticDecontam]] eval side, DRIVER-materialized for

@@ -106,7 +106,22 @@ object KeyedSink {
     val fut = new java.util.concurrent.CompletableFuture[
       org.apache.parquet.hadoop.metadata.ParquetMetadata]()
     val prev = footerInFlight.putIfAbsent(f, fut)
-    if (prev != null) return prev.join() // another thread is loading it
+    if (prev != null) {
+      // another thread is loading it — unwrap join()'s CompletionException
+      // so waiters see the loader's original exception type, the contract
+      // the pre-LRU computeIfAbsent gave callers
+      try return prev.join()
+      catch {
+        case e: java.util.concurrent.CompletionException
+            if e.getCause != null => throw e.getCause
+      }
+    }
+    // a loader may have finished between the cache check and the losing
+    // putIfAbsent race window above — recheck before paying a second read
+    footerCache.synchronized {
+      val hit = footerCache.get(f)
+      if (hit != null) { fut.complete(hit); footerInFlight.remove(f, fut); return hit }
+    }
     try {
       val fresh = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
         getConf, hp,
@@ -136,6 +151,14 @@ object KeyedSink {
   private[sources] def footerCachePut(f: String,
       meta: org.apache.parquet.hadoop.metadata.ParquetMetadata): Unit =
     footerCache.synchronized(footerCache.put(f, meta))
+
+  /** Test-only: drop every entry. The cache is process-global, so a churn
+    * test that saturates it with synthetic paths must reset it or every
+    * later same-JVM test/benchmark inherits a full cache (ordering-
+    * sensitive results — round-10 ADVICE).
+    */
+  private[sources] def footerCacheClear(): Unit =
+    footerCache.synchronized(footerCache.clear())
 
   def lookupDirect(path: String, modulus: Int, key: String)
       : Seq[org.apache.spark.sql.Row] = {

@@ -286,8 +286,13 @@ object EventStream {
     // all-null pks and its groupBy still emits the vector with a null
     // sim, so the stream twin must COUNT it in n_vectors with flagged 0)
     val Excluded = -1L
-    val score = udf { (emb: Seq[Float]) =>
-      if (emb == null) Some(Excluded)
+    // eval-shard exclusion ALSO rides the closure (the id set is already
+    // driver-materialized alongside the vectors): an isInCollection filter
+    // would embed every eval id as a plan literal — the exact plan-growth
+    // class the O(1)-plan note above rules out
+    val score = udf { (vecId: Long, emb: Seq[Float]) =>
+      if (evalIdSet.contains(vecId)) Some(Excluded)
+      else if (emb == null) Some(Excluded)
       else {
         var n2 = 0.0
         var i = 0
@@ -314,8 +319,7 @@ object EventStream {
       }
     }
     embStream
-      .filter(!col("vec_id").isInCollection(evalIdSet))
-      .withColumn("pk", score(col("embedding")))
+      .withColumn("pk", score(col("vec_id"), col("embedding")))
       .filter(col("pk").isNull || col("pk") =!= Excluded)
       .select(col("source"),
         expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")

@@ -81,6 +81,61 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expect)
   }
 
+  test("real PNG roundtrip is lossless: encode a gray grid to actual PNG " +
+    "bytes, decode through javax.imageio, get the exact grid back") {
+    // stub grids of several docs + the full 0..255 dynamic range
+    val grids = Seq(
+      Media.stubGrid(1L, 100L), Media.stubGrid(2L, 101L),
+      Media.stubGrid(999999937L, 4096L),
+      Array.tabulate(72)(i => (i * 255) / 71),       // 0..255 ramp
+      Array.fill(72)(0), Array.fill(72)(255))        // extremes
+    grids.foreach { g =>
+      val back = Media.pngGray9x8(Media.pngEncodeGray(g))
+      assert(back.toSeq === g.toSeq, "decode(encode(grid)) must be identity")
+    }
+  }
+
+  test("pngGray9x8 on an RGB image: raster-sample luma + integer " +
+    "box-average downsample, no colorspace surprises") {
+    // 36×32 RGB image of 4×4 constant blocks — each 9×8 grid cell covers
+    // exactly one block, so the box average equals that block's luma
+    val img = new java.awt.image.BufferedImage(
+      36, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val colors = Array.tabulate(8, 9) { (gy, gx) =>
+      ((gx * 31 + 7) % 256, (gy * 53 + 11) % 256, ((gx + gy) * 17) % 256)
+    }
+    for (y <- 0 until 32; x <- 0 until 36) {
+      val (r, g, b) = colors(y / 4)(x / 4)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = Media.pngGray9x8(bos.toByteArray)
+    val want = Array.tabulate(72) { i =>
+      val (r, g, b) = colors(i / 9)(i % 9)
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("pngRoundtripDhash: words from the DECODED grid equal the stub " +
+    "dhash, checksums pin all 72 pixels") {
+    val df = docsDf((1L, 100L), (2L, 101L), (3L, 800L), (17L, 4095L))
+    val stub = Media.dhash(df).collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val got = Media.pngRoundtripDhash(df).collect()
+      .map(r => r.getLong(0) ->
+        ((Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)),
+          r.getLong(5), r.getLong(6)))).toMap
+    got.foreach { case (d, (words, gsum, gwsum)) =>
+      assert(words === stub(d), s"doc $d: decoded-grid dhash != stub dhash")
+      val n = df.filter(col("doc_id") === d).head.getLong(1)
+      val grid = Media.stubGrid(d, n)
+      assert(gsum === grid.map(_.toLong).sum)
+      assert(gwsum === grid.zipWithIndex.map { case (g, i) => g.toLong * (i + 1) }.sum)
+    }
+  }
+
   test("invertedIndex: df is the full count while postings is the bottom-k prefix, delta-encoded") {
     val ss = spark; import ss.implicits._
     // term "alpha" in 20 docs (df 20 > k=16); ids descending on purpose —

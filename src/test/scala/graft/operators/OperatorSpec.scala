@@ -1177,6 +1177,37 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $got")
   }
 
+  test("ivfSemanticDecontam: full probe (nprobe = IvfK) equals brute " +
+    "semanticDecontam exactly; the recall sweep's full-probe row reads " +
+    "10^6 and recall is monotone in nprobe") {
+    // real sf0.001 corpus — the brute/IVF identity must hold on arbitrary
+    // data, not a hand-placed fixture (every (train, eval) pair is present
+    // at full probe and the score tokens are shared, so equality is exact)
+    val docs = spark.read.parquet(s"$Dir/documents.parquet")
+    val emb = spark.read.parquet(s"$Dir/embeddings.parquet")
+    val brute = Similarity.semanticDecontam(docs, emb, "src0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    val full = Similarity
+      .ivfSemanticDecontam(docs, emb, "src0", Similarity.IvfK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === brute, "full-probe IVF must be the brute result")
+    val sweep = Similarity
+      .ivfSemanticDecontamRecall(docs, emb, "src0",
+        Seq(1, 4, Similarity.IvfK)).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (nTrain, nFound, nMatch, rec) = sweep(Similarity.IvfK)
+    assert(nTrain === brute.size.toLong)
+    assert(nFound === nTrain && nMatch === nTrain && rec === 1000000L,
+      s"full-probe row must be perfect: $sweep")
+    val recs = Seq(1, 4, Similarity.IvfK).map(np => sweep(np)._4)
+    assert(recs === recs.sorted, s"recall must be monotone in nprobe: $recs")
+    // partial probes really do restrict the pair set (found ≤ train, and
+    // the 1-probe arm scans strictly fewer pairs than full on this corpus)
+    assert(sweep(1)._2 <= nTrain)
+  }
+
   test("substringFlow counts distinct shared grams per source pair, " +
     "ignoring within-source duplication") {
     val ss = spark; import ss.implicits._

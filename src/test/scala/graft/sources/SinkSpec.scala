@@ -399,6 +399,7 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
     val hot = "/churn-test/hot.parquet"
     KeyedSink.footerCachePut(hot, meta)
+    try {
     // version churn: 2× the bound of distinct cold entries, the hot one
     // touched every 1024 insertions as a live serving key would be
     (0 until KeyedSink.FooterCacheMax * 2).foreach { i =>
@@ -418,6 +419,9 @@ class SinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       KeyedSink.lookupDirect("hdfs://namenode/store/points", 10, "0:0")
     }
     assert(e.getMessage.contains("lookup"), e.getMessage)
+    // the cache is process-global: leave it empty, not saturated with 8k
+    // synthetic paths every later same-JVM test would inherit
+    } finally KeyedSink.footerCacheClear()
   }
 
   test("version churn mid-serve: after a manifest bump the OLD version's " +
