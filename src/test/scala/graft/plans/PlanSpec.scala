@@ -134,6 +134,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       // decontamination scans every train vector against the tiny eval
       // set — q134's justification verbatim)
       "q180_semantic_decontam",
+      // q183: the recall sweep CONTAINS q180's brute arm as its ground
+      // truth (the fan-out appears twice in the lazy planOnly plan —
+      // production localCheckpoints it once) plus the 1-row n_train
+      // scalar; the IVF arm itself joins on cell via BroadcastHashJoin
+      // (plan-asserted below) — the approximate path has NO fan-out
+      "q183_ivf_decontam",
       // q149: the same corpus × broadcast query-set fan-out, twice (brute
       // ground-truth arm and IVF probed arm), plus query set × 16-row
       // codebook for the probe table
@@ -277,6 +283,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q180 lost its bounded broadcast fan-out:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"q180 degraded:\n$p")
+    // q183's APPROXIMATE arm must pair train probes to eval vectors via a
+    // cell-keyed BroadcastHashJoin — a BNLJ here would mean the IVF
+    // blocking silently degenerated to the brute fan-out it exists to
+    // replace (the brute arm is present as ground truth and the 1-row
+    // scalar join rides the whitelist; both are expected)
+    // planOnly: q183 wraps its brute ground truth in withPersisted — the
+    // production localCheckpoint would truncate the plan to a scan (and
+    // execute the query here)
+    graft.core.Lifecycle.planOnly = true
+    val p183 = try planOf("q183_ivf_decontam")
+      finally graft.core.Lifecycle.planOnly = false
+    assert(p183.contains("BroadcastHashJoin"),
+      s"q183's IVF arm lost its cell-keyed hash join:\n$p183")
+    assert(!p183.contains("CartesianProduct"), s"q183 degraded:\n$p183")
   }
 
   // formatted mode prints the op tree bare ("Exchange (6)") and the spec in
