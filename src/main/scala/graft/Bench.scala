@@ -70,6 +70,10 @@ object Bench {
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     names.foreach(run(warmDir, _, attribute = false)) // warmup: JIT every plan shape
+    // ONE quiescence barrier after the whole warmup sweep (not per query):
+    // the last warmup query's async stage events must not land after the
+    // first timed query's reset() and inflate its attribution
+    metrics.settle()
     // two timed runs, keep the min-wall run's triple — single runs swing
     // ±40% from GC debt accumulated by earlier queries; System.gc()
     // flattens the baseline. CPU/shuffle ride with the chosen run (their

@@ -185,10 +185,18 @@ FROM agg LEFT JOIN rl ON agg.doc_id = rl.doc_id"""
   val GridW = 9
   val GridH = 8
 
+  // ImageIO's default stream wrappers spool through a TEMP FILE in
+  // java.io.tmpdir — two create/write/delete syscall round-trips per row
+  // would dominate the pure-CPU decode the roundtrip measures. Memory
+  // caching keeps the per-row path allocation-only. (JVM-global, set once;
+  // nothing else in this process uses ImageIO.)
+  private val imageIoNoFileCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode a 9×8 gray grid as REAL PNG bytes (TYPE_BYTE_GRAY — PNG is
     * lossless and the JDK writer stores 8-bit grayscale samples verbatim,
     * so decode returns the exact grid). */
   def pngEncodeGray(grays: Array[Int]): Array[Byte] = {
+    imageIoNoFileCache
     require(grays.length == GridW * GridH, s"expected ${GridW * GridH} grays")
     val img = new java.awt.image.BufferedImage(
       GridW, GridH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -212,14 +220,26 @@ FROM agg LEFT JOIN rl ON agg.doc_id = rl.doc_id"""
     * [[pngEncodeGray]] relies on.
     */
   def pngGray9x8(bytes: Array[Byte]): Array[Int] = {
+    imageIoNoFileCache
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "pngGray9x8: undecodable image bytes")
     val (w, h) = (img.getWidth, img.getHeight)
     require(w >= GridW && h >= GridH, s"pngGray9x8: image $w x $h smaller than $GridW x $GridH")
     val raster = img.getRaster
     val bands = raster.getNumBands
+    // paletted PNGs carry palette INDICES in their 1-band raster — resolve
+    // through the color model (an index whose palette entry is white must
+    // read 255, not 0); 1/2 bands = gray(+alpha) sample verbatim; 3/4
+    // bands = RGB(+alpha) integer luma. Alpha is ignored everywhere.
+    val palette = img.getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        Array.tabulate(icm.getMapSize)(i =>
+          (299 * icm.getRed(i) + 587 * icm.getGreen(i) + 114 * icm.getBlue(i)) / 1000)
+      case _ => null
+    }
     def luma(x: Int, y: Int): Int =
-      if (bands == 1) raster.getSample(x, y, 0)
+      if (palette != null) palette(raster.getSample(x, y, 0))
+      else if (bands <= 2) raster.getSample(x, y, 0)
       else (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1)
         + 114 * raster.getSample(x, y, 2)) / 1000
     Array.tabulate(GridH * GridW) { i =>

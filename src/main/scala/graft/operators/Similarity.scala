@@ -547,6 +547,13 @@ object Similarity {
   def semanticDecontam(docs: DataFrame, emb: DataFrame,
       evalSource: String): DataFrame = {
     val (ev, train) = decontamSides(docs, emb, evalSource)
+    bruteDecontamFrom(ev, train)
+  }
+
+  /** The brute arm over pre-built sides — shared with the q183 recall
+    * sweep so sides (and their eager id-bound check job) build ONCE per
+    * invocation. */
+  private def bruteDecontamFrom(ev: DataFrame, train: DataFrame): DataFrame =
     train.crossJoin(broadcast(ev))
       .withColumn("dot", dotCols(col("embedding"), col("ev_emb")))
       // pk = (10⁶ − sim_micro)·2⁴⁰ + eval_id: ascending = (sim desc,
@@ -559,7 +566,6 @@ object Similarity {
         expr("CAST(pk % 1099511627776 AS BIGINT)").as("nearest_eval_id"),
         expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")
           .as("max_sim_micro"))
-  }
 
   /** Shared eval/train sides of the semantic-decontam family: the eval
     * source's vectors (docs pairing) and the train remainder. Cosine is
@@ -613,11 +619,9 @@ object Similarity {
     * scale both sides hash-partition by cell, so per-task work is
     * train-in-partition × eval-in-cell, never train × full-eval.
     */
-  private def ivfDecontamPairs(docs: DataFrame, emb: DataFrame,
-      evalSource: String, maxProbe: Int): DataFrame = {
-    val spark = emb.sparkSession
-    val cents = ivfCentroids(emb)
-    val (ev, train) = decontamSides(docs, emb, evalSource)
+  private def ivfDecontamPairs(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]], ev: DataFrame, train: DataFrame,
+      maxProbe: Int): DataFrame = {
     val evc = ev.withColumn("cell", ivfCellOn(spark, cents, col("ev_emb")))
     val bc = spark.sparkContext.broadcast(cents)
     val probeUdf = udf { (e: Seq[Float]) =>
@@ -651,7 +655,8 @@ object Similarity {
       evalSource: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= IvfK,
       s"nprobe must be in [1, $IvfK]; got $nprobe")
-    ivfDecontamPairs(docs, emb, evalSource, nprobe)
+    val (ev, train) = decontamSides(docs, emb, evalSource)
+    ivfDecontamPairs(emb.sparkSession, ivfCentroids(emb), ev, train, nprobe)
       .groupBy("vec_id").agg(min("pk").as("pk"))
       .select(col("vec_id"),
         expr("CAST(pk % 1099511627776 AS BIGINT)").as("nearest_eval_id"),
@@ -676,8 +681,12 @@ object Similarity {
       evalSource: String, nprobes: Seq[Int]): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(n => n >= 1 && n <= IvfK),
       s"nprobes must be in [1, $IvfK]; got $nprobes")
-    val pairs = ivfDecontamPairs(docs, emb, evalSource, nprobes.max)
-    val brute = semanticDecontam(docs, emb, evalSource)
+    // sides (and their eager id-bound check job) build ONCE and feed both
+    // the IVF arm and the brute ground truth
+    val (ev, train) = decontamSides(docs, emb, evalSource)
+    val pairs = ivfDecontamPairs(emb.sparkSession, ivfCentroids(emb), ev,
+      train, nprobes.max)
+    val brute = bruteDecontamFrom(ev, train)
       .select(col("vec_id"),
         ((lit(1000000L) - col("max_sim_micro")) * lit(1099511627776L)
           + col("nearest_eval_id")).as("bpk"))

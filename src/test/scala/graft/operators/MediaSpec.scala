@@ -118,6 +118,41 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("pngGray9x8 resolves paletted PNGs through the palette (indices " +
+    "are not lumas) and reads gray+alpha from band 0") {
+    // paletted: index 0 -> white, index 1 -> black; an index-as-luma bug
+    // would read 0 (black) for the white pixels
+    val pal = new java.awt.image.IndexColorModel(8, 2,
+      Array[Byte](255.toByte, 0), Array[Byte](255.toByte, 0),
+      Array[Byte](255.toByte, 0))
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, pal)
+    for (y <- 0 until 8; x <- 0 until 9)
+      img.getRaster.setSample(x, y, 0, if ((x + y) % 2 == 0) 0 else 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = Media.pngGray9x8(bos.toByteArray)
+    val want = Array.tabulate(72)(i => if ((i % 9 + i / 9) % 2 == 0) 255 else 0)
+    assert(got.toSeq === want.toSeq)
+    // gray+alpha: a genuine 2-band CS_GRAY image (PNG color type 4 on
+    // disk; reads back as a 2-band raster) — luma = band 0, alpha ignored;
+    // the pre-fix code indexed band 2 here and threw
+    val cs = java.awt.color.ColorSpace.getInstance(java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new java.awt.image.ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT, java.awt.image.DataBuffer.TYPE_BYTE)
+    val wr = cm.createCompatibleWritableRaster(9, 8)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      wr.setSample(x, y, 0, (x * 20 + y * 3) % 256)
+      wr.setSample(x, y, 1, 128) // translucent everywhere
+    }
+    val ga = new java.awt.image.BufferedImage(cm, wr, false, null)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(ga, "png", bos2)
+    val got2 = Media.pngGray9x8(bos2.toByteArray)
+    val want2 = Array.tabulate(72)(i => ((i % 9) * 20 + (i / 9) * 3) % 256)
+    assert(got2.toSeq === want2.toSeq)
+  }
+
   test("pngRoundtripDhash: words from the DECODED grid equal the stub " +
     "dhash, checksums pin all 72 pixels") {
     val df = docsDf((1L, 100L), (2L, 101L), (3L, 800L), (17L, 4095L))

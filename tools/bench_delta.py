@@ -35,11 +35,21 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thresh = 0.20
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, thresh, i = [], 0.20, 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--thresh"):
-            thresh = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                thresh = float(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    sys.exit("--thresh needs a value\n" + __doc__)
+                thresh = float(argv[i + 1])
+                i += 1  # consume the value so it never lands in positionals
+        else:
+            args.append(a)
+        i += 1
     if len(args) < 2:
         sys.exit(__doc__)
     prev_path, cur_path = args[0], args[1]
