@@ -198,11 +198,17 @@ object BenchScale {
           .cast("int"))))
       .withColumn("lat_site", expr("pmod(site * 7919, 1700)"))
       .withColumn("lng_site", expr("pmod(site * 104729, 3600)"))
+      // the +modulus·(key + 4·10⁹) high part keeps hot keys distinct AND
+      // disjoint from every untouched cold key (cold keys < 2·10⁹ ≪
+      // modulus·4·10⁹) — without the offset a small hot key could collide
+      // with a cold one and merge unrelated rows' derivations
       .withColumn("l_orderkey", when(col("u_gate") < hotGate,
-          expr("pmod(243 * (lat_site - 13 * l_linenumber), 1700) + 1700 * (l_orderkey + 1)"))
+          expr("pmod(243 * (lat_site - 13 * l_linenumber), 1700) " +
+            "+ 1700 * (l_orderkey + 4000000000)"))
         .otherwise(col("l_orderkey")))
       .withColumn("l_partkey", when(col("u_gate") < hotGate,
-          expr("pmod(2753 * (lng_site - 23 * l_suppkey), 3600) + 3600 * (l_partkey + 1)"))
+          expr("pmod(2753 * (lng_site - 23 * l_suppkey), 3600) " +
+            "+ 3600 * (l_partkey + 4000000000)"))
         .otherwise(col("l_partkey")))
       .drop("u_gate", "u_site", "site", "lat_site", "lng_site")
       .write.mode("overwrite").parquet(outPath)

@@ -39,6 +39,10 @@ object ScaleLab {
         mk.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // quiescence before reading the line (and before the next run's
+        // reset): listener events land async — without this the tail of
+        // one run's stages bleeds into the next run's attribution
+        m.settle()
         println(f"[lab] $name run$i ${dt}%.1fs ${m.line}")
       }
     }
@@ -121,6 +125,7 @@ object ScaleLab {
               .write.format("noop").mode("overwrite").save()
             val dt = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
+            m.settle() // async listener quiescence — same rule as run()
             println(f"[lab] fullDepth:$e pass$pass ${dt}%.1fs ${m.line}")
             best(e) = math.min(best.getOrElse(e, Double.MaxValue), dt)
           }
@@ -160,6 +165,7 @@ object ScaleLab {
         var t0 = System.nanoTime()
         var top = MapBuild.pyramidState(occ2, e, 16)
         top.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        m.settle()
         println(f"[lab] perZoom:$e top@z16 ${(System.nanoTime() - t0) / 1e9}%.1fs ${m.line}")
         var highZ = 16 // the current chunk top's zoom
         val chunk = 7  // = MapBuild.PyramidChunk, the production chunking
@@ -177,6 +183,7 @@ object ScaleLab {
               shiftright(col("py"), highZ - z).as("py"), col("total"))
             MapBuild.levelStats(topAtZ, z, z)
               .write.format("noop").mode("overwrite").save()
+            m.settle()
             println(f"[lab] perZoom:$e z$z ${(System.nanoTime() - t0) / 1e9}%.1fs ${m.line}")
           }
           if (lowZ > 0) {
@@ -190,6 +197,7 @@ object ScaleLab {
               .groupBy("map_key", "px", "py")
               .agg(sum("total").as("total"))
             next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+            m.settle()
             println(f"[lab] perZoom:$e rollup->z${lowZ - 1} " +
               f"${(System.nanoTime() - t0) / 1e9}%.1fs ${m.line}")
             top.unpersist()

@@ -237,11 +237,17 @@ FROM agg LEFT JOIN rl ON agg.doc_id = rl.doc_id"""
           (299 * icm.getRed(i) + 587 * icm.getGreen(i) + 114 * icm.getBlue(i)) / 1000)
       case _ => null
     }
+    // 16-bit PNGs decode to samples in 0..65535 — normalize every band to
+    // the 0..255 grid contract (identity for 8-bit; max-value scaling, so
+    // pure white stays 255 exactly)
+    val maxSample = (1 << raster.getSampleModel.getSampleSize(0)) - 1
+    def s8(x: Int, y: Int, b: Int): Int =
+      if (maxSample == 255) raster.getSample(x, y, b)
+      else raster.getSample(x, y, b) * 255 / maxSample
     def luma(x: Int, y: Int): Int =
       if (palette != null) palette(raster.getSample(x, y, 0))
-      else if (bands <= 2) raster.getSample(x, y, 0)
-      else (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1)
-        + 114 * raster.getSample(x, y, 2)) / 1000
+      else if (bands <= 2) s8(x, y, 0)
+      else (299 * s8(x, y, 0) + 587 * s8(x, y, 1) + 114 * s8(x, y, 2)) / 1000
     Array.tabulate(GridH * GridW) { i =>
       val gx = i % GridW
       val gy = i / GridW

@@ -210,8 +210,14 @@ object Similarity {
     * (lowest-id) centroid on a distance tie — the [[nearestCells]] order.
     */
   def ivfCellOn(spark: org.apache.spark.sql.SparkSession,
-      cents: Array[Array[Double]], embCol: Column): Column = {
-    val bc = spark.sparkContext.broadcast(cents)
+      cents: Array[Array[Double]], embCol: Column): Column =
+    ivfCellUdf(spark.sparkContext.broadcast(cents)).apply(embCol)
+
+  /** The cell-argmin UDF over an ALREADY-broadcast codebook — callers that
+    * need the codebook in several UDFs (the decontam family's eval-cell +
+    * train-probe pair) share one broadcast variable. */
+  private def ivfCellUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
     udf { (emb: Seq[Float]) =>
       if (emb == null) null
       else {
@@ -227,8 +233,7 @@ object Similarity {
         }
         best
       }: Integer
-    }.apply(embCol)
-  }
+    }
 
   /** IVF ANN: top-k by cosine scanning only the `nprobe` cells nearest the
     * query — the classic inverted-file scale path (cell is the natural
@@ -622,8 +627,10 @@ object Similarity {
   private def ivfDecontamPairs(spark: org.apache.spark.sql.SparkSession,
       cents: Array[Array[Double]], ev: DataFrame, train: DataFrame,
       maxProbe: Int): DataFrame = {
-    val evc = ev.withColumn("cell", ivfCellOn(spark, cents, col("ev_emb")))
+    // ONE broadcast of the codebook, shared by the eval-cell and
+    // train-probe UDFs
     val bc = spark.sparkContext.broadcast(cents)
+    val evc = ev.withColumn("cell", ivfCellUdf(bc)(col("ev_emb")))
     val probeUdf = udf { (e: Seq[Float]) =>
       nearestCells(e.map(_.toDouble).toIndexedSeq, bc.value, maxProbe)
     }

@@ -290,8 +290,11 @@ object EventStream {
     // driver-materialized alongside the vectors): an isInCollection filter
     // would embed every eval id as a plan literal — the exact plan-growth
     // class the O(1)-plan note above rules out
-    val score = udf { (vecId: Long, emb: Seq[Float]) =>
-      if (evalIdSet.contains(vecId)) Some(Excluded)
+    // boxed Long: a null vec_id must SCORE (the batch op's left_anti keeps
+    // null-keyed rows — null matches no eval id); a primitive param would
+    // short-circuit the udf to null and count the row unscored instead
+    val score = udf { (vecId: java.lang.Long, emb: Seq[Float]) =>
+      if (vecId != null && evalIdSet.contains(vecId)) Some(Excluded)
       else if (emb == null) Some(Excluded)
       else {
         var n2 = 0.0

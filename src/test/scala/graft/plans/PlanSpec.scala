@@ -294,8 +294,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.Lifecycle.planOnly = true
     val p183 = try planOf("q183_ivf_decontam")
       finally graft.core.Lifecycle.planOnly = false
-    assert(p183.contains("BroadcastHashJoin"),
+    // the guard must see the CELL key specifically — a bare
+    // contains("BroadcastHashJoin") is satisfied by the eval-id joins and
+    // would stay green if the IVF pair join degenerated
+    assert("Left keys \\[1\\]: \\[cell#".r.findFirstIn(p183).isDefined,
       s"q183's IVF arm lost its cell-keyed hash join:\n$p183")
+    // exactly 3 nested-loop joins: the brute ground-truth fan-out twice
+    // (planOnly keeps withPersisted lazy, so its subtree prints under both
+    // consumers) + the 1-row n_train scalar; a 4th means the IVF arm
+    // itself degenerated to the fan-out it exists to replace
+    val bnlj = "BroadcastNestedLoopJoin Cross".r.findAllIn(p183).length
+    assert(bnlj <= 3, s"q183 plans $bnlj nested-loop joins (expected <= 3 " +
+      s"— brute arm x2 under planOnly + the 1-row scalar):\n$p183")
     assert(!p183.contains("CartesianProduct"), s"q183 degraded:\n$p183")
   }
 

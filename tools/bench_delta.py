@@ -39,14 +39,21 @@ def main():
     args, thresh, i = [], 0.20, 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--thresh"):
+        if a == "--thresh" or a.startswith("--thresh="):
             if "=" in a:
-                thresh = float(a.split("=", 1)[1])
+                val = a.split("=", 1)[1]
             else:
                 if i + 1 >= len(argv):
                     sys.exit("--thresh needs a value\n" + __doc__)
-                thresh = float(argv[i + 1])
+                val = argv[i + 1]
                 i += 1  # consume the value so it never lands in positionals
+            try:
+                thresh = float(val)
+            except ValueError:
+                sys.exit(f"--thresh needs a number, got {val!r}\n" + __doc__)
+        elif a.startswith("--"):
+            # a gating tool must reject unknown flags loudly, not absorb them
+            sys.exit(f"unknown flag {a!r}\n" + __doc__)
         else:
             args.append(a)
         i += 1
