@@ -192,7 +192,7 @@ object Similarity {
     * the oracle's list_reduce fold is bit-identical; argmin with lowest-id
     * tiebreak.
     */
-  private def nearestCells(v: IndexedSeq[Double], cents: Array[Array[Double]], n: Int): Seq[Int] =
+  private[graft] def nearestCells(v: IndexedSeq[Double], cents: Array[Array[Double]], n: Int): Seq[Int] =
     cents.indices.map { c =>
       var d = 0.0; var i = 0
       val ct = cents(c)

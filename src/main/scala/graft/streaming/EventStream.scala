@@ -334,6 +334,84 @@ object EventStream {
         max(col("max_sim_micro")).as("max_sim_micro"))
   }
 
+  /** Streaming IVF-BLOCKED semantic monitor — q183's ingest-time twin (the
+    * 23rd streaming op). Same counters as
+    * [[semanticDecontamMonitorStream]], but the scorer probes only the
+    * `nprobe` nearest IVF cells' eval vectors per stream vector (the q153
+    * codebook — embeddings of vec_id < IvfK off the STATIC table), so
+    * per-vector work is ~nprobe/IvfK of the eval set — the monitor that
+    * stays flat when eval unions many benchmarks. Counter semantics:
+    * `n_vectors` counts every scoreable vector (the brute twin's
+    * convention — a vector whose probed cells hold no eval pair still
+    * counts, with a null sim); `n_flagged`/`max_sim_micro` roll up exactly
+    * [[graft.operators.Similarity.ivfSemanticDecontam]]'s output
+    * (OperatorSpec asserts the 2-batch streamed counters ≡ that rollup,
+    * and that nprobe = IvfK equals the brute monitor bit-for-bit). Recall
+    * of the blocking itself is measured by q183 — the monitor inherits
+    * that license, it does not re-derive it.
+    */
+  def ivfSemanticDecontamMonitorStream(embStream: DataFrame,
+      docsStatic: DataFrame, embStatic: DataFrame, evalSource: String,
+      minSimMicro: Long, nprobe: Int): DataFrame = {
+    import graft.operators.Similarity
+    require(nprobe >= 1 && nprobe <= Similarity.IvfK,
+      s"nprobe must be in [1, ${Similarity.IvfK}]; got $nprobe")
+    val (evals, evalIdSet) = Similarity
+      .evalVectorSet(docsStatic, embStatic, evalSource)
+    val cents = Similarity.ivfCentroids(embStatic)
+    // eval vectors grouped by their (single) cell, driver-side — the same
+    // benchmark-bounded closure payload as the brute twin, re-bucketed
+    val cellsOf: Array[Array[(Long, Array[Float], Double)]] = {
+      val by = evals.groupBy { case (_, ev, _) =>
+        Similarity.nearestCells(ev.map(_.toDouble).toIndexedSeq, cents, 1).head
+      }
+      Array.tabulate(cents.length)(c => by.getOrElse(c, Array.empty))
+    }
+    val Excluded = -1L
+    val score = udf { (vecId: java.lang.Long, emb: Seq[Float]) =>
+      if (vecId != null && evalIdSet.contains(vecId)) Some(Excluded)
+      else if (emb == null) Some(Excluded)
+      else {
+        var n2 = 0.0
+        var i = 0
+        while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        val nrm = math.sqrt(n2)
+        if (nrm <= 0) Some(Excluded)
+        else {
+          var best = Long.MaxValue
+          Similarity.nearestCells(emb.map(_.toDouble).toIndexedSeq, cents,
+            nprobe).foreach { c =>
+            cellsOf(c).foreach { case (id, ev, evNrm) =>
+              if (ev.length == emb.length) {
+                var d = 0.0
+                var j = 0
+                while (j < ev.length) { d += emb(j).toDouble * ev(j).toDouble; j += 1 }
+                val s6 = java.math.BigDecimal.valueOf(d / (nrm * evNrm))
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                val sm = java.math.BigDecimal.valueOf(s6 * 1000000.0)
+                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+                val pk = (1000000L - sm) * 1099511627776L + id
+                if (pk < best) best = pk
+              }
+            }
+          }
+          if (best == Long.MaxValue) None else Some(best)
+        }
+      }
+    }
+    embStream
+      .withColumn("pk", score(col("vec_id"), col("embedding")))
+      .filter(col("pk").isNull || col("pk") =!= Excluded)
+      .select(col("source"),
+        expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")
+          .as("max_sim_micro"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("max_sim_micro") >= minSimMicro, 1L).otherwise(0L))
+          .as("n_flagged"),
+        max(col("max_sim_micro")).as("max_sim_micro"))
+  }
+
   /** Streaming exact deduplication: emit each content hash's FIRST document
     * only, across micro-batches — the ingest-time twin of the batch exact
     * dedup (q19). `dropDuplicates` on the md5 key keeps one state entry per

@@ -591,6 +591,69 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!streamed.contains("ev"), "benchmark shard must not self-flag")
   }
 
+  test("streaming IVF-blocked semantic monitor: 2-batch streamed counters " +
+    "equal the q183-op rollup at nprobe=2; full probe equals the brute " +
+    "q180 rollup") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$Dir/documents.parquet")
+    val emb = spark.read.parquet(s"$Dir/embeddings.parquet")
+    val docSrc = docs.select(col("doc_id").as("vec_id"), col("source"))
+    val rows = emb.join(docSrc, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("source"))
+    val tmp = Files.createTempDirectory("ivfmon")
+    rows.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(tmp.resolve("b1").toString)
+    Thread.sleep(1100)
+    rows.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.parquet(tmp.resolve("b2").toString)
+    def stream = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp.toString + "/*/")
+    val minSim = 900000L
+    def runMon(name: String, nprobe: Int) = {
+      val q = graft.streaming.EventStream
+        .ivfSemanticDecontamMonitorStream(stream, docs, emb, "src0",
+          minSim, nprobe)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+      spark.table(name).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    }
+    // nprobe=2: n_vectors counts every scoreable train vector; flagged/max
+    // roll up the batch IVF op (a vector whose probed cells hold no eval
+    // contributes a null sim — flagged 0, max ignores it)
+    val streamed = runMon("ivf_sem_mon", 2)
+    val sqn = expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + double(x) * double(x))")
+    val nVec = rows.filter(col("source") =!= "src0").filter(sqn > 0)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfSemanticDecontam(docs, emb, "src0", 2)
+      .join(docSrc, Seq("vec_id")).groupBy("source")
+      .agg(sum(when(col("max_sim_micro") >= minSim, 1L).otherwise(0L)).as("fl"),
+        max("max_sim_micro").as("mx")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = nVec.map { case (src, n) =>
+      val (fl, mx) = ivf.getOrElse(src, (0L, -1L))
+      src -> ((n, fl, mx))
+    }
+    assert(streamed === expected, s"streamed $streamed != expected $expected")
+    // full probe: every cell probed → the monitor IS the brute twin — its
+    // counters equal the one-shot q180 rollup bit-for-bit
+    val streamedFull = runMon("ivf_sem_mon_full", Similarity.IvfK)
+    val brute = Similarity.semanticDecontam(docs, emb, "src0")
+      .join(docSrc, Seq("vec_id")).groupBy("source")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("max_sim_micro") >= minSim, 1L).otherwise(0L)).as("fl"),
+        max("max_sim_micro").as("mx")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamedFull === brute)
+    assert(!streamed.contains("src0"), "benchmark shard must not self-flag")
+  }
+
   test("streaming Gopher card equals the batch card after all batches " +
     "(state = one counter row per source)") {
     import java.nio.file.Files
