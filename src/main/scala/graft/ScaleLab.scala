@@ -230,11 +230,24 @@ object ScaleLab {
         println(s"[lab] saltAB pixel rows = $n, top view keys: $top")
         val M = 32
         graft.functions.JavaHashExpr.register(s2)
-        run("saltAB:unsalted") {
+        // local timing loop — run()'s clearCache() would unpersist px
+        // between passes, so the second pass would time a full pixel-table
+        // rebuild instead of the partitioning exchange under test (caught
+        // by a 168 vs 565 MB run1/run2 shuffle asymmetry)
+        def timeArm(name: String)(mk: => DataFrame): Unit =
+          (1 to 2).foreach { i =>
+            m.reset(); System.gc()
+            val t0 = System.nanoTime()
+            mk.write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            m.settle()
+            println(f"[lab] $name run$i ${dt}%.1fs ${m.line}")
+          }
+        timeArm("saltAB:unsalted") {
           px.repartition(M, col("map_key"))
             .sortWithinPartitions("map_key", "px", "py")
         }
-        run("saltAB:salted") {
+        timeArm("saltAB:salted") {
           px.withColumn("key",
               concat_ws(":", col("map_key"), col("px"), col("py")))
             .withColumn("salt", graft.functions.GeoFunctions.saltOf(col("key"), M))
@@ -242,6 +255,19 @@ object ScaleLab {
             .sortWithinPartitions("salt", "key")
         }
         px.unpersist()
+      // the q183 PRODUCTION arm in isolation: the sweep query's wall is
+      // dominated by its built-in brute ground truth, so this times
+      // ivfSemanticDecontam(nprobe) beside the brute op on the SAME data —
+      // the direct evidence for the nprobe/IvfK eval-scan claim.
+      // arg form: ivfDecontam:2
+      case s if s.startsWith("ivfDecontam") =>
+        val np = if (s.contains(":")) s.drop("ivfDecontam:".length).toInt else 2
+        val docs = OccurrenceView.documents(spark, dir)
+        val emb = OccurrenceView.embeddings(spark, dir)
+        run(s"ivfDecontam:brute")(
+          graft.operators.Similarity.semanticDecontam(docs, emb, "src0"))
+        run(s"ivfDecontam:nprobe$np")(
+          graft.operators.Similarity.ivfSemanticDecontam(docs, emb, "src0", np))
       case other => System.err.println(s"unknown variant $other")
     }
     spark.stop()
