@@ -131,7 +131,12 @@ object BenchScale {
     // routed through cells so per-train work is nprobe/IvfK of the eval
     // set; the probe watches its ratio sit BELOW q180's brute ratio as
     // eval grows (every replica carries a src0 shard)
-    "q183_ivf_decontam")
+    "q183_ivf_decontam",
+    // round 11 (VERDICT r10 #4): the REAL byte-stream decode path —
+    // encode→PNG→decode→dHash is row-local (scan → emit, zero data
+    // shuffle), so the probe must read ~linear; a super-linear ratio
+    // would mean the per-row codec path grew state it shouldn't have
+    "q184_png_roundtrip")
 
   /** The x10 DOCUMENTS replica recipe, factored so GramLab (and any future
     * lab) runs on the SAME replica the probe does — per-replica alphabet
