@@ -31,14 +31,18 @@ object ScaleLab {
     val m = new BenchScale.StageMetrics
     spark.sparkContext.addSparkListener(m)
 
-    def run(name: String)(mk: => DataFrame): Unit = {
+    // `clear = false` keeps persisted frames alive across the two runs —
+    // an arm that times an exchange over a PINNED input must not have its
+    // input unpersisted between passes (saltAB: without this, pass 2 timed
+    // a full pixel-table rebuild — a 168 vs 565 MB shuffle asymmetry)
+    def run(name: String, clear: Boolean = true)(mk: => DataFrame): Unit = {
       // warm once, then two timed runs
       (1 to 2).foreach { i =>
         m.reset(); System.gc()
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        if (clear) spark.catalog.clearCache()
         // quiescence before reading the line (and before the next run's
         // reset): listener events land async — without this the tail of
         // one run's stages bleeds into the next run's attribution
@@ -230,24 +234,11 @@ object ScaleLab {
         println(s"[lab] saltAB pixel rows = $n, top view keys: $top")
         val M = 32
         graft.functions.JavaHashExpr.register(s2)
-        // local timing loop — run()'s clearCache() would unpersist px
-        // between passes, so the second pass would time a full pixel-table
-        // rebuild instead of the partitioning exchange under test (caught
-        // by a 168 vs 565 MB run1/run2 shuffle asymmetry)
-        def timeArm(name: String)(mk: => DataFrame): Unit =
-          (1 to 2).foreach { i =>
-            m.reset(); System.gc()
-            val t0 = System.nanoTime()
-            mk.write.format("noop").mode("overwrite").save()
-            val dt = (System.nanoTime() - t0) / 1e9
-            m.settle()
-            println(f"[lab] $name run$i ${dt}%.1fs ${m.line}")
-          }
-        timeArm("saltAB:unsalted") {
+        run("saltAB:unsalted", clear = false) {
           px.repartition(M, col("map_key"))
             .sortWithinPartitions("map_key", "px", "py")
         }
-        timeArm("saltAB:salted") {
+        run("saltAB:salted", clear = false) {
           px.withColumn("key",
               concat_ws(":", col("map_key"), col("px"), col("py")))
             .withColumn("salt", graft.functions.GeoFunctions.saltOf(col("key"), M))
@@ -260,7 +251,7 @@ object ScaleLab {
       // ivfSemanticDecontam(nprobe) beside the brute op on the SAME data —
       // the direct evidence for the nprobe/IvfK eval-scan claim.
       // arg form: ivfDecontam:2
-      case s if s.startsWith("ivfDecontam") =>
+      case s if s == "ivfDecontam" || s.startsWith("ivfDecontam:") =>
         val np = if (s.contains(":")) s.drop("ivfDecontam:".length).toInt else 2
         val docs = OccurrenceView.documents(spark, dir)
         val emb = OccurrenceView.embeddings(spark, dir)

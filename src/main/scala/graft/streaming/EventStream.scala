@@ -279,20 +279,35 @@ object EventStream {
       embStatic: DataFrame, evalSource: String, minSimMicro: Long): DataFrame = {
     val (evals, evalIdSet) = graft.operators.Similarity
       .evalVectorSet(docsStatic, embStatic, evalSource)
-    // sentinel −1 = "unscoreable row, EXCLUDE" (null/zero-norm embedding —
-    // the batch op's filter(nrm > 0) class, where a null embedding nulls
-    // the norm); SQL-null pk = "scoreable vector, no valid pair" (every
-    // eval vector dimension-mismatched — the batch crossJoin yields
-    // all-null pks and its groupBy still emits the vector with a null
-    // sim, so the stream twin must COUNT it in n_vectors with flagged 0)
+    semanticMonitorAgg(embStream, evalIdSet, minSimMicro)(_ => evals)
+  }
+
+  /** The ONE streamed semantic-scorer + rollup, shared by the brute and
+    * IVF monitors so the bit-for-bit arithmetic contract (BigDecimal
+    * HALF_UP chain, 2⁴⁰ packed key, Excluded sentinel, counter rollup)
+    * lives in exactly one place — the full-probe ≡ brute identity must
+    * never depend on two hand-synced copies. `candidates(emb)` yields the
+    * eval vectors this embedding may pair with (full set for the brute
+    * twin, probed cell buckets for the IVF twin); the closure and
+    * everything it captures ride the udf to the executors.
+    *
+    * Sentinels: −1 = "unscoreable row, EXCLUDE" (null/zero-norm embedding
+    * — the batch op's filter(nrm > 0) class); SQL-null pk = "scoreable
+    * vector, no valid pair" (dimension-mismatched everywhere — the batch
+    * crossJoin yields all-null pks and its groupBy still emits the
+    * vector, so the twin COUNTS it in n_vectors with flagged 0). The
+    * eval-shard exclusion rides the closure (an isInCollection filter
+    * would embed every eval id as a plan literal — plan growth); the
+    * vec_id param is boxed because a null vec_id must SCORE (the batch
+    * left_anti keeps null-keyed rows — null matches no eval id; a
+    * primitive param would short-circuit the udf to null and count the
+    * row unscored).
+    */
+  private def semanticMonitorAgg(embStream: DataFrame, evalIdSet: Set[Long],
+      minSimMicro: Long)(
+      candidates: Seq[Float] => Array[(Long, Array[Float], Double)])
+      : DataFrame = {
     val Excluded = -1L
-    // eval-shard exclusion ALSO rides the closure (the id set is already
-    // driver-materialized alongside the vectors): an isInCollection filter
-    // would embed every eval id as a plan literal — the exact plan-growth
-    // class the O(1)-plan note above rules out
-    // boxed Long: a null vec_id must SCORE (the batch op's left_anti keeps
-    // null-keyed rows — null matches no eval id); a primitive param would
-    // short-circuit the udf to null and count the row unscored instead
     val score = udf { (vecId: java.lang.Long, emb: Seq[Float]) =>
       if (vecId != null && evalIdSet.contains(vecId)) Some(Excluded)
       else if (emb == null) Some(Excluded)
@@ -304,7 +319,7 @@ object EventStream {
         if (nrm <= 0) Some(Excluded)
         else {
           var best = Long.MaxValue
-          evals.foreach { case (id, ev, evNrm) =>
+          candidates(emb).foreach { case (id, ev, evNrm) =>
             if (ev.length == emb.length) {
               var d = 0.0
               var j = 0
@@ -359,57 +374,28 @@ object EventStream {
     val (evals, evalIdSet) = Similarity
       .evalVectorSet(docsStatic, embStatic, evalSource)
     val cents = Similarity.ivfCentroids(embStatic)
+    require(cents.nonEmpty, "ivf monitor needs a non-empty codebook " +
+      s"(embeddings of vec_id < ${Similarity.IvfK})")
+    val dim = cents(0).length
     // eval vectors grouped by their (single) cell, driver-side — the same
-    // benchmark-bounded closure payload as the brute twin, re-bucketed
+    // benchmark-bounded closure payload as the brute twin, re-bucketed.
+    // Cell routing is only defined at the codebook dimension: OFF-dim eval
+    // vectors keep their own bucket (they can only ever pair with a train
+    // vector of THEIR length, which is itself unroutable), so arbitrary
+    // mixed-dimension input scores exactly as the brute twin does instead
+    // of crashing inside nearestCells
+    val (onDim, offDim) = evals.partition(_._2.length == dim)
     val cellsOf: Array[Array[(Long, Array[Float], Double)]] = {
-      val by = evals.groupBy { case (_, ev, _) =>
+      val by = onDim.groupBy { case (_, ev, _) =>
         Similarity.nearestCells(ev.map(_.toDouble).toIndexedSeq, cents, 1).head
       }
       Array.tabulate(cents.length)(c => by.getOrElse(c, Array.empty))
     }
-    val Excluded = -1L
-    val score = udf { (vecId: java.lang.Long, emb: Seq[Float]) =>
-      if (vecId != null && evalIdSet.contains(vecId)) Some(Excluded)
-      else if (emb == null) Some(Excluded)
-      else {
-        var n2 = 0.0
-        var i = 0
-        while (i < emb.length) { n2 += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        val nrm = math.sqrt(n2)
-        if (nrm <= 0) Some(Excluded)
-        else {
-          var best = Long.MaxValue
-          Similarity.nearestCells(emb.map(_.toDouble).toIndexedSeq, cents,
-            nprobe).foreach { c =>
-            cellsOf(c).foreach { case (id, ev, evNrm) =>
-              if (ev.length == emb.length) {
-                var d = 0.0
-                var j = 0
-                while (j < ev.length) { d += emb(j).toDouble * ev(j).toDouble; j += 1 }
-                val s6 = java.math.BigDecimal.valueOf(d / (nrm * evNrm))
-                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-                val sm = java.math.BigDecimal.valueOf(s6 * 1000000.0)
-                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-                val pk = (1000000L - sm) * 1099511627776L + id
-                if (pk < best) best = pk
-              }
-            }
-          }
-          if (best == Long.MaxValue) None else Some(best)
-        }
-      }
+    semanticMonitorAgg(embStream, evalIdSet, minSimMicro) { emb =>
+      if (emb.length != dim) offDim
+      else Similarity.nearestCells(emb.map(_.toDouble).toIndexedSeq, cents,
+        nprobe).toArray.flatMap(cellsOf)
     }
-    embStream
-      .withColumn("pk", score(col("vec_id"), col("embedding")))
-      .filter(col("pk").isNull || col("pk") =!= Excluded)
-      .select(col("source"),
-        expr("CAST(1000000 - pk div 1099511627776 AS BIGINT)")
-          .as("max_sim_micro"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_vectors"),
-        sum(when(col("max_sim_micro") >= minSimMicro, 1L).otherwise(0L))
-          .as("n_flagged"),
-        max(col("max_sim_micro")).as("max_sim_micro"))
   }
 
   /** Streaming exact deduplication: emit each content hash's FIRST document
