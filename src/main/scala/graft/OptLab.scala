@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 optimization lab: times individual declared queries (or named
+  * operator PIECES) under the exact Bench session config, and dumps
+  * `.explain("formatted")` plans to plans/r11/ for the before/after
+  * evidence the optimization round requires. Never used by the driver —
+  * a measurement instrument only, like ScaleLab/BenchScale.
+  *
+  * Usage:
+  *   runMain graft.OptLab time q117_triangles q47_dup_clusters
+  *   runMain graft.OptLab explain before q117_triangles ...
+  *   runMain graft.OptLab pieces lsh cc tri_id tri_deg
+  */
+object OptLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val b0 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    // shuffle/compression codec A/B (static conf — needs its own JVM run)
+    val b1 = sys.env.get("SPARK_GRAFT_CODEC")
+      .fold(b0)(c => b0.config("spark.io.compression.codec", c))
+    val spark = b1.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val m = new BenchScale.StageMetrics
+    spark.sparkContext.addSparkListener(m)
+    // per-stage drill-down (env SPARK_GRAFT_OPT_STAGES=1): stage id, task
+    // count, executor run/cpu time, shuffle r/w, records — finds stragglers
+    if (sys.env.get("SPARK_GRAFT_OPT_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val tm = si.taskMetrics
+          if (tm != null && tm.executorRunTime > 500)
+            println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+              f"run=${tm.executorRunTime / 1e3}%7.1fs cpu=${tm.executorCpuTime / 1e9}%7.1fs " +
+              f"shW=${tm.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+              f"shR=${tm.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+              f"recW=${tm.shuffleWriteMetrics.recordsWritten}%12d " +
+              f"recR=${tm.shuffleReadMetrics.recordsRead}%12d  ${si.name.take(60)}")
+        }
+      })
+
+    def time(name: String, warm: Int = 1, runs: Int = 2)(mk: String => DataFrame): Unit = {
+      (1 to warm).foreach { _ =>
+        mk(warmDir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      m.settle()
+      (1 to runs).foreach { i =>
+        m.reset(); System.gc()
+        spark.sparkContext.setJobDescription(s"$name run$i")
+        val t0 = System.nanoTime()
+        mk(sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        m.settle()
+        println(f"[opt] $name%-34s run$i wall=${dt}%7.2fs cpu=${m.cpuNs / 1e9}%8.1fs shuffle=${m.shuffleWrite / 1e6}%9.1fMB")
+      }
+    }
+
+    args.toList match {
+      case "time" :: names =>
+        names.foreach(n => time(n)(d => SparkEntry.queries(n)(spark, d)))
+
+      case "explain" :: tag :: names =>
+        // lazy full plans (withPersisted operators would otherwise
+        // checkpoint and truncate the interesting subtrees to LogicalRDD)
+        graft.core.Lifecycle.planOnly = true
+        val outDir = java.nio.file.Paths.get("plans/r11")
+        java.nio.file.Files.createDirectories(outDir)
+        names.foreach { n =>
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          val s = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.write(outDir.resolve(s"${n}_$tag.txt"),
+            s.getBytes("UTF-8"))
+          println(s"[opt] wrote plans/r11/${n}_$tag.txt (${s.length} chars)")
+        }
+
+      case "pieces" :: names =>
+        import graft.operators.{Dedup, OccurrenceView}
+        def docs(d: String) = OccurrenceView.documents(spark, d)
+        names.foreach {
+          case "sig" => time("sig")(d =>
+            Dedup.withMinhashSignature(docs(d)))
+          case "bands" => time("bands")(d =>
+            Dedup.bandKeys(docs(d)))
+          case "lsh" => time("lsh")(d =>
+            Dedup.lshCandidatePairs(docs(d), 0.5))
+          case "cc" => time("cc") { d =>
+            val dd = docs(d)
+            Dedup.clustersFromEdges(dd.select("doc_id"),
+              Dedup.lshCandidatePairs(dd, 0.5).select("doc_a", "doc_b")
+                .localCheckpoint())
+          }
+          case "tri_id" => time("tri_id")(d =>
+            Dedup.triangles(
+              Dedup.lshCandidatePairs(docs(d), 0.5).select("doc_a", "doc_b")
+                .localCheckpoint(), "id"))
+          case "tri_deg" => time("tri_deg")(d =>
+            Dedup.triangles(
+              Dedup.lshCandidatePairs(docs(d), 0.5).select("doc_a", "doc_b")
+                .localCheckpoint(), "degree"))
+          case "cc_rounds" =>
+            // the clustersFromEdges loop, instrumented per round
+            val dd = docs(sfDir)
+            val edges = Dedup.lshCandidatePairs(dd, 0.5)
+              .select("doc_a", "doc_b").localCheckpoint()
+            val sym = edges.union(edges.select(col("doc_b"), col("doc_a")))
+              .toDF("src", "dst").localCheckpoint()
+            var labels = dd.select(col("doc_id"), col("doc_id").as("cluster_id"))
+              .localCheckpoint()
+            def labelSum(df: DataFrame): java.math.BigDecimal = {
+              val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+              if (s == null) java.math.BigDecimal.ZERO else s
+            }
+            var prevSum = labelSum(labels)
+            var converged = false
+            var rounds = 0
+            while (!converged && rounds < 20) {
+              m.reset()
+              val t0 = System.nanoTime()
+              val nbMin = sym
+                .join(labels.withColumnRenamed("doc_id", "dst_id"), col("dst") === col("dst_id"))
+                .groupBy(col("src").as("doc_id"))
+                .agg(min("cluster_id").as("nb_min"))
+              val stepped = labels.join(nbMin, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
+              val next = stepped.as("a")
+                .join(stepped.select(col("doc_id").as("pj_id"), col("cluster_id").as("pj_cl")).as("b"),
+                  col("a.cluster_id") === col("pj_id"), "left")
+                .select(col("a.doc_id"), coalesce(col("pj_cl"), col("a.cluster_id")).as("cluster_id"))
+                .localCheckpoint()
+              val nextSum = labelSum(next)
+              labels = next
+              converged = nextSum.compareTo(prevSum) == 0
+              prevSum = nextSum
+              rounds += 1
+              m.settle()
+              println(f"[opt] cc round $rounds wall=${(System.nanoTime() - t0) / 1e9}%6.2fs cpu=${m.cpuNs / 1e9}%7.1fs shuffle=${m.shuffleWrite / 1e6}%8.1fMB converged=$converged")
+            }
+
+          case "cc_rounds2" =>
+            // variant: stepped checkpointed (node-bounded) so the heavy
+            // sym-join subtree runs once per round, not twice via the
+            // pointer-jump self-join's two branches
+            val dd2 = docs(sfDir)
+            val edges2 = Dedup.lshCandidatePairs(dd2, 0.5)
+              .select("doc_a", "doc_b").localCheckpoint()
+            val sym2 = edges2.union(edges2.select(col("doc_b"), col("doc_a")))
+              .toDF("src", "dst").localCheckpoint()
+            var labels2 = dd2.select(col("doc_id"), col("doc_id").as("cluster_id"))
+              .localCheckpoint()
+            def labelSum2(df: DataFrame): java.math.BigDecimal = {
+              val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+              if (s == null) java.math.BigDecimal.ZERO else s
+            }
+            var prevSum2 = labelSum2(labels2)
+            var converged2 = false
+            var rounds2 = 0
+            while (!converged2 && rounds2 < 20) {
+              m.reset()
+              val t0 = System.nanoTime()
+              val nbMin = sym2
+                .join(labels2.withColumnRenamed("doc_id", "dst_id"), col("dst") === col("dst_id"))
+                .groupBy(col("src").as("doc_id"))
+                .agg(min("cluster_id").as("nb_min"))
+              val stepped = labels2.join(nbMin, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
+                .localCheckpoint()
+              val next = stepped.as("a")
+                .join(stepped.select(col("doc_id").as("pj_id"), col("cluster_id").as("pj_cl")).as("b"),
+                  col("a.cluster_id") === col("pj_id"), "left")
+                .select(col("a.doc_id"), coalesce(col("pj_cl"), col("a.cluster_id")).as("cluster_id"))
+                .localCheckpoint()
+              val nextSum = labelSum2(next)
+              labels2 = next
+              converged2 = nextSum.compareTo(prevSum2) == 0
+              prevSum2 = nextSum
+              rounds2 += 1
+              m.settle()
+              println(f"[opt] cc2 round $rounds2 wall=${(System.nanoTime() - t0) / 1e9}%6.2fs cpu=${m.cpuNs / 1e9}%7.1fs shuffle=${m.shuffleWrite / 1e6}%8.1fMB converged=$converged2")
+            }
+
+          case "tri_int" => time("tri_int") { d =>
+            // intersection-based triangle counting over degree-oriented
+            // adjacency (Chiba–Nishizeki bound, no triangle-list explode)
+            val e = Dedup.lshCandidatePairs(docs(d), 0.5)
+              .select("doc_a", "doc_b").localCheckpoint()
+            val deg = e.select(col("doc_a").as("doc_id"))
+              .unionByName(e.select(col("doc_b").as("doc_id")))
+              .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+            val ed = e
+              .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("da")), "doc_a")
+              .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("db")), "doc_b")
+            val ka = struct(col("da").as("d"), col("doc_a").as("v"))
+            val kb = struct(col("db").as("d"), col("doc_b").as("v"))
+            val o = ed.select(
+              when(ka < kb, col("doc_a")).otherwise(col("doc_b")).as("src"),
+              when(ka < kb, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+            val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("ns"))
+            val emptyArr = expr("CAST(array() AS ARRAY<BIGINT>)")
+            val withCs = o
+              .join(adj.select(col("src"), col("ns").as("nsa")), Seq("src"), "left")
+              .join(adj.select(col("src").as("dst"), col("ns").as("nsb")), Seq("dst"), "left")
+              .select(col("src"), col("dst"),
+                array_intersect(coalesce(col("nsa"), emptyArr),
+                  coalesce(col("nsb"), emptyArr)).as("cs"))
+            val contrib = withCs.select(explode(concat(
+              array(struct(col("src").as("doc_id"), size(col("cs")).cast("long").as("n")),
+                struct(col("dst").as("doc_id"), size(col("cs")).cast("long").as("n"))),
+              expr("transform(cs, c -> named_struct('doc_id', c, 'n', CAST(1 AS BIGINT)))"))).as("x"))
+            val perNode = contrib
+              .groupBy(col("x.doc_id").as("doc_id")).agg(sum(col("x.n")).as("n_tri"))
+              .filter(col("n_tri") > 0)
+            perNode.join(deg, Seq("doc_id"))
+              .withColumn("clust_micro",
+                expr("CASE WHEN deg >= 2 THEN n_tri * 2000000 div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
+              .select("doc_id", "n_tri", "deg", "clust_micro")
+          }
+
+          case "lsh_fused" => time("lsh_fused") { d =>
+            // signature carried THROUGH the band self-join: no doc_id
+            // re-joins for verification, est filter before the distinct
+            val M = Dedup.M
+            val sig = Dedup.withMinhashSignature(docs(d))
+            val mhs = (0 until Dedup.NumHashes).map(k => col(s"mh$k"))
+            val bandStructs = (0 until Dedup.NumBands).map { b =>
+              struct(lit(b).as("band"),
+                ((col(s"mh${2 * b}") * 31 + col(s"mh${2 * b + 1}")) % M).as("bh"))
+            }
+            val bands = sig
+              .select((col("doc_id") +: mhs :+ explode(array(bandStructs: _*)).as("bb")): _*)
+              .select((col("doc_id") +: mhs :+ col("bb.band").as("band") :+ col("bb.bh").as("bh")): _*)
+            val hot = bands.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+              .filter(col("bsz") > 1024)
+            val capped = bands.join(broadcast(hot.select("band", "bh")),
+              Seq("band", "bh"), "left_anti")
+            val est = (0 until Dedup.NumHashes)
+              .map(k => when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0))
+              .reduce(_ + _) / lit(Dedup.NumHashes.toDouble)
+            capped.as("x").join(capped.as("y"),
+                col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+                  col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+                est.as("est_sim"))
+              .filter(col("est_sim") >= 0.5)
+              .distinct()
+          }
+
+          case other => println(s"[opt] unknown piece $other")
+        }
+
+      case other =>
+        println(s"usage: OptLab time|explain|pieces ... (got $other)")
+    }
+    spark.stop()
+  }
+}

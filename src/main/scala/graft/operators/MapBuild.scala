@@ -522,8 +522,12 @@ object MapBuild {
 
   def incrementalPyramid(state: DataFrame, pyramid: DataFrame, deltaOcc: DataFrame,
       epsg: String, minZoom: Int, maxZoom: Int): DataFrame =
-    incrementalPyramidFromTop(state, pyramid, topLevel(deltaOcc, epsg, maxZoom),
-      minZoom, maxZoom)
+    // deltaTop materialized once (round 11): the dirty-key chain and the
+    // state merge both consume it — uncheckpointed, the delta aggregation
+    // re-ran per consumer. Delta-footprint-bounded, the same justification
+    // as [[incrementalPyramidAuto]]'s existing checkpoint.
+    incrementalPyramidFromTop(state, pyramid,
+      topLevel(deltaOcc, epsg, maxZoom).localCheckpoint(), minZoom, maxZoom)
 
   /** [[incrementalPyramid]] over a caller-prepared delta TOP-LEVEL pixel
     * table — so [[incrementalPyramidAuto]] can size the dirty set from the
@@ -533,12 +537,19 @@ object MapBuild {
   def incrementalPyramidFromTop(state: DataFrame, pyramid: DataFrame,
       deltaTop: DataFrame, minZoom: Int, maxZoom: Int): DataFrame = {
     val zs = array((minZoom to maxZoom).map(lit): _*)
+    // dirty feeds TWO broadcast builds (the semi-join prune and the
+    // clean-tile anti-join), and each broadcast build is its own job —
+    // materialized once (round 11) so the delta aggregation + explode +
+    // distinct chain doesn't re-run per build. Bounded by the documented
+    // broadcast budget (≤ |delta pixels| × nLevels), so the checkpoint is
+    // delta-footprint-sized.
     val dirty = deltaTop
       .withColumn("z", explode(zs))
       .select(col("map_key"), col("z"),
         expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
         expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
       .distinct()
+      .localCheckpoint()
     val merged = sumAgg(state.unionByName(deltaTop),
       Seq("map_key", "px", "py"), Seq("total"))
     val recomputed = merged
@@ -745,12 +756,16 @@ object MapBuild {
     val deltaTop = topLevel(deltaOcc, epsg, maxZoom)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zs = array((minZoom to maxZoom).map(lit): _*)
+    // three broadcast builds read this (fine semi, coarse semi, clean
+    // anti) — materialized once, same rationale and bound as
+    // [[incrementalPyramidFromTop]]'s dirty checkpoint (round 11)
     val dirty = deltaTop
       .withColumn("z", explode(zs))
       .select(col("map_key"), col("z"),
         expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
         expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
       .distinct()
+      .localCheckpoint()
     val dirtyPts = dirtyCells(deltaTop, maxZoom, zc) // bounded: ≤ 4^zc values
 
     def tileStats(pixels: DataFrame, grainZoom: Int, zLo: Int, zHi: Int): DataFrame =

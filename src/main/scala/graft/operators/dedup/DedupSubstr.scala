@@ -368,7 +368,16 @@ private[graft] trait DedupSubstr extends Serializable {
     // string-arm windowGrams call (hashBits = 0) doesn't
     graft.functions.JavaHashExpr.register(docs.sparkSession)
     graft.functions.GramKeyExpr.register(docs.sparkSession)
+    // the two hash folds ride IN the persisted table (round 11): every
+    // narrow arm derives its key from h32 by a row-local pmod and the
+    // 63-bit arm reads k63 directly, so the |bitsList| hashed arms scan
+    // only long columns from the cache — the ~L-byte gram strings are
+    // column-pruned out of every arm pass and re-hashed zero times (the
+    // string column stays for the exact arm, the audit's ground truth)
     val g = windowGrams(docs, L, "doc_id", 0)
+      .withColumn("h32",
+        pmod(expr("CAST(graft_java_hash(gram) AS BIGINT)"), lit(4294967296L)))
+      .withColumn("k63", expr("graft_gram_key63(gram)"))
     // per-doc duplicated-position count under whatever `gram` keying the
     // input carries — the q159 core, reused identically for every arm
     def perDoc(keyed: DataFrame, outName: String): DataFrame = {
@@ -377,10 +386,15 @@ private[graft] trait DedupSubstr extends Serializable {
       keyed.join(dup, Seq("gram"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as(outName))
     }
-    val exact = perDoc(g, "n_exact")
+    // arm keys off the precomputed folds — value-identical to
+    // gramKeyExpr(b) over the string (pmod of the SAME javaHash fold;
+    // FunctionsSpec pins gramKeyExpr's composition)
+    def armKey(b: Int): org.apache.spark.sql.Column =
+      if (b == 63) col("k63") else pmod(col("h32"), lit(1L << b))
+    val exact = perDoc(g.select(col("doc_id"), col("gram")), "n_exact")
     graft.core.Lifecycle.withPersisted(g, exact) {
       bitsList.map { b =>
-        perDoc(g.select(col("doc_id"), gramKeyExpr(b).as("gram")), "n")
+        perDoc(g.select(col("doc_id"), armKey(b).as("gram")), "n")
           .join(exact, Seq("doc_id"), "full")
           .select(coalesce(col("n"), lit(0L)).as("n"),
             coalesce(col("n_exact"), lit(0L)).as("n_exact"))

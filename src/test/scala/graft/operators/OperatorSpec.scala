@@ -977,6 +977,35 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     hub.unpersist()
   }
 
+  test("triangleCountsByIntersect equals both enumeration arms' per-node " +
+    "counts on the hub fixture (round-11 counting core for the auto arm)") {
+    val ss = spark; import ss.implicits._
+    val hubId = 500L
+    val star = (1L to 300L).map(i => (i, hubId)) ++
+      (1L to 300L).map(i => (hubId, hubId + i))
+    val cliques = (0 until 40).flatMap { k =>
+      val ids = (0 until 5).map(v => 1000L + 5L * k + v)
+      for (i <- 0 until 5; j <- i + 1 until 5) yield (ids(i), ids(j))
+    }
+    val e = (star ++ cliques).toDF("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val got = Dedup.triangleCountsByIntersect(e, deg).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def viaEnumeration(mode: String) = Dedup.triangles(e, mode)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === viaEnumeration("degree"), "intersect != degree enumeration")
+    assert(got === viaEnumeration("id"), "intersect != id enumeration")
+    // 40 disjoint 5-cliques, 10 triangles each; every clique member sits in
+    // C(4,2) = 6 of its clique's triangles; the star contributes none
+    assert(got.size === 200 && got.values.forall(_ === 6L))
+    e.unpersist()
+  }
+
   test("triangle dispatch on an EMPTY edge list returns id and an empty " +
     "triangle stats result (max/sum over zero rows are null — the auto " +
     "path must coalesce, not NPE)") {
