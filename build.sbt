@@ -25,7 +25,21 @@ Test / testGrouping := (Test / definedTests).value.map { t =>
         .withRunJVMOptions((Test / javaOptions).value.toVector)
         .withWorkingDirectory((Test / baseDirectory).value)))
 }
-Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
+// Up to 3 suite JVMs at once (round 12): suites stay ISOLATED (the
+// round-6 OOM was 13 suites sharing one 8g JVM — concurrent separate
+// 8g JVMs don't share heap; 3×8g + sbt fits the 128 GiB box with a wide
+// margin, and each suite runs local[4] so 3 suites use 12 of 32 cores).
+// With SinkSpec's two ~4-min tests split into their own suites this cuts
+// `sbt test` wall from ~20 min to roughly the longest single suite —
+// headroom against the driver sandbox's wall-clock limit, whose round-11
+// run died mid-write (VERIFY_r11 tests_ok: false, shutdown-hook stack).
+// `:=`, not `+=`: sbt's DEFAULT restrictions already carry
+// "Limit forked-test-group to 1" and rules compose as the minimum, so an
+// appended higher limit is inert (verified via show concurrentRestrictions).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(32),
+  Tags.limit(Tags.ForkedTestGroup,
+    sys.env.getOrElse("SPARK_GRAFT_TEST_FORKS", "3").toInt))
 // Pass forked-run stdout through verbatim (no "[info] " prefix) so Bench's
 // single JSON line stays machine-parseable by whatever captures it.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -119,7 +119,8 @@ object Bench {
     // full per-query triple table — the stable regression-adjudication record
     val detail = results.map { case (k, (w, c, s)) =>
       f""""$k":{"wall_s":${f(w)},"cpu_s":${f(c)},"shuffle_mb":${f(s)}}"""
-    }.mkString("{\"metric\":\"bench_detail\",\"sf\":" + jstr(sfDir) + ",\"queries\":{\n  ",
+    }.mkString("{\"metric\":\"bench_detail\",\"sf\":" + jstr(sfDir) +
+      ",\"cpus\":" + cpus + ",\"queries\":{\n  ",
       ",\n  ", s"""\n},"total_wall_s":${f(total)},"total_cpu_s":${f(cpuTotal)},"total_shuffle_mb":${f(shufTotal)}}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))

@@ -289,6 +289,11 @@ object BenchScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // zstd to MIRROR Bench's session (round 12 — the scale instrument
+      // must measure the config the engine benches under); lz4 re-runs
+      // the historical-PROFILE.md-comparable arm
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

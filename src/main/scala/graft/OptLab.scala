@@ -26,9 +26,11 @@ object OptLab {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    // shuffle/compression codec A/B (static conf — needs its own JVM run)
-    val b1 = sys.env.get("SPARK_GRAFT_CODEC")
-      .fold(b0)(c => b0.config("spark.io.compression.codec", c))
+    // shuffle/compression codec: zstd to MIRROR Bench's session (round 12 —
+    // the lab must measure the config the engine benches under);
+    // SPARK_GRAFT_CODEC=lz4 re-runs the A/B (static conf — own JVM run)
+    val b1 = b0.config("spark.io.compression.codec",
+      sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
     val spark = b1.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val m = new BenchScale.StageMetrics
@@ -77,7 +79,8 @@ object OptLab {
         // lazy full plans (withPersisted operators would otherwise
         // checkpoint and truncate the interesting subtrees to LogicalRDD)
         graft.core.Lifecycle.planOnly = true
-        val outDir = java.nio.file.Paths.get("plans/r11")
+        val outDir = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r12"))
         java.nio.file.Files.createDirectories(outDir)
         names.foreach { n =>
           val df = SparkEntry.queries(n)(spark, sfDir)
@@ -85,7 +88,7 @@ object OptLab {
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           java.nio.file.Files.write(outDir.resolve(s"${n}_$tag.txt"),
             s.getBytes("UTF-8"))
-          println(s"[opt] wrote plans/r11/${n}_$tag.txt (${s.length} chars)")
+          println(s"[opt] wrote $outDir/${n}_$tag.txt (${s.length} chars)")
         }
 
       case "pieces" :: names =>
@@ -260,6 +263,175 @@ object OptLab {
               .filter(col("est_sim") >= 0.5)
               .distinct()
           }
+
+          case "tri_deg_smj" => time("tri_deg_smj") { d =>
+            // round-11 shape of the degree-enumeration arm: closure
+            // semi-join WITHOUT the broadcast dispatch (the Σout² wedge
+            // stream exchanges + sorts) — the A/B baseline for the
+            // round-12 closure-probe broadcast in Dedup.triangles
+            val e = Dedup.lshCandidatePairs(docs(d), 0.5)
+              .select("doc_a", "doc_b").localCheckpoint()
+            val deg = e.select(col("doc_a").as("doc_id"))
+              .unionByName(e.select(col("doc_b").as("doc_id")))
+              .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+            val ed = e
+              .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("da")), "doc_a")
+              .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("db")), "doc_b")
+            val ka = struct(col("da").as("d"), col("doc_a").as("v"))
+            val kb = struct(col("db").as("d"), col("doc_b").as("v"))
+            val o = ed.select(
+              when(ka < kb, col("doc_a")).otherwise(col("doc_b")).as("src"),
+              when(ka < kb, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+              when(ka < kb, kb).otherwise(ka).as("dk"))
+              .persist()
+            val tri = o.as("w1")
+              .join(o.as("w2"),
+                col("w1.src") === col("w2.src") && col("w1.dk") < col("w2.dk"))
+              .join(o.as("cl"),
+                col("w1.dst") === col("cl.src") && col("w2.dst") === col("cl.dst"),
+                "left_semi")
+              .select(col("w1.src").as("a"), col("w1.dst").as("b"),
+                col("w2.dst").as("c"))
+            tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+              .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+          }
+
+          case "tri_deg_bc" => time("tri_deg_bc") { d =>
+            // round-12 arm: identical inline shape to tri_deg_smj (so the
+            // A/B isolates ONE variable) with the closure probe broadcast
+            // — calling Dedup.triangles here would make it the OUTERMOST
+            // withPersisted and checkpoint the 78 M-row triangle list the
+            // real q146 never materializes (nested → lazy)
+            val e = Dedup.lshCandidatePairs(docs(d), 0.5)
+              .select("doc_a", "doc_b").localCheckpoint()
+            val deg = e.select(col("doc_a").as("doc_id"))
+              .unionByName(e.select(col("doc_b").as("doc_id")))
+              .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+            val ed = e
+              .join(deg.select(col("doc_id").as("doc_a"), col("deg").as("da")), "doc_a")
+              .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("db")), "doc_b")
+            val ka = struct(col("da").as("d"), col("doc_a").as("v"))
+            val kb = struct(col("db").as("d"), col("doc_b").as("v"))
+            val o = ed.select(
+              when(ka < kb, col("doc_a")).otherwise(col("doc_b")).as("src"),
+              when(ka < kb, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+              when(ka < kb, kb).otherwise(ka).as("dk"))
+              .persist()
+            val tri = o.as("w1")
+              .join(o.as("w2"),
+                col("w1.src") === col("w2.src") && col("w1.dk") < col("w2.dk"))
+              .join(broadcast(o.select(col("src"), col("dst"))).as("cl"),
+                col("w1.dst") === col("cl.src") && col("w2.dst") === col("cl.dst"),
+                "left_semi")
+              .select(col("w1.src").as("a"), col("w1.dst").as("b"),
+                col("w2.dst").as("c"))
+            tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+              .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+          }
+
+          case s if s.startsWith("pyr_") =>
+            // pyramid A/B arms at the q182 shape (z0–z16, chunked
+            // iterative), same session, interleavable — each isolates one
+            // round-12 variable:
+            //   pyr_raw        string map_key + UNPACKED (z,px,py) keys —
+            //                  the round-11 shipped shape, inlined
+            //   pyr_enc_nopack long map_key + unpacked — isolates the
+            //                  algebraic key encoding
+            //   pyr_enc        the shipped path (long key + packed zxy)
+            val epsg = "EPSG:3857"
+            val (minZ, maxZ) = (0, 16)
+            import graft.operators.{MapBuild, OccurrenceView}
+            val MaxZoom = OccurrenceView.MaxZoom
+            // the round-11 levelStats, inlined (unpacked keys)
+            def levelStatsUnpacked(top: DataFrame, lowZ: Int, highZ: Int): DataFrame = {
+              val zs = array((lowZ to highZ).map(lit): _*)
+              val perPixel = top
+                .withColumn("z", explode(zs))
+                .select(col("map_key"), col("z"),
+                  expr(s"shiftright(px, $highZ - z)").as("px"),
+                  expr(s"shiftright(py, $highZ - z)").as("py"),
+                  col("total"))
+                .groupBy("map_key", "z", "px", "py").agg(sum("total").as("total"))
+              perPixel.select(col("map_key"), col("z"),
+                  (col("px") / OccurrenceView.TileSize).cast("long").as("tx"),
+                  (col("py") / OccurrenceView.TileSize).cast("long").as("ty"),
+                  lit(1L).as("n_pixels"), col("total"))
+                .groupBy("map_key", "z", "tx", "ty")
+                .agg(sum("n_pixels").as("n_pixels"), sum("total").as("total"))
+                .select("map_key", "tx", "ty", "n_pixels", "total", "z")
+            }
+            def iterUnpacked(top0: DataFrame): DataFrame = {
+              var top = top0
+              top.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+              var highZ = maxZ
+              var out: DataFrame = null
+              while (highZ >= minZ) {
+                val lowZ = math.max(minZ, highZ - 7 + 1)
+                val chunk = levelStatsUnpacked(top, lowZ, highZ)
+                out = if (out == null) chunk else out.unionByName(chunk)
+                if (lowZ > minZ) {
+                  top = top.select(col("map_key"),
+                      shiftright(col("px"), highZ - lowZ + 1).as("px"),
+                      shiftright(col("py"), highZ - lowZ + 1).as("py"),
+                      col("total"))
+                    .groupBy("map_key", "px", "py").agg(sum("total").as("total"))
+                  top.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+                }
+                highZ = lowZ - 1
+              }
+              out
+            }
+            if (s.startsWith("pyr_enc_nopack")) time(s) { d =>
+              val s2 = MapBuild.noCoalesceSession(spark)
+              val occ = OccurrenceView.occ(s2, d)
+              iterUnpacked(MapBuild.withPixels(occ, epsg)
+                .select(explode(MapBuild.mapKeyIdsArray).as("map_key"),
+                  shiftright(col("px"), MaxZoom - maxZ).as("px"),
+                  shiftright(col("py"), MaxZoom - maxZ).as("py"))
+                .withColumn("total", lit(1L))
+                .groupBy("map_key", "px", "py").agg(sum("total").as("total")))
+            }
+            else if (s.startsWith("pyr_enc"))
+              time(s)(d => MapBuild.pyramid(
+                OccurrenceView.occ(MapBuild.noCoalesceSession(spark), d),
+                epsg, minZ, maxZ))
+            else time(s) { d =>
+              val s2 = MapBuild.noCoalesceSession(spark)
+              val occ = OccurrenceView.occ(s2, d)
+              iterUnpacked(MapBuild.explodeMapKeys(MapBuild.withPixels(occ, epsg))
+                .select(col("map_key"),
+                  shiftright(col("px"), MaxZoom - maxZ).as("px"),
+                  shiftright(col("py"), MaxZoom - maxZ).as("py"),
+                  lit(1L).as("total"))
+                .groupBy("map_key", "px", "py").agg(sum("total").as("total")))
+            }
+
+          case "cal_raw" => time("cal_raw") { d =>
+            // round-11 lshCalibration shape (shingle table UNPERSISTED,
+            // re-derived per verify-join side) — the A/B baseline for the
+            // round-12 withPersisted(sh) change
+            val dd = docs(d)
+            val pairs = Dedup.lshCandidatePairs(dd, 0.5)
+            val sh = dd.withColumn("s", Dedup.shingleSetUdf(col("text")))
+              .select(col("doc_id"), col("s"))
+            val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
+            val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
+            pairs
+              .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+              .join(sh.as("b"), col("doc_b") === col("b.doc_id"))
+              .select(round(col("est_sim") * 8, 0).cast("int").as("est_agree"),
+                inter.as("i"), uni.as("u"))
+              .select(col("est_agree"),
+                when(col("u") === 0, lit(1000000L))
+                  .otherwise(expr("i * 1000000 div u")).as("ex_micro"))
+              .groupBy(col("est_agree"), expr("ex_micro div 100000").as("ex_decile"))
+              .agg(count(lit(1)).as("n_pairs"), sum("ex_micro").as("sum_ex_micro"))
+          }
+
+          // any declared query by name — lets one pieces invocation
+          // interleave a query with an inline baseline arm (same JVM)
+          case q if SparkEntry.queries.contains(q) =>
+            time(q)(d => SparkEntry.queries(q)(spark, d))
 
           case other => println(s"[opt] unknown piece $other")
         }

@@ -22,6 +22,10 @@ object ScaleLab {
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // zstd to MIRROR Bench's session (round 12; SPARK_GRAFT_CODEC=lz4
+      // re-runs the historical-PROFILE.md-comparable arm)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -739,11 +739,14 @@ object Corpus {
     val bgs = docs.withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(allNgrams("toks", 2)).as("bg"))
-    graft.core.Lifecycle.withPersisted(bgs) {
+    // exactLm rides the persist list too (round 12): the totals collect
+    // (t0) and the exact arm's scoring join both read it — unpersisted,
+    // the vocabulary²-row aggregation ran twice per audit
     val exactLm = bgs
       .select(col("bg").as("f"),
         when(col("lang") === targetLang, 1L).otherwise(0L).as("t"))
       .groupBy("f").agg(count(lit(1)).as("cr"), sum("t").as("ct"))
+    graft.core.Lifecycle.withPersisted(bgs, exactLm) {
     // shared totals: nr/nt are occurrence counts (hash-invariant) and bex
     // is the exact distinct-bigram count — the ONE smoothing denominator
     // every arm uses, so arms differ only by collisions. COLLECTED once

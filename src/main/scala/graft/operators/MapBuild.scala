@@ -307,7 +307,63 @@ object MapBuild {
     s2
   }
 
+  /** ALGEBRAIC long encoding of the 5 map-view keys — the q37/A14
+    * dictionary-encoding idea (VERDICT r11 #3, guide §2.3 "narrower
+    * types") with NO dictionary and NO driver collect: every key type's
+    * value is already a bounded integer of the record (ALL = 0,
+    * l_partkey%50, l_suppkey, bor_id, l_orderkey%7), so the dense key
+    * derives row-locally as type·2⁴⁰ + value and decodes row-locally at
+    * the pyramid's edge ([[decodeMapKey]] ∘ encode ≡ the string key, so
+    * results are bit-identical — oracle-gated by the whole pyramid
+    * family). Through the pyramid's keyed exchanges the key is then ONE
+    * 8-byte long instead of a 16-byte UnsafeRow string slot, hashes and
+    * compares as a long, and — at the source — skips building 5 concat'd
+    * strings per record entirely. Value bound 2⁴⁰ (the house id bound):
+    * l_suppkey reaches 2⁴⁰ only past SF 10¹⁰ (~10 EB), far beyond any
+    * deployment; types are single digits 0–4 by [[OccurrenceView]]
+    * construction.
+    */
+  private val KeyShift = 1L << 40
+
+  private[graft] def mapKeyIdsArray: Column = array(
+    lit(0L), // "0:0" — the ALL view
+    lit(1L * KeyShift) + col("l_partkey") % 50,
+    lit(2L * KeyShift) + col("l_suppkey"),
+    lit(3L * KeyShift) + col("bor_id"), // A→0, N→1, R→2 (bor_id's map)
+    lit(4L * KeyShift) + col("l_orderkey") % 7)
+
+  /** Inverse of the algebraic encoding: long key → the exact view-key
+    * string [[OccurrenceView.mapKeysArray]] builds. Row-local, applied
+    * once at the pyramid's OUTPUT (after the last keyed exchange).
+    */
+  private[graft] def decodeMapKey(k: Column): Column = {
+    val t = shiftright(k, 40)
+    val v = k.bitwiseAND(lit(KeyShift - 1))
+    concat(t.cast("string"), lit(":"),
+      when(t === 3, when(v === 0, lit("A")).when(v === 1, lit("N"))
+        .otherwise(lit("R")))
+        .otherwise(v.cast("string")))
+  }
+
+  /** Encode an EXISTING string map_key (a stored state's) to the long
+    * form — one row-local parse, paid once per state row so the
+    * incremental recompute's three keyed exchanges run long-keyed.
+    * Only valid on the house key strings ("t:v", t a single digit,
+    * v an integer or the bor letter) — everything [[pyramidState]] /
+    * [[writePrunedState]] ever write, by construction.
+    */
+  private[graft] def encodeMapKey(k: Column): Column = {
+    val t = substring(k, 1, 1).cast("long")
+    val vs = substring(k, 3, 24)
+    val v = when(t === 3, when(vs === "A", lit(0L)).when(vs === "N", lit(1L))
+      .otherwise(lit(2L)))
+      .otherwise(vs.cast("long"))
+    shiftleft(t, 40) + v
+  }
+
   private[graft] def levelStats(top: DataFrame, lowZ: Int, highZ: Int): DataFrame = {
+    require(lowZ >= 0 && highZ <= MaxZoom,
+      s"levelStats zooms must sit in [0, $MaxZoom], got [$lowZ, $highZ]")
     val zs = array((lowZ to highZ).map(lit): _*)
     // NOTE (measured): fusing the pair below into one distinct aggregate
     // (countDistinct(px, py) + sum at the tile key) ran 1.6× SLOWER at
@@ -316,22 +372,40 @@ object MapBuild {
     // aggregations beat one Expand-doubled one; the q08 tileAssembly case
     // wins with countDistinct only because it starts from raw records and
     // drops TWO exchanges, not one.
+    //
+    // Round 12 (§2.3): (z, px, py) PACK into ONE long through both keyed
+    // exchanges — z ≤ MaxZoom = 16 < 2⁶ and px, py < TileSize·2^z ≤ 2²⁵
+    // are PIXEL-ADDRESSING bounds (data-independent, so the packing is
+    // exact at any corpus scale; the require above pins it). Key slots
+    // per row drop 4 → 2 in both exchanges; unpack is row-local after
+    // the last aggregation. Same-session A/B at the q182 shape (OptLab
+    // pieces pyr_enc vs pyr_enc_nopack): numbers in OPTIMIZATION_r12.md.
     val perPixel = sumAgg(
       top
         .withColumn("z", explode(zs))
-        .select(col("map_key"), col("z"),
-          expr(s"shiftright(px, $highZ - z)").as("px"),
-          expr(s"shiftright(py, $highZ - z)").as("py"),
+        .select(col("map_key"),
+          (col("z").cast("long") * lit(1L << 50)
+            + expr(s"shiftright(px, $highZ - z)") * lit(1L << 25)
+            + expr(s"shiftright(py, $highZ - z)")).as("zxy"),
           col("total")),
-      Seq("map_key", "z", "px", "py"), Seq("total"))
+      Seq("map_key", "zxy"), Seq("total"))
+    // tile key: the same pack with the TileShift low bits of px and py
+    // dropped — ztxy = z·2³² + tx·2¹⁶ + ty (tx, ty < 2¹⁶)
+    val tx = shiftright(col("zxy"), 25 + TileShift)
+      .bitwiseAND(lit((1L << (25 - TileShift)) - 1))
+    val ty = shiftright(col("zxy").bitwiseAND(lit((1L << 25) - 1)), TileShift)
     sumAgg(
-      perPixel.select(col("map_key"), col("z"),
-        (col("px") / TileSize).cast("long").as("tx"),
-        (col("py") / TileSize).cast("long").as("ty"),
+      perPixel.select(col("map_key"),
+        (shiftright(col("zxy"), 50) * lit(1L << 32)
+          + tx * lit(1L << 16) + ty).as("ztxy"),
         lit(1L).as("n_pixels"),
         col("total")),
-      Seq("map_key", "z", "tx", "ty"), Seq("n_pixels", "total"))
-      .select("map_key", "tx", "ty", "n_pixels", "total", "z")
+      Seq("map_key", "ztxy"), Seq("n_pixels", "total"))
+      .select(col("map_key"),
+        shiftright(col("ztxy"), 16).bitwiseAND(lit(0xffffL)).as("tx"),
+        col("ztxy").bitwiseAND(lit(0xffffL)).as("ty"),
+        col("n_pixels"), col("total"),
+        shiftright(col("ztxy"), 32).cast("int").as("z"))
   }
 
   /** Aggregate raw records ONCE, directly at (maxZoom, no-bor) granularity:
@@ -351,6 +425,31 @@ object MapBuild {
           lit(1L).as("total")),
       Seq("map_key", "px", "py"), Seq("total"))
 
+  /** [[topLevel]] with the map_key LONG-ENCODED at the source (round 12,
+    * guide §2.3): the explode emits [[mapKeyIdsArray]] longs straight from
+    * the record's integer columns — no per-record string building, and
+    * every downstream keyed exchange carries an 8-byte long. Used by the
+    * pyramid BUILDERS (q45/q109/q182), which decode at the edge;
+    * [[pyramidState]] keeps the string form — it is the stored-state
+    * schema the incremental/store paths contract on.
+    */
+  private def topLevelEnc(occ: DataFrame, epsg: String, maxZoom: Int): DataFrame =
+    sumAgg(
+      withPixels(occ, epsg)
+        .select(
+          explode(mapKeyIdsArray).as("map_key"),
+          shiftright(col("px"), MaxZoom - maxZoom).as("px"),
+          shiftright(col("py"), MaxZoom - maxZoom).as("py"))
+        .withColumn("total", lit(1L)),
+      Seq("map_key", "px", "py"), Seq("total"))
+
+  /** Decode a long-keyed tile-stats frame to the output contract (string
+    * map_key, same column order) — one row-local projection AFTER the
+    * last keyed exchange.
+    */
+  private def decodeStats(stats: DataFrame): DataFrame =
+    stats.withColumn("map_key", decodeMapKey(col("map_key")))
+
   /** Full pyramid in ONE aggregation pass: each top-level pixel row is
     * exploded to every requested zoom (z, px >> (maxZoom-z), py >> ...) and
     * a single groupBy produces all levels at once. The ×nLevels row
@@ -369,7 +468,7 @@ object MapBuild {
     * only dispatch input.
     */
   def pyramidOnePass(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame =
-    levelStats(topLevel(occ, epsg, maxZoom), minZoom, maxZoom)
+    decodeStats(levelStats(topLevelEnc(occ, epsg, maxZoom), minZoom, maxZoom))
 
   /** Pyramid strategy dispatch: one-pass for shallow pyramids, chunked
     * iterative halving (with per-chunk materialization barriers) for deep
@@ -396,7 +495,7 @@ object MapBuild {
     */
   def pyramidIterative(occ: DataFrame, epsg: String, minZoom: Int, maxZoom: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    var top = topLevel(occ, epsg, maxZoom)
+    var top = topLevelEnc(occ, epsg, maxZoom)
     top.persist(StorageLevel.MEMORY_AND_DISK).count() // materialize barrier
     var highZ = maxZoom
     var out: DataFrame = null
@@ -418,7 +517,7 @@ object MapBuild {
       }
       highZ = lowZ - 1
     }
-    out
+    decodeStats(out)
   }
 
   private val PyramidChunk = 7
@@ -536,35 +635,69 @@ object MapBuild {
     */
   def incrementalPyramidFromTop(state: DataFrame, pyramid: DataFrame,
       deltaTop: DataFrame, minZoom: Int, maxZoom: Int): DataFrame = {
+    require(minZoom >= 0 && maxZoom <= MaxZoom, // the key pack's bound
+      s"zooms must sit in [0, $MaxZoom], got [$minZoom, $maxZoom]")
     val zs = array((minZoom to maxZoom).map(lit): _*)
+    // the recompute runs LONG-KEYED (round 12, guide §2.3): state and
+    // deltaTop keep their stored string schema (the contract), but one
+    // row-local [[encodeMapKey]] at entry puts an 8-byte long through the
+    // merge aggregation, the dirty semi-join and both recompute
+    // aggregations; [[decodeStats]] restores the string after the last
+    // exchange. The clean passthrough stays string-keyed — its anti-join
+    // probes the stored pyramid, so dirty is decoded on the (tiny)
+    // broadcast side instead of encoding the pyramid side.
+    val stateE = state.withColumn("map_key", encodeMapKey(col("map_key")))
+    val deltaE = deltaTop.withColumn("map_key", encodeMapKey(col("map_key")))
     // dirty feeds TWO broadcast builds (the semi-join prune and the
     // clean-tile anti-join), and each broadcast build is its own job —
     // materialized once (round 11) so the delta aggregation + explode +
     // distinct chain doesn't re-run per build. Bounded by the documented
     // broadcast budget (≤ |delta pixels| × nLevels), so the checkpoint is
-    // delta-footprint-sized.
-    val dirty = deltaTop
+    // delta-footprint-sized. (z, tx, ty) ride as ONE packed long
+    // (ztxy = z·2³² + tx·2¹⁶ + ty — the levelStats pack; stage-drilled:
+    // the recompute's per-pixel exchange wrote 17.7 M rows / 183 MB at
+    // sf0.1 with 6-column keys).
+    val dirty = deltaE
       .withColumn("z", explode(zs))
-      .select(col("map_key"), col("z"),
-        expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
-        expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
+      .select(col("map_key"),
+        (col("z").cast("long") * lit(1L << 32)
+          + expr(s"shiftright(px, $maxZoom - z + $TileShift)") * lit(1L << 16)
+          + expr(s"shiftright(py, $maxZoom - z + $TileShift)")).as("ztxy"))
       .distinct()
       .localCheckpoint()
-    val merged = sumAgg(state.unionByName(deltaTop),
+    val merged = sumAgg(stateE.unionByName(deltaE),
       Seq("map_key", "px", "py"), Seq("total"))
+    // recompute keys packed as in levelStats: the semi-join probes
+    // (map_key, ztxy) BEFORE the first exchange (the pruning point is
+    // unchanged); the per-pixel aggregation keys (map_key, zxy); tile key
+    // and output columns derive row-locally after.
+    val zxyCol = (col("z").cast("long") * lit(1L << 50)
+      + expr(s"shiftright(px, $maxZoom - z)") * lit(1L << 25)
+      + expr(s"shiftright(py, $maxZoom - z)"))
+    val ztxyOfZxy = shiftright(col("zxy"), 50) * lit(1L << 32) +
+      shiftright(col("zxy"), 25 + TileShift)
+        .bitwiseAND(lit((1L << (25 - TileShift)) - 1)) * lit(1L << 16) +
+      shiftright(col("zxy").bitwiseAND(lit((1L << 25) - 1)), TileShift)
     val recomputed = merged
       .withColumn("z", explode(zs))
-      .withColumn("tx", expr(s"shiftright(px, $maxZoom - z + $TileShift)"))
-      .withColumn("ty", expr(s"shiftright(py, $maxZoom - z + $TileShift)"))
-      .join(broadcast(dirty), Seq("map_key", "z", "tx", "ty"), "left_semi")
-      .groupBy(col("map_key"), col("z"), col("tx"), col("ty"),
-        expr(s"shiftright(px, $maxZoom - z)").as("px"),
-        expr(s"shiftright(py, $maxZoom - z)").as("py"))
+      .select(col("map_key"), zxyCol.as("zxy"), col("total"))
+      .withColumn("ztxy", ztxyOfZxy)
+      .join(broadcast(dirty), Seq("map_key", "ztxy"), "left_semi")
+      .groupBy("map_key", "zxy")
       .agg(sum("total").as("total"))
-      .groupBy("map_key", "z", "tx", "ty")
+      .select(col("map_key"), ztxyOfZxy.as("ztxy"), col("total"))
+      .groupBy("map_key", "ztxy")
       .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
-      .select("map_key", "tx", "ty", "n_pixels", "total", "z")
-    pyramid.join(broadcast(dirty), Seq("map_key", "z", "tx", "ty"), "left_anti")
+      .select(decodeMapKey(col("map_key")).as("map_key"),
+        shiftright(col("ztxy"), 16).bitwiseAND(lit(0xffffL)).as("tx"),
+        col("ztxy").bitwiseAND(lit(0xffffL)).as("ty"),
+        col("n_pixels"), col("total"),
+        shiftright(col("ztxy"), 32).cast("int").as("z"))
+    val dirtyStr = dirty.select(decodeMapKey(col("map_key")).as("map_key"),
+      shiftright(col("ztxy"), 32).cast("int").as("z"),
+      shiftright(col("ztxy"), 16).bitwiseAND(lit(0xffffL)).as("tx"),
+      col("ztxy").bitwiseAND(lit(0xffffL)).as("ty"))
+    pyramid.join(broadcast(dirtyStr), Seq("map_key", "z", "tx", "ty"), "left_anti")
       .select("map_key", "tx", "ty", "n_pixels", "total", "z")
       .unionByName(recomputed)
   }
@@ -753,34 +886,57 @@ object MapBuild {
       epsg: String, minZoom: Int, maxZoom: Int, zc: Int): DataFrame = {
     require(zc <= maxZoom && minZoom <= maxZoom,
       s"need zc <= maxZoom and minZoom <= maxZoom, got $minZoom/$zc/$maxZoom")
+    require(minZoom >= 0 && maxZoom <= MaxZoom, // the key pack's bound
+      s"zooms must sit in [0, $MaxZoom], got [$minZoom, $maxZoom]")
     val deltaTop = topLevel(deltaOcc, epsg, maxZoom)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zs = array((minZoom to maxZoom).map(lit): _*)
+    // the recompute runs LONG-KEYED past the (schema-contracted) state
+    // read, exactly as in [[incrementalPyramidFromTop]] (round 12):
+    // encode row-locally at entry, decode after the last exchange; the
+    // merge aggregations inside mergedFine/CoarseState keep the string
+    // schema Workflow's state writer contracts on.
     // three broadcast builds read this (fine semi, coarse semi, clean
     // anti) — materialized once, same rationale and bound as
     // [[incrementalPyramidFromTop]]'s dirty checkpoint (round 11)
     val dirty = deltaTop
+      .withColumn("map_key", encodeMapKey(col("map_key")))
       .withColumn("z", explode(zs))
-      .select(col("map_key"), col("z"),
-        expr(s"shiftright(px, $maxZoom - z + $TileShift)").as("tx"),
-        expr(s"shiftright(py, $maxZoom - z + $TileShift)").as("ty"))
+      .select(col("map_key"),
+        (col("z").cast("long") * lit(1L << 32)
+          + expr(s"shiftright(px, $maxZoom - z + $TileShift)") * lit(1L << 16)
+          + expr(s"shiftright(py, $maxZoom - z + $TileShift)")).as("ztxy"))
       .distinct()
       .localCheckpoint()
     val dirtyPts = dirtyCells(deltaTop, maxZoom, zc) // bounded: ≤ 4^zc values
 
-    def tileStats(pixels: DataFrame, grainZoom: Int, zLo: Int, zHi: Int): DataFrame =
+    // packed keys exactly as incrementalPyramidFromTop's recompute
+    def tileStats(pixels: DataFrame, grainZoom: Int, zLo: Int, zHi: Int): DataFrame = {
+      val ztxyOfZxy = shiftright(col("zxy"), 50) * lit(1L << 32) +
+        shiftright(col("zxy"), 25 + TileShift)
+          .bitwiseAND(lit((1L << (25 - TileShift)) - 1)) * lit(1L << 16) +
+        shiftright(col("zxy").bitwiseAND(lit((1L << 25) - 1)), TileShift)
       pixels
+        .withColumn("map_key", encodeMapKey(col("map_key")))
         .withColumn("z", explode(array((zLo to zHi).map(lit): _*)))
-        .withColumn("tx", expr(s"shiftright(px, $grainZoom - z + $TileShift)"))
-        .withColumn("ty", expr(s"shiftright(py, $grainZoom - z + $TileShift)"))
-        .join(broadcast(dirty), Seq("map_key", "z", "tx", "ty"), "left_semi")
-        .groupBy(col("map_key"), col("z"), col("tx"), col("ty"),
-          expr(s"shiftright(px, $grainZoom - z)").as("px"),
-          expr(s"shiftright(py, $grainZoom - z)").as("py"))
+        .select(col("map_key"),
+          (col("z").cast("long") * lit(1L << 50)
+            + expr(s"shiftright(px, $grainZoom - z)") * lit(1L << 25)
+            + expr(s"shiftright(py, $grainZoom - z)")).as("zxy"),
+          col("total"))
+        .withColumn("ztxy", ztxyOfZxy)
+        .join(broadcast(dirty), Seq("map_key", "ztxy"), "left_semi")
+        .groupBy("map_key", "zxy")
         .agg(sum("total").as("total"))
-        .groupBy("map_key", "z", "tx", "ty")
+        .select(col("map_key"), ztxyOfZxy.as("ztxy"), col("total"))
+        .groupBy("map_key", "ztxy")
         .agg(count(lit(1)).as("n_pixels"), sum("total").as("total"))
-        .select("map_key", "tx", "ty", "n_pixels", "total", "z")
+        .select(decodeMapKey(col("map_key")).as("map_key"),
+          shiftright(col("ztxy"), 16).bitwiseAND(lit(0xffffL)).as("tx"),
+          col("ztxy").bitwiseAND(lit(0xffffL)).as("ty"),
+          col("n_pixels"), col("total"),
+          shiftright(col("ztxy"), 32).cast("int").as("z"))
+    }
 
     // fine levels (z >= zc): pruned state read — the partition filter is
     // the whole point ([[mergedFineState]] keeps it a direct filter on the
@@ -799,7 +955,11 @@ object MapBuild {
           spark, statePath, deltaTop, maxZoom, zc, Nil, Seq("total"))
         recomputedFine.unionByName(tileStats(mergedCoarse, zc, minZoom, zc - 1))
       }
-    pyramid.join(broadcast(dirty), Seq("map_key", "z", "tx", "ty"), "left_anti")
+    val dirtyStr = dirty.select(decodeMapKey(col("map_key")).as("map_key"),
+      shiftright(col("ztxy"), 32).cast("int").as("z"),
+      shiftright(col("ztxy"), 16).bitwiseAND(lit(0xffffL)).as("tx"),
+      col("ztxy").bitwiseAND(lit(0xffffL)).as("ty"))
+    pyramid.join(broadcast(dirtyStr), Seq("map_key", "z", "tx", "ty"), "left_anti")
       .select("map_key", "tx", "ty", "n_pixels", "total", "z")
       .unionByName(recomputed)
   }

@@ -1047,10 +1047,16 @@ object Similarity {
       .groupBy("query_id", "m_sub").agg(kmv(col("pk")).as("topk"))
       .select(col("query_id"), col("m_sub"), explode(col("topk")).as("pk"))
       .select(col("query_id"), col("m_sub"), expr("pk % 2097152").as("vec_id"))
-    val brute = topk.filter(col("m_sub") === 0).select("query_id", "vec_id")
-    hitCount(topk, brute, k, Seq("query_id", "m_sub"))
-      .select(col("query_id"), col("m_sub").cast("int").as("m_sub"),
-        col("n_hits"), col("recall_micro"))
+    // topk feeds BOTH hitCount sides (the arm rows and the m_sub=0 brute
+    // slice) — persisted (round 12, §2.4) so the corpus × query × arm
+    // distance fan-out and its KMV aggregation run ONCE, not once per
+    // side; topk is bounded at queries × (|ms|+1) × k rows
+    graft.core.Lifecycle.withPersisted(topk) {
+      val brute = topk.filter(col("m_sub") === 0).select("query_id", "vec_id")
+      hitCount(topk, brute, k, Seq("query_id", "m_sub"))
+        .select(col("query_id"), col("m_sub").cast("int").as("m_sub"),
+          col("n_hits"), col("recall_micro"))
+    }
   }
 
   /** The production-geometry PQ recall audit: recall@k of the [[PqM]]-way
@@ -1187,20 +1193,26 @@ object Similarity {
         bit_count(col("bucket").bitwiseXOR(col("qb"))).cast("int").as("hd"),
         ((lit(1000000L) - simMicro) * lit(1099511627776L) + col("vec_id"))
           .as("pk"))
-    val brute = sims
-      .groupBy("query_id").agg(kmv(col("pk")).as("topk"))
-      .select(col("query_id"), explode(col("topk")).as("pk"))
-      .select(col("query_id"), expr("pk % 1099511627776").as("vec_id"))
-    val grid = array(radii.map(lit): _*)
-    val arms = sims.withColumn("radius", explode(grid))
-      .filter(col("hd") <= col("radius"))
-      .groupBy("query_id", "radius").agg(kmv(col("pk")).as("topk"))
-      .select(col("query_id"), col("radius"), explode(col("topk")).as("pk"))
-      .select(col("query_id"), col("radius"),
-        expr("pk % 1099511627776").as("vec_id"))
-    hitCount(arms, brute, k, Seq("query_id", "radius"))
-      .select(col("query_id"), col("radius").cast("int").as("radius"),
-        col("n_hits"), col("recall_micro"))
+    // sims feeds the brute arm AND the radius grid — persisted (round 12,
+    // §2.4) so the corpus × query cosine fold runs ONCE, not once per
+    // consumer; sims is (query × corpus) rows of three scalars, the same
+    // bounded class as the audit's own output domain
+    graft.core.Lifecycle.withPersisted(sims) {
+      val brute = sims
+        .groupBy("query_id").agg(kmv(col("pk")).as("topk"))
+        .select(col("query_id"), explode(col("topk")).as("pk"))
+        .select(col("query_id"), expr("pk % 1099511627776").as("vec_id"))
+      val grid = array(radii.map(lit): _*)
+      val arms = sims.withColumn("radius", explode(grid))
+        .filter(col("hd") <= col("radius"))
+        .groupBy("query_id", "radius").agg(kmv(col("pk")).as("topk"))
+        .select(col("query_id"), col("radius"), explode(col("topk")).as("pk"))
+        .select(col("query_id"), col("radius"),
+          expr("pk % 1099511627776").as("vec_id"))
+      hitCount(arms, brute, k, Seq("query_id", "radius"))
+        .select(col("query_id"), col("radius").cast("int").as("radius"),
+          col("n_hits"), col("recall_micro"))
+    }
   }
 
   /** Per-label embedding statistics — the class prototype (nearest-class-

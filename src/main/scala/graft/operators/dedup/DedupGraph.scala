@@ -29,18 +29,19 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
     * `ids` is one row per node (doc_id); isolated nodes label themselves.
     */
   def clustersFromEdges(ids: DataFrame, edgesIn: DataFrame): DataFrame = {
+    import graft.core.Lifecycle.{loopCheckpoint, freeCheckpoint}
     val edges = edgesIn.select("doc_a", "doc_b")
-    // localCheckpoint (eager) truncates the logical plan each round — the
+    // loopCheckpoint (eager) truncates the logical plan each round — the
     // propagation plan references `labels` twice, so without lineage cuts the
     // plan tree doubles per round and the driver dies on plan blow-up long
-    // before the data is big. At cluster scale use checkpoint() on
-    // reliable storage instead.
-    val sym = edges
+    // before the data is big. Default arm is localCheckpoint; with
+    // Lifecycle.CheckpointDirKey set it becomes a RELIABLE checkpoint()
+    // (cluster mode: survives executor loss mid-loop — guide §5).
+    val sym = loopCheckpoint(edges
       .union(edges.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .localCheckpoint()
-    var labels = ids.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
+      .toDF("src", "dst"))
+    var labels = loopCheckpoint(
+      ids.select(col("doc_id"), col("doc_id").as("cluster_id")))
     // labels only ever DECREASE (least of self and neighbours), so the
     // label sum is strictly monotone until the fixpoint — an aggregate on
     // the new labels detects convergence without the join-back-and-count
@@ -66,24 +67,29 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
       // 11) so the pointer-jump self-join's two branches read the tiny
       // materialized table instead of evaluating the sym-join subtree
       // twice per round (measured ~15–20% of the loop's CPU)
-      val stepped = labels.join(nbMin, Seq("doc_id"), "left")
+      val stepped = loopCheckpoint(labels.join(nbMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id"))).as("cluster_id")))
       // pointer jumping: label[x] ← label[label[x]] — every label is a real
       // doc_id, so the self-join composes the pointer chain and convergence
       // needs O(log diameter) rounds instead of O(diameter)
-      val next = stepped.as("a")
+      val next = loopCheckpoint(stepped.as("a")
         .join(stepped.select(col("doc_id").as("pj_id"), col("cluster_id").as("pj_cl")).as("b"),
           col("a.cluster_id") === col("pj_id"), "left")
-        .select(col("a.doc_id"), coalesce(col("pj_cl"), col("a.cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+        .select(col("a.doc_id"), coalesce(col("pj_cl"), col("a.cluster_id")).as("cluster_id")))
       val nextSum = labelSum(next)
+      // round-12 checkpoint hygiene: `stepped` and the PREVIOUS round's
+      // labels are dead once `next` is materialized — release their blocks
+      // now instead of waiting for the ContextCleaner, bounding loop
+      // storage at one round's table (round-11 VERDICT "what's wrong" #3)
+      freeCheckpoint(stepped)
+      freeCheckpoint(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       rounds += 1
     }
+    freeCheckpoint(sym) // the returned labels are materialized — sym is dead
     labels
   }
 
@@ -109,23 +115,28 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
     * pointer jumping; the convergence check is one bounded count.
     */
   def kCoreFromEdges(edgesIn: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import graft.core.Lifecycle.{loopCheckpoint, freeCheckpoint}
     require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
     val edges = edgesIn.select("doc_a", "doc_b")
-    val sym = edges
+    val sym = loopCheckpoint(edges
       .union(edges.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .localCheckpoint()
+      .toDF("src", "dst"))
     def degAmong(active: DataFrame): DataFrame = sym
       .join(active.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
       .join(active.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
       .groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("core_deg"))
-    var active = sym.select(col("src").as("doc_id")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds)
-      active = degAmong(active).filter(col("core_deg") >= k)
-        .select("doc_id").localCheckpoint()
-    val core = degAmong(active).filter(col("core_deg") >= k).localCheckpoint()
+    var active = loopCheckpoint(sym.select(col("src").as("doc_id")).distinct())
+    for (_ <- 1 to rounds) {
+      val next = loopCheckpoint(degAmong(active).filter(col("core_deg") >= k)
+        .select("doc_id"))
+      freeCheckpoint(active) // superseded round — see clustersFromEdges
+      active = next
+    }
+    val core = loopCheckpoint(degAmong(active).filter(col("core_deg") >= k))
     require(core.count() == active.count(),
       s"k-core peel did not reach its fixpoint within $rounds rounds — raise rounds")
+    freeCheckpoint(active)
+    freeCheckpoint(sym)
     core
   }
 
@@ -161,17 +172,19 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
     * in-degree after the hot-bucket cap.
     */
   def pagerankMicro(docs: DataFrame, minEst: Double, iters: Int): DataFrame = {
+    import graft.core.Lifecycle.loopCheckpoint
     val edges = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
     // materialized once: three iterations would otherwise re-run the
-    // candidate join per action (same rationale as duplicateClusters)
-    val sym = edges
+    // candidate join per action (same rationale as duplicateClusters);
+    // both live until the returned (lazy) rank plan is consumed, so no
+    // freeCheckpoint here — the ContextCleaner releases them with the plan
+    val sym = loopCheckpoint(edges
       .union(edges.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .localCheckpoint()
+      .toDF("src", "dst"))
     // node-bounded and referenced by EVERY iteration's contrib join — one
     // materialization instead of `iters` re-aggregations of the arc list
     // (round 11; same class as the CC loop's stepped checkpoint)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val deg = loopCheckpoint(sym.groupBy("src").agg(count(lit(1)).as("deg")))
     val base = docs.select(col("doc_id"))
     var r = base.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -202,9 +215,9 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
     */
   def randomWalks(docs: DataFrame, minEst: Double, steps: Int): DataFrame = {
     val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
-    val sym = e.union(e.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .localCheckpoint() // the arc list feeds every hop's argmin
+    val sym = graft.core.Lifecycle.loopCheckpoint(
+      e.union(e.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")) // the arc list feeds every hop's argmin
     var walks = sym.select(col("src")).distinct()
       .select(col("src").as("start"), col("src").as("cur"),
         col("src").cast("string").as("seq"))
@@ -438,10 +451,24 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
       // lifecycle (round 9): the triangle list is output-bounded, so
       // withPersisted checkpoints it and drops the oriented-edge cache
       graft.core.Lifecycle.withPersisted(o) {
+        // Closure-probe build side (round 12, guide §3.1): the Σout²
+        // wedge stream is the BIG side of the semi-join — orders of
+        // magnitude more rows than the edge list (sf0.1: ~151 M wedges vs
+        // 0.63 M edges). Planned from estimates, Spark sort-merge-joins
+        // it: the whole wedge stream is exchanged AND sorted on
+        // (dst, dst) — measured 684 MB of the query's 708 MB shuffle and
+        // the bulk of its 380 cpu-s. The edge list is the side that is
+        // actually bounded (candidate-capped), so when a one-row driver
+        // count proves it under the broadcast budget, build the hash
+        // relation from it and keep the wedge stream PIPELINED (never
+        // exchanged). Past the budget the SMJ arm stands — the scale-safe
+        // default, same dispatch shape as the q117 orientation collect.
+        val cl0 = o.select(col("src"), col("dst"))
+        val cl = if (o.count() <= MaxBroadcastEdges) broadcast(cl0) else cl0
         o.as("w1")
           .join(o.as("w2"),
             col("w1.src") === col("w2.src") && col("w1.dk") < col("w2.dk"))
-          .join(o.as("cl"),
+          .join(cl.as("cl"),
             col("w1.dst") === col("cl.src") && col("w2.dst") === col("cl.dst"),
             "left_semi")
           .select(col("w1.src").as("a"), col("w1.dst").as("b"),
@@ -449,6 +476,12 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
       }
     }
   }
+
+  /** Broadcast budget for the closure-probe edge list (~16 B/row in the
+    * hash relation + overhead ⇒ ~300 MB at the bound — inside the guide's
+    * "a few hundred MB is usually fine", far under the 8 GB hard cap).
+    */
+  private val MaxBroadcastEdges = 4000000L
 
   // ------------------------------------------------------------ winnowing
 
@@ -542,12 +575,15 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
     // read three times (sketch build via sym + the anti-join);
     // candidate-sized. Structural lifecycle (round 9): the verified
     // missed-pair list is sketch-bounded (n·C(B,2)), so withPersisted
-    // checkpoints it and drops the edge cache on exit.
+    // checkpoints it and drops the edge cache on exit. Round-12 measured
+    // negative result: adding `sh` to the persist list was a wash (the
+    // q139-shape A/B — chained BHJs stream the shingle table once
+    // already); not shipped (guide §1.3).
     val e = lshCandidatePairs(docs, minEst).select("doc_a", "doc_b")
+    val sh = docs.withColumn("s", shingleSetUdf(col("text")))
+      .select(col("doc_id"), col("s"))
     graft.core.Lifecycle.withPersisted(e) {
       val predicted = missedPairsFromEdges(e, minSupport, maxNeighbors)
-      val sh = docs.withColumn("s", shingleSetUdf(col("text")))
-        .select(col("doc_id"), col("s"))
       val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
       val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
       predicted
@@ -703,9 +739,10 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
     require(Set("auto", "exact", "bounded")(arm), s"unknown arm $arm")
     require(maxVotes >= 1 && maxVotes + 2 < (1L << 20),
       s"need 1 <= maxVotes and maxVotes + 2 < 2^20, got $maxVotes")
+    import graft.core.Lifecycle.{loopCheckpoint, freeCheckpoint}
     val edges = edgesIn.select("doc_a", "doc_b")
-    val sym = edges.union(edges.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
+    val sym = loopCheckpoint(edges.union(edges.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst"))
     // field-bound check up front (one bounded 1-row collect). Aggregates
     // over an empty edge list yield nulls — coalesce before comparing
     // (round-7 ADVICE).
@@ -746,7 +783,7 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
         graft.functions.JavaHashExpr.register(edgesIn.sparkSession)
         val h = voteSampleHash(col("src"), col("dst"))
         val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-        sym.join(deg, Seq("src"))
+        val sampled = sym.join(deg, Seq("src"))
           .filter(col("deg") <= 4L * maxVotes ||
             h < expr(s"${4L * maxVotes * 4294967296L} div deg"))
           .select(col("src"),
@@ -755,10 +792,10 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
           .agg(expr(s"transform(slice(array_sort(collect_list(hd)), 1, " +
             s"$maxVotes), x -> x.dst)").as("ns"))
           .select(col("src"), explode(col("ns")).as("dst"))
-          .localCheckpoint()
+        loopCheckpoint(sampled)
       }
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("community", col("doc_id")).localCheckpoint()
+    var labels = loopCheckpoint(sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("community", col("doc_id")))
     for (_ <- 1 to rounds) {
       val votes = adj
         .join(labels.select(col("doc_id").as("dst"), col("community").as("nl")),
@@ -766,12 +803,15 @@ private[graft] trait DedupGraph extends Serializable { this: DedupMinHash =>
         .select(col("src"), col("nl"))
         .unionByName(labels.select(col("doc_id").as("src"),
           col("community").as("nl")))
-      labels = votes.groupBy("src", "nl").agg(count(lit(1)).as("c"))
+      val next = loopCheckpoint(votes.groupBy("src", "nl").agg(count(lit(1)).as("c"))
         .groupBy(col("src").as("doc_id"))
         .agg(expr("""CAST(min((1048576 - c) * 1099511627776 + nl)
-          % 1099511627776 AS BIGINT)""").as("community"))
-        .localCheckpoint()
+          % 1099511627776 AS BIGINT)""").as("community")))
+      freeCheckpoint(labels) // superseded round — see clustersFromEdges
+      labels = next
     }
+    if (!useExact) freeCheckpoint(adj)
+    freeCheckpoint(sym)
     labels
   }
 

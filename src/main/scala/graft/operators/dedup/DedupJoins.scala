@@ -182,20 +182,25 @@ private[graft] trait DedupJoins extends Serializable { this: DedupMinHash =>
       .filter(col("sh").isNotNull)
     val sets = docs.withColumn("s", shingleSetUdf(col("text")))
       .select(col("doc_id"), col("s"))
-    val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
-    val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
-    pairs
-      .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
-      .select(
-        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int").as("hamming"),
-        inter.as("i"), uni.as("u"))
-      .select(col("hamming"),
-        when(col("u") === 0, lit(1000000L))
-          .otherwise(expr("i * 1000000 div u")).as("ex_micro"))
-      .groupBy(col("hamming"), expr("ex_micro div 100000").as("ex_decile"))
-      .agg(count(lit(1)).as("n_pairs"), sum("ex_micro").as("sum_ex_micro"))
+    // fp and sets each feed BOTH sides of their verify joins — persisted
+    // (round 12) so the simhash and shingle UDFs run once over the corpus,
+    // not once per join side; output is the ≤ 33×11-cell matrix
+    graft.core.Lifecycle.withPersisted(fp, sets) {
+      val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
+      val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
+      pairs
+        .join(fp.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int").as("hamming"),
+          inter.as("i"), uni.as("u"))
+        .select(col("hamming"),
+          when(col("u") === 0, lit(1000000L))
+            .otherwise(expr("i * 1000000 div u")).as("ex_micro"))
+        .groupBy(col("hamming"), expr("ex_micro div 100000").as("ex_decile"))
+        .agg(count(lit(1)).as("n_pairs"), sum("ex_micro").as("sum_ex_micro"))
+    }
   }
 }

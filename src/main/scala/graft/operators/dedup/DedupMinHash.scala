@@ -356,7 +356,7 @@ private[graft] trait DedupMinHash extends Serializable { this: DedupJoins with D
     * Jaccard the minhash signature estimates; [[lshCalibration]]'s ground
     * truth. Same fold, same window as [[minhashSigUdf]].
     */
-  private[dedup] val shingleSetUdf = udf { (t: String) =>
+  private[graft] val shingleSetUdf = udf { (t: String) =>
     val cps = if (t == null) Array.empty[Int] else t.codePoints().toArray
     val n = cps.length - 4
     if (n <= 0) Array.empty[Long]
@@ -390,6 +390,11 @@ private[graft] trait DedupMinHash extends Serializable { this: DedupJoins with D
     val pairs = lshCandidatePairs(docs, minEst)
     val sh = docs.withColumn("s", shingleSetUdf(col("text")))
       .select(col("doc_id"), col("s"))
+    // round-12 measured NEGATIVE result: persisting sh across the two
+    // verify-join sides was a WASH in a same-session interleaved A/B
+    // (cal_raw 19.3–31.3 cpu-s vs persisted 20.6–27.0; wall identical) —
+    // the broadcast candidate chain streams sh through chained BHJs, so
+    // the UDF was never actually paid twice. Not shipped (guide §1.3).
     val inter = size(array_intersect(col("a.s"), col("b.s"))).cast("long")
     val uni = size(col("a.s")).cast("long") + size(col("b.s")).cast("long") - inter
     pairs

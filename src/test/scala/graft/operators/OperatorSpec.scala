@@ -40,6 +40,29 @@ class OperatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     px16.unpersist()
   }
 
+  test("algebraic map_key long encoding round-trips: decode(encode) is the " +
+    "exact string key array on every corpus row, and the string-parse " +
+    "encoder agrees with the source-side algebraic one (round-12 pyramid " +
+    "key path)") {
+    // the pyramid family now runs its keyed exchanges on the long form;
+    // a decode/encode mismatch on ANY key type (incl. the 3:A/N/R letter
+    // mapping) would silently corrupt every pyramid oracle
+    val occ = OccurrenceView.occ(spark, Dir)
+    val mism = occ.select(
+        OccurrenceView.mapKeysArray.as("ks"),
+        transform(MapBuild.mapKeyIdsArray,
+          k => MapBuild.decodeMapKey(k)).as("dec"))
+      .filter(col("ks") =!= col("dec")).count()
+    assert(mism === 0, "decode(encode) diverged from the string key array")
+    // string-parse arm (the stored-state entry path) inverts decode too
+    val mism2 = occ
+      .select(explode(MapBuild.mapKeyIdsArray).as("k"))
+      .select(col("k"),
+        MapBuild.encodeMapKey(MapBuild.decodeMapKey(col("k"))).as("k2"))
+      .filter(col("k") =!= col("k2")).count()
+    assert(mism2 === 0, "encode(decode) is not the identity on long keys")
+  }
+
   test("pyramidIterative equals pyramidOnePass on a shared zoom range") {
     // the two strategies must be interchangeable: [[MapBuild.pyramid]]
     // dispatches on depth, so a divergence would ship invisibly whenever
