@@ -428,6 +428,76 @@ object OptLab {
               .agg(count(lit(1)).as("n_pairs"), sum("ex_micro").as("sum_ex_micro"))
           }
 
+          case p if p.startsWith("kcore_") =>
+            // VERDICT r11 item 9: survivor-edge CARRYING for the k-core
+            // peel, A/B'd on a ZIPF-SKEWED graph (the r11 probe measured
+            // flat on the near-uniform LSH graph; the skew corpus is the
+            // honest test — BenchScale's skew replica builds no documents,
+            // so the graph is synthesized directly, deterministic):
+            //  - Zipf star: edge k → (100000+k, n/k); node j's in-degree
+            //    ≈ n/j² (hubs up to n/2), every tail degree 1 — the whole
+            //    star peels in wave 1;
+            //  - ring backbone: 100k nodes, chords to ±1, ±2 — degree 4,
+            //    the surviving 3-core.
+            // kcore_cur = shipped kCoreFromEdges (per round, TWO semi-joins
+            // of the FULL edge list against the shrinking survivor set);
+            // kcore_carry = live-edge carrying (the edge list itself
+            // shrinks: next round counts degrees over carried edges only).
+            val n = 2000000L
+            val m = 100000L
+            def skewEdges: DataFrame = {
+              val star = spark.range(1, n + 1).select(
+                (col("id") + lit(m)).as("doc_a"),
+                expr(s"CAST($n DIV id AS BIGINT)").as("doc_b"))
+              val ring = spark.range(0, m).select(col("id").as("doc_a"),
+                  pmod(col("id") + 1, lit(m)).as("doc_b"))
+                .unionByName(spark.range(0, m).select(col("id").as("doc_a"),
+                  pmod(col("id") + 2, lit(m)).as("doc_b")))
+              star.unionByName(ring)
+            }
+            val (kk, rounds) = (3, 4)
+            if (p == "kcore_cur") time(p)(_ =>
+              Dedup.kCoreFromEdges(skewEdges, kk, rounds))
+            else if (p == "kcore_carry") time(p) { _ =>
+              import graft.core.Lifecycle.{loopCheckpoint, freeCheckpoint}
+              val e = skewEdges.select("doc_a", "doc_b")
+              var live = loopCheckpoint(
+                e.union(e.select(col("doc_b"), col("doc_a")))
+                  .toDF("src", "dst"))
+              for (_ <- 1 to rounds) {
+                val active = live.groupBy("src").agg(count(lit(1)).as("d"))
+                  .filter(col("d") >= kk).select(col("src").as("doc_id"))
+                val next = loopCheckpoint(live
+                  .join(active.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+                  .join(active.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi"))
+                freeCheckpoint(live)
+                live = next
+              }
+              val core = live.groupBy(col("src").as("doc_id"))
+                .agg(count(lit(1)).as("core_deg")).filter(col("core_deg") >= kk)
+              core
+            }
+            else { // kcore_eq: both arms must emit the identical core
+              val cur = Dedup.kCoreFromEdges(skewEdges, kk, rounds)
+                .collect().map(_.toSeq).toSet
+              val e = skewEdges.select("doc_a", "doc_b")
+              var live = e.union(e.select(col("doc_b"), col("doc_a")))
+                .toDF("src", "dst").localCheckpoint()
+              for (_ <- 1 to rounds) {
+                val active = live.groupBy("src").agg(count(lit(1)).as("d"))
+                  .filter(col("d") >= kk).select(col("src").as("doc_id"))
+                live = live
+                  .join(active.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+                  .join(active.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+                  .localCheckpoint()
+              }
+              val carry = live.groupBy(col("src").as("doc_id"))
+                .agg(count(lit(1)).as("core_deg")).filter(col("core_deg") >= kk)
+                .collect().map(_.toSeq).toSet
+              println(s"[opt] kcore_eq cur=${cur.size} carry=${carry.size} " +
+                s"match=${cur == carry}")
+            }
+
           // any declared query by name — lets one pieces invocation
           // interleave a query with an inline baseline arm (same JVM)
           case q if SparkEntry.queries.contains(q) =>
